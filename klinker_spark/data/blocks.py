@@ -1,0 +1,222 @@
+"""Block manager — the engine's central output type.
+
+Re-expresses ``KlinkerBlockManager`` (``/root/reference/src/klinker/data/
+blocks.py:26-463``) as a thin wrapper over a DataFrame with schema
+
+    blocks(block_key string, <left_name> array<string>, <right_name> array<string>)
+
+— exactly the ``list<string>`` parquet layout the reference itself
+writes (``blocks.py:327-333``), handled natively by Spark's
+``ArrayType`` with no arrow-schema hacks.
+
+Scale note (SURVEY §7 risk register): an array cell holding millions of
+ids breaks the array-cell model, so at scale the **exploded
+``pairs(left_id, right_id)`` view is primary** and arrays are a
+presentation/compat format; ``purge()`` (the reference's own answer to
+giant blocks, ``blocks.py:172-244``) is implemented here as a pure
+window-function pipeline and should run before any array materialization
+on skewed key distributions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["BlockManager"]
+
+
+@dataclass(frozen=True)
+class BlockManager:
+    """Blocks table + the two dataset names its array columns carry.
+
+    >>> bm.df.show()  # doctest: +SKIP
+    +---------+----------+--------+
+    |block_key|         A|       B|
+    +---------+----------+--------+
+    |   block1|  [a1, a3]|[b3, b4]|
+    """
+
+    df: DataFrame
+    left_name: str = "A"
+    right_name: str = "B"
+
+    # ---------------------------------------------------------------- build
+    @classmethod
+    def from_key_assignments(
+        cls,
+        left: DataFrame,
+        right: DataFrame,
+        left_name: str = "A",
+        right_name: str = "B",
+    ) -> "BlockManager":
+        """Build blocks from per-side ``(block_key, id)`` assignments.
+
+        The core blocking aggregate + join (A1 + J1): per side
+        ``groupBy(block_key).agg(collect_set(id))`` — the built-in
+        equivalent of the reference's
+        ``groupby(key).apply(lambda x: list(set(x[id_col])))``
+        (``standard.py:36-56``, ``token_blocking.py:130-136``) — then an
+        inner equi-join on the key (``standard.py:87``).  Catalyst picks
+        broadcast vs sort-merge; AQE splits skewed keys.  Arrays are
+        sorted for deterministic goldens (set semantics, SURVEY §4).
+        """
+        lb = left.groupBy("block_key").agg(
+            F.array_sort(F.collect_set(F.col("id"))).alias(left_name)
+        )
+        rb = right.groupBy("block_key").agg(
+            F.array_sort(F.collect_set(F.col("id"))).alias(right_name)
+        )
+        return cls(lb.join(rb, "block_key", "inner"), left_name, right_name)
+
+    @classmethod
+    def from_dict(
+        cls,
+        spark: SparkSession,
+        d: dict,
+        left_name: str = "A",
+        right_name: str = "B",
+    ) -> "BlockManager":
+        """From ``{block_key: ([left ids], [right ids])}`` (reference
+        ``from_dict``, ``blocks.py:383-420``)."""
+        rows = [
+            (str(k), sorted(str(x) for x in v[0]), sorted(str(x) for x in v[1]))
+            for k, v in d.items()
+        ]
+        schema = (
+            f"block_key string, `{left_name}` array<string>, `{right_name}` array<string>"
+        )
+        return cls(spark.createDataFrame(rows, schema), left_name, right_name)
+
+    # ---------------------------------------------------------------- views
+    def pairs(self, distinct: bool = True) -> DataFrame:
+        """Blocks → candidate pairs ``(left_id, right_id)`` (E10).
+
+        The one true UDTF shape: a double ``explode``
+        (``blocks.py:131-139``; the reference's own Spark port
+        ``spark_eval.py:31-35``).  ``distinct=False`` keeps duplicate
+        pairs occurring in several blocks, matching ``Evaluation``'s
+        comparison counting; ``True`` matches ``spark_eval.py:35`` —
+        the two reference implementations disagree, so it's a flag
+        (SURVEY §4 delta 2).
+        """
+        out = self.df.select(
+            F.explode(self.df[self.left_name]).alias("left_id"), F.col(self.right_name)
+        ).select("left_id", F.explode(F.col(self.right_name)).alias("right_id"))
+        return out.distinct() if distinct else out
+
+    def find_blocks(self, entity_id: str, side: str | None = None) -> DataFrame:
+        """Blocks containing an entity (E11, ``blocks.py:86-108``)."""
+        side_cols = [side] if side else [self.left_name, self.right_name]
+        cond = None
+        for c in side_cols:
+            clause = F.array_contains(F.col(c), entity_id)
+            cond = clause if cond is None else (cond | clause)
+        return self.df.where(cond)
+
+    # ---------------------------------------------------------------- stats
+    def with_sizes(self) -> DataFrame:
+        """Blocks + per-block sizes and comparison counts (A7)."""
+        return self.df.select(
+            "block_key",
+            F.size(F.col(self.left_name)).alias("left_size"),
+            F.size(F.col(self.right_name)).alias("right_size"),
+        ).select(
+            "*",
+            (F.col("left_size") + F.col("right_size")).alias("assignments"),
+            (F.col("left_size") * F.col("right_size")).alias("comparisons"),
+        )
+
+    def statistics(self) -> DataFrame:
+        """One-row summary: block count, assignments, comparisons, mean
+        sizes (reference ``blocks.py:141-170``, A7/A8)."""
+        return self.with_sizes().agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("assignments").alias("total_assignments"),
+            F.sum("comparisons").alias("total_comparisons"),
+            F.avg("left_size").alias("mean_left_size"),
+            F.avg("right_size").alias("mean_right_size"),
+            F.max("comparisons").alias("max_block_comparisons"),
+        )
+
+    # ---------------------------------------------------------------- combine
+    def combine(self, other: "BlockManager") -> "BlockManager":
+        """Outer-join two block tables on key; union id-lists per side
+        (J5, reference ``blocks.py:246-317``).
+
+        ``full_outer`` join + ``array_union(coalesce(...))`` replaces the
+        reference's 70-line cell-wise merge.  One shuffle on block_key.
+        """
+        a, b = self.df, other.df
+        l, r = self.left_name, self.right_name
+        joined = a.alias("a").join(b.alias("b"), "block_key", "full_outer")
+        empty = F.array().cast("array<string>")
+
+        def merged(col: str):
+            return F.array_sort(
+                F.array_union(
+                    F.coalesce(F.col(f"a.{col}"), empty), F.coalesce(F.col(f"b.{col}"), empty)
+                )
+            ).alias(col)
+
+        return BlockManager(joined.select("block_key", merged(l), merged(r)), l, r)
+
+    # ---------------------------------------------------------------- purge
+    def purge(self, cc_round: int = 2) -> "BlockManager":
+        """Drop oversized blocks via the cumulative-CC heuristic (W2).
+
+        Reference ``_get_purge_threshold`` (``blocks.py:172-244``): order
+        blocks by per-block comparison count; walk cumulative
+        assignments/comparisons; the purge threshold is the first block
+        cardinality at which the rounded CC (Σassign/Σcomp) stops
+        changing; blocks with more comparisons than the threshold are
+        dropped.
+
+        Implemented as one window pipeline over a **total** order
+        ``(comparisons, block_key)`` (the reference's pandas cumsum order
+        is index-dependent; a total order makes the result deterministic,
+        SURVEY §4 delta 3).  Two shuffles (sort + scalar min), no UDFs.
+        """
+        sized = self.with_sizes()
+        w = Window.orderBy("comparisons", "block_key").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wlag = Window.orderBy("comparisons", "block_key")
+        cum = (
+            sized.withColumn("cum_assign", F.sum("assignments").over(w))
+            .withColumn("cum_comp", F.sum("comparisons").over(w))
+            .withColumn("cc", F.round(F.col("cum_assign") / F.col("cum_comp"), cc_round))
+            .withColumn("prev_cc", F.lag("cc").over(wlag))
+            .withColumn("prev_card", F.lag("comparisons").over(wlag))
+        )
+        thresh = (
+            cum.where(
+                (F.col("cc") == F.col("prev_cc")) & (F.col("comparisons") > F.col("prev_card"))
+            )
+            .agg(F.min("comparisons").alias("threshold"))
+            .withColumn("threshold", F.coalesce(F.col("threshold"), F.lit(2**62)))
+        )
+        kept = self.df.join(
+            sized.join(F.broadcast(thresh)).where(F.col("comparisons") <= F.col("threshold")).select("block_key"),
+            "block_key",
+            "left_semi",
+        )
+        return BlockManager(kept, self.left_name, self.right_name)
+
+    # ---------------------------------------------------------------- io
+    def to_parquet(self, path: str) -> None:
+        """Write blocks (S3, ``blocks.py:319-343``) — ``ArrayType`` is
+        native, no pyarrow schema pinning needed."""
+        self.df.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def read_parquet(
+        cls, spark: SparkSession, path: str, left_name: str | None = None, right_name: str | None = None
+    ) -> "BlockManager":
+        """Read blocks (S4, ``blocks.py:345-381``); column names carry
+        the dataset names, sniffed from the schema when not given."""
+        df = spark.read.parquet(path)
+        names = [c for c in df.columns if c != "block_key"]
+        return cls(df, left_name or names[0], right_name or names[1])

@@ -1,0 +1,114 @@
+"""Blocking evaluation — recall / precision / F1 / reduction ratio / h3r.
+
+Reference: ``/root/reference/src/klinker/eval.py:144-326`` (``Evaluation``),
+``eval.py:22-141`` (``MinimalEvaluation`` — the join-based scalable
+variant), and the reference's own PySpark port ``spark_eval.py:1-40``,
+which is already the target shape: all counters are join-counts (J9/A9),
+never a driver-side pair materialization.
+
+Duplicate-pair semantics (SURVEY §4 delta 2): ``Evaluation`` counts a
+pair once per block it appears in (``eval.py:201-215``) while
+``spark_eval.py:35`` deduplicates.  ``distinct`` exposes both; default
+True (the join-based / spark_eval behavior).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .data.blocks import BlockManager
+
+__all__ = ["Evaluation", "harmonic_mean"]
+
+
+def harmonic_mean(a: float, b: float) -> float:
+    """``eval.py:15-19``."""
+    return 2 * a * b / (a + b) if (a + b) > 0 else 0.0
+
+
+@dataclass(frozen=True)
+class Evaluation:
+    """Scalar quality metrics of a blocking vs gold links."""
+
+    true_positives: int
+    false_positives: int
+    false_negatives: int
+    comparisons: int
+    left_count: int
+    right_count: int
+
+    @classmethod
+    def from_blocks(
+        cls,
+        blocks: BlockManager,
+        gold: DataFrame,
+        left_count: int,
+        right_count: int,
+        distinct: bool = True,
+    ) -> "Evaluation":
+        """``gold``: 2 columns ``(left_id, right_id)`` (any names —
+        positionally mapped, as ``eval.py:168-179`` maps block column
+        names).  Three join-counts, no pair collection on the driver.
+        """
+        lcol, rcol = gold.columns[:2]
+        g = gold.select(
+            F.col(lcol).cast("string").alias("left_id"),
+            F.col(rcol).cast("string").alias("right_id"),
+        )
+        pairs = blocks.pairs(distinct=distinct)
+        n_pairs = pairs.count()
+        tp = pairs.join(g, ["left_id", "right_id"], "inner").count()
+        n_gold = g.count()
+        return cls(
+            true_positives=tp,
+            false_positives=n_pairs - tp,
+            false_negatives=n_gold - tp,
+            comparisons=n_pairs,
+            left_count=left_count,
+            right_count=right_count,
+        )
+
+    # --- metrics (formulas: eval.py:253-326 / spark_eval.py:6-19) ---
+    @property
+    def recall(self) -> float:
+        d = self.true_positives + self.false_negatives
+        return self.true_positives / d if d else 0.0
+
+    @property
+    def precision(self) -> float:
+        d = self.true_positives + self.false_positives
+        return self.true_positives / d if d else 0.0
+
+    @property
+    def f_measure(self) -> float:
+        return harmonic_mean(self.recall, self.precision)
+
+    @property
+    def reduction_ratio(self) -> float:
+        total = self.left_count * self.right_count
+        return 1.0 - (self.comparisons / total) if total else 0.0
+
+    @property
+    def h3r(self) -> float:
+        return harmonic_mean(self.reduction_ratio, self.recall)
+
+    @property
+    def pairs_completeness(self) -> float:
+        return self.recall
+
+    def to_dict(self) -> dict:
+        return {
+            "recall": self.recall,
+            "precision": self.precision,
+            "f_measure": self.f_measure,
+            "reduction_ratio": self.reduction_ratio,
+            "h3r": self.h3r,
+            "pairs_completeness": self.pairs_completeness,
+            "true_positives": self.true_positives,
+            "false_positives": self.false_positives,
+            "false_negatives": self.false_negatives,
+            "comparisons": self.comparisons,
+        }

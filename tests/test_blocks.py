@@ -1,0 +1,93 @@
+"""BlockManager stats / pairs / combine goldens, ported from the
+reference's ``tests/test_blocks.py:20-90`` fixture values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from klinker_spark.data.blocks import BlockManager
+
+from conftest import blocks_as_dict
+
+BLOCKS_DICT = {
+    2: (["3"], ["3", "5"]),
+    4: (["4"], ["5"]),
+    5: (["4"], ["4"]),
+    6: (["4", "5"], ["4"]),
+    7: (["5"], ["4"]),
+    10: (["1", "2"], ["2"]),
+    11: (["2"], ["2"]),
+}
+
+
+@pytest.fixture()
+def blocks(spark):
+    return BlockManager.from_dict(spark, BLOCKS_DICT)
+
+
+def test_block_sizes(blocks):
+    sized = {r["block_key"]: r["assignments"] for r in blocks.with_sizes().collect()}
+    assert sized == {"2": 3, "4": 2, "5": 2, "6": 3, "7": 2, "10": 3, "11": 2}
+
+
+def test_statistics(blocks):
+    row = blocks.statistics().collect()[0]
+    assert row["n_blocks"] == 7
+    assert row["total_assignments"] == 17
+    # mean block size over both sides: 17/7
+    assert (row["total_assignments"] / row["n_blocks"]) == pytest.approx(2.4285714285714284)
+    # reference pair list has 10 entries (duplicates kept)
+    assert row["total_comparisons"] == 10
+
+
+def test_all_pairs_with_duplicates(blocks):
+    pairs = sorted(tuple(r) for r in blocks.pairs(distinct=False).collect())
+    expected = sorted(
+        [
+            ("3", "3"),
+            ("3", "5"),
+            ("4", "5"),
+            ("4", "4"),
+            ("4", "4"),
+            ("5", "4"),
+            ("5", "4"),
+            ("1", "2"),
+            ("2", "2"),
+            ("2", "2"),
+        ]
+    )
+    assert pairs == expected
+
+
+def test_combine(spark, blocks):
+    other = BlockManager.from_dict(
+        spark, {6: BLOCKS_DICT[6], 4: (["1", "2"], ["5"]), 20: (["5"], ["7"])}
+    )
+    expected = {str(k): (set(v[0]), set(v[1])) for k, v in BLOCKS_DICT.items()}
+    expected["4"] = ({"1", "2", "4"}, {"5"})
+    expected["20"] = ({"5"}, {"7"})
+    assert blocks_as_dict(blocks.combine(other)) == expected
+
+
+def test_find_blocks(blocks):
+    keys = {r["block_key"] for r in blocks.find_blocks("4").collect()}
+    assert keys == {"4", "5", "6", "7"}
+    keys_left = {r["block_key"] for r in blocks.find_blocks("4", side="A").collect()}
+    assert keys_left == {"4", "5", "6"}
+
+
+def test_purge_keeps_small_blocks(spark):
+    # 20 blocks of cardinality 1, 10 of cardinality 2, one giant block.
+    # Walking blocks by ascending comparison count, the rounded
+    # cumulative CC plateaus when the cardinality-2 run starts
+    # (cc 2.0 -> 1.95, equal at round 0), setting the purge threshold
+    # at 2 comparisons: the giant block must be dropped.
+    d = {f"k{i:02d}": ([f"a{i}"], [f"b{i}"]) for i in range(20)}
+    for i in range(10):
+        d[f"m{i}"] = ([f"c{i}"], [f"d{i}", f"e{i}"])
+    d["giant"] = ([f"a{i}" for i in range(50)], [f"b{i}" for i in range(50)])
+    bm = BlockManager.from_dict(spark, d)
+    purged = blocks_as_dict(bm.purge(cc_round=0))
+    assert "giant" not in purged
+    assert len(purged) == 30

@@ -1,0 +1,54 @@
+"""Evaluation metric goldens, ported from the reference's
+``tests/test_eval.py:75-110`` (hand-computed 8x7 toy numbers).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from klinker_spark.data.blocks import BlockManager
+from klinker_spark.eval import Evaluation
+
+GOLD = [(f"A:{i}", f"B:{i}") for i in range(1, 8)]
+
+EXAMPLE = {
+    "b1": (["A:1", "A:2"], ["B:1"]),
+    "b2": (["A:3", "A:2", "A:4"], ["B:4", "B:5"]),
+    "b3": (["A:6"], ["B:5", "B:7"]),
+}
+
+NOTHING_FOUND = {
+    "b1": (["A:1", "A:2"], ["B:4"]),
+    "b2": (["A:3", "A:2", "A:4"], ["A:1", "A:5"]),
+    "b3": (["A:6"], ["A:5", "A:7"]),
+}
+
+
+@pytest.fixture()
+def gold(spark):
+    return spark.createDataFrame(GOLD, ["left_id", "right_id"])
+
+
+def test_quality(spark, gold):
+    blocks = BlockManager.from_dict(spark, EXAMPLE)
+    e = Evaluation.from_blocks(blocks, gold, left_count=8, right_count=7)
+    assert e.true_positives == 2
+    assert e.false_negatives == 5
+    assert e.false_positives == 8
+    assert e.recall == pytest.approx(0.2857142857142857)
+    assert e.precision == pytest.approx(0.2)
+    assert e.f_measure == pytest.approx(0.23529411764705882)
+    assert e.reduction_ratio == pytest.approx(0.8214285714285714)
+    assert e.h3r == pytest.approx(0.42396313364055294)
+
+
+def test_quality_nothing(spark, gold):
+    blocks = BlockManager.from_dict(spark, NOTHING_FOUND)
+    e = Evaluation.from_blocks(blocks, gold, left_count=8, right_count=7)
+    assert e.true_positives == 0
+    assert e.false_negatives == 7
+    assert e.false_positives == 10
+    assert e.recall == 0.0
+    assert e.f_measure == 0.0
+    assert e.reduction_ratio == pytest.approx(0.8214285714285714)
+    assert e.h3r == 0.0

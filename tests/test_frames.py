@@ -1,0 +1,67 @@
+"""Frame semantics: melt, concat_values (NULL handling + dedup),
+RDF-datatype clean, reverse_rel — reference
+``tests/test_klinkerframe.py:20-50`` adapted to the engine's sorted-set
+concat semantics (SURVEY §4 delta 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from klinker_spark.data.frames import (
+    EntityFrame,
+    clean_rdf_datatype,
+    melt,
+    reverse_rel,
+)
+
+
+def test_melt_drops_nulls(table_a):
+    attrs = melt(table_a, "id")
+    # a4 has NULL Occupation -> 4 rows instead of 5... (4 attrs per row)
+    by_id = attrs.groupBy("id").count().collect()
+    counts = {r["id"]: r["count"] for r in by_id}
+    assert counts == {"a1": 4, "a2": 4, "a3": 4, "a4": 3, "a5": 4}
+
+
+def test_concat_values_sorted_set(frame_a):
+    got = {r["id"]: r["text"] for r in frame_a.concat_values().collect()}
+    # NULL elided (a4); values sorted lexicographically (engine semantics)
+    assert got["a4"] == "14-03-1990 India Nushi Devi"
+    assert got["a1"] == "11-12-1973 Engineer John McExample USA"
+
+
+def test_concat_values_dedup(spark):
+    df = spark.createDataFrame(
+        [("e1", "p1", "x"), ("e1", "p2", "x"), ("e1", "p3", "y")],
+        ["head", "rel", "tail"],
+    )
+    ef = EntityFrame.from_triples(df, "T")
+    got = {r["id"]: r["text"] for r in ef.concat_values().collect()}
+    assert got == {"e1": "x y"}
+    got_dup = {r["id"]: r["text"] for r in ef.concat_values(remove_duplicates=False).collect()}
+    assert got_dup == {"e1": "x x y"}
+
+
+def test_clean_rdf_datatype(spark):
+    df = spark.createDataFrame([("5^^<xsd:integer>",), ("plain",)], ["value"])
+    got = [r[0] for r in df.select(clean_rdf_datatype("value")).collect()]
+    assert got == ["5", "plain"]
+
+
+def test_reverse_rel(spark):
+    rels = spark.createDataFrame([("h1", "knows", "t1")], ["head", "rel", "tail"])
+    got = reverse_rel(rels).collect()[0]
+    assert (got["head"], got["rel"], got["tail"]) == ("t1", "_inv_knows", "h1")
+
+
+def test_from_triples_clean(spark):
+    df = spark.createDataFrame(
+        [("e1", "age", "5^^<xsd:integer>")], ["head", "rel", "tail"]
+    )
+    ef = EntityFrame.from_triples(df, "T", clean=True)
+    assert ef.attrs.collect()[0]["value"] == "5"
+
+
+def test_ids(frame_a):
+    assert {r["id"] for r in frame_a.ids().collect()} == {"a1", "a2", "a3", "a4", "a5"}
