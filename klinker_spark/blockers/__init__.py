@@ -12,3 +12,24 @@ __all__ = [
     "TokenBlocker",
     "UniqueNameBlocker",
 ]
+
+from .composite import CompositeRelationalTokenBlocker, CompositeUniqueNameBlocker
+from .lsh import MinHashLSHBlocker
+from .relation_aware import (
+    RelationalBlocker,
+    RelationalTokenBlocker,
+    SimpleRelationalBlocker,
+    SimpleRelationalTokenBlocker,
+)
+from .tfidf import TfIdfFilteredTokenBlocker
+
+__all__ += [
+    "CompositeRelationalTokenBlocker",
+    "CompositeUniqueNameBlocker",
+    "MinHashLSHBlocker",
+    "RelationalBlocker",
+    "RelationalTokenBlocker",
+    "SimpleRelationalBlocker",
+    "SimpleRelationalTokenBlocker",
+    "TfIdfFilteredTokenBlocker",
+]

@@ -1,0 +1,122 @@
+"""MinHash-LSH similarity-join blocking — candidate pairs whose
+estimated token-set Jaccard exceeds a threshold.
+
+Reference: ``/root/reference/src/klinker/blockers/lsh.py:40-213`` (J7):
+datasketch ``MinHashLSH`` built row-by-row on the driver (``_insert``
+``:40-61``), probed row-by-row (``_query`` ``:64-96``), defaults
+threshold=0.5 / num_perm=128 / weights=(0.5, 0.5) (``:128-136``).
+
+Spark-first design: the whole thing is three codegen'd stages, no
+driver loop and no Python UDFs —
+
+1. tokenize → MinHash signature per entity (``xxhash64``-family
+   permutations, ``functions.text.minhash_signature``);
+2. slice the signature into ``b`` bands of ``r`` rows; hash each band →
+   ``explode`` to ``(band_idx, band_hash, id)``;
+3. equi-join left×right on ``(band_idx, band_hash)`` — a plain shuffle
+   join Catalyst/AQE handles like any other, i.e. the θ-join became J1.
+
+Band geometry: ``(b, r)`` minimizing the weighted FP/FN integral at the
+threshold — same public optimization datasketch performs for its
+``weights`` parameter.  An alternative MLlib formulation
+(``MinHashLSH.approxSimilarityJoin``) is in
+``klinker_spark.ops.dedup.minhash_lsh_dedup``; this banded form keeps
+the block/BlockManager shape of the reference API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..data.blocks import BlockManager
+from ..functions.text import minhash_signatures, tokenize
+from .base import SchemaAgnosticBlocker
+
+__all__ = ["MinHashLSHBlocker", "optimal_band_geometry"]
+
+
+def _false_positive_area(threshold: float, b: int, r: int, steps: int = 100) -> float:
+    dx = threshold / steps
+    return sum(
+        (1 - (1 - ((i + 0.5) * dx) ** r) ** b) * dx for i in range(steps)
+    )
+
+
+def _false_negative_area(threshold: float, b: int, r: int, steps: int = 100) -> float:
+    dx = (1 - threshold) / steps
+    return sum(
+        (1 - (1 - (1 - (threshold + (i + 0.5) * dx) ** r) ** b)) * dx
+        for i in range(steps)
+    )
+
+
+def optimal_band_geometry(
+    threshold: float, num_perm: int, weights: tuple[float, float] = (0.5, 0.5)
+) -> tuple[int, int]:
+    """Choose (bands, rows) minimizing weighted FP/FN error — the public
+    S-curve integration datasketch uses for its ``weights`` knob
+    (reference surfaces it at ``lsh.py:135``)."""
+    fp_w, fn_w = weights
+    best, best_err = (1, num_perm), float("inf")
+    for b in range(1, num_perm + 1):
+        r = num_perm // b
+        if r == 0:
+            continue
+        err = fp_w * _false_positive_area(threshold, b, r) + fn_w * _false_negative_area(
+            threshold, b, r
+        )
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best
+
+
+class MinHashLSHBlocker(SchemaAgnosticBlocker):
+    def __init__(
+        self,
+        threshold: float = 0.5,
+        num_perm: int = 128,
+        weights: tuple[float, float] = (0.5, 0.5),
+        min_token_length: int = 3,
+        seed: int = 42,
+    ):
+        self.threshold = threshold
+        self.num_perm = num_perm
+        self.weights = weights
+        self.min_token_length = min_token_length
+        self.seed = seed
+        self.bands, self.rows = optimal_band_geometry(threshold, num_perm, weights)
+
+    def _band_side(self, frame: DataFrame) -> DataFrame:
+        """(id, text) → (block_key, id): signature, banded, hashed.
+
+        Signature via the explode→min-aggregate form (see
+        ``minhash_signatures`` on why an expression-nested signature is
+        an exponential trap); banding is a cheap unrolled projection
+        over the materialized signature array.
+        """
+        sigs = minhash_signatures(
+            frame, tokenize("text", self.min_token_length), "id", self.num_perm, self.seed
+        )
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(b),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.slice(F.col("signature"), b * self.rows + 1, self.rows)
+                        )
+                    ),
+                )
+                for b in range(self.bands)
+            ]
+        )
+        return sigs.select(F.explode(band_keys).alias("block_key"), "id")
+
+    def _assign(
+        self, left: DataFrame, right: DataFrame, left_name: str, right_name: str
+    ) -> BlockManager:
+        return BlockManager.from_key_assignments(
+            self._band_side(left), self._band_side(right), left_name, right_name
+        )

@@ -1,0 +1,151 @@
+"""Frame encoders — entity text → embedding DataFrame ``(id, vector)``.
+
+Reference encoder stack (``/root/reference/src/klinker/encoders/
+pretrained.py``): gensim word vectors + mean pooling (M1/M3,
+``:259-384``), SIF weighting + first-PC removal (M2, ``:427-596``).
+The pretrained-model lookup is environment-dependent (gensim/torch are
+not available here), so the engine's default word embedder is a
+**deterministic feature-hash embedder**: token → pseudo-random unit
+vector derived from ``xxhash64(token, dim)``.  This preserves the
+token-identity geometry word embedders rely on for blocking (same
+token ⇒ same vector; entity similarity ⇒ token overlap — the
+hashing-trick analogue of TF embedding) while staying 100% JVM-side
+and reproducible.  A real model drops in by replacing
+``token_vector_expr`` with a ``mapInPandas`` lookup against broadcast
+KeyedVectors (M1 strategy per SURVEY §2.9) without touching the
+aggregation plan.
+
+Pooling is pure DataFrame algebra: explode tokens → per-token vector →
+``aggregate(collect_list, zip_with(+))`` per entity — one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+__all__ = [
+    "token_vector_expr",
+    "HashingWordEmbedder",
+    "SIFHashingWordEmbedder",
+    "initialize_and_fill",
+]
+
+
+def token_vector_expr(token: Column, dim: int, seed: int = 42) -> Column:
+    """Deterministic pseudo-random unit-scale vector for a token:
+    component d = xxhash64(token, seed*dim + d) mapped into [-1, 1]."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(token, d + F.lit(seed * dim)), F.lit(2_000_001)) / 1_000_000.0
+            - 1.0
+        ),
+    )
+
+
+def _mean_pool(weighted_vecs: Column, total_weight: Column, dim: int) -> Column:
+    zero = F.array_repeat(F.lit(0.0), dim)
+    summed = F.aggregate(weighted_vecs, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b))
+    return F.transform(summed, lambda x: x / total_weight)
+
+
+class HashingWordEmbedder:
+    """Unweighted mean of token vectors (M3 shape,
+    ``pretrained.py:389-424``)."""
+
+    def __init__(self, dim: int = 32, seed: int = 42, min_token_length: int = 3):
+        self.dim = dim
+        self.seed = seed
+        self.min_token_length = min_token_length
+
+    def _token_weights(self, tokens: DataFrame) -> DataFrame:
+        """(id, token) → (id, token, weight).  Uniform by default."""
+        return tokens.withColumn("weight", F.lit(1.0))
+
+    def encode(self, conc: DataFrame) -> DataFrame:
+        """``(id, text)`` → ``(id, vector array<double>)``."""
+        tokens = conc.select(
+            "id", F.explode(tokenize("text", self.min_token_length)).alias("token")
+        ).where(F.col("token") != "")
+        weighted = self._token_weights(tokens).select(
+            "id",
+            F.transform(
+                token_vector_expr(F.col("token"), self.dim, self.seed),
+                lambda x: x * F.col("weight"),
+            ).alias("wvec"),
+            "weight",
+        )
+        return weighted.groupBy("id").agg(
+            _mean_pool(
+                F.collect_list("wvec"), F.sum("weight"), self.dim
+            ).alias("vector")
+        )
+
+
+class SIFHashingWordEmbedder(HashingWordEmbedder):
+    """Smooth-inverse-frequency weighted pooling (M2 weighting,
+    ``pretrained.py:470-516`` = A6): token weight ``a / (a + freq/total)``
+    computed as a corpus aggregate and broadcast-joined onto tokens.
+
+    First-principal-component removal (``pretrained.py:518-531``) is
+    intentionally offered separately (``remove_pc``) since it needs a
+    driver-side SVD on a sample — the same collect boundary the
+    reference has.
+    """
+
+    def __init__(
+        self, dim: int = 32, sif_a: float = 1e-3, seed: int = 42, min_token_length: int = 3
+    ):
+        super().__init__(dim=dim, seed=seed, min_token_length=min_token_length)
+        self.sif_a = sif_a
+
+    def _token_weights(self, tokens: DataFrame) -> DataFrame:
+        freq = tokens.groupBy("token").agg(F.count("*").alias("freq"))
+        total = tokens.count()
+        weights = freq.select(
+            "token",
+            (self.sif_a / (self.sif_a + F.col("freq") / F.lit(float(total)))).alias("weight"),
+        )
+        return tokens.join(F.broadcast(weights), "token")
+
+
+def remove_first_pc(embeddings: DataFrame, sample_n: int = 10_000, seed: int = 42) -> DataFrame:
+    """Remove the first principal component (M2, ``pretrained.py:518-531``).
+
+    PC estimated by numpy SVD on a driver-collected sample (the
+    reference's TruncatedSVD is equally driver-side); the projection
+    ``v - (v·u)u`` is then applied distributively as a column expression
+    with the component as a literal array.
+    """
+    import numpy as np
+
+    sample = embeddings.orderBy(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1 << 31))).limit(
+        sample_n
+    )
+    mat = np.array([r["vector"] for r in sample.select("vector").collect()])
+    _, _, vt = np.linalg.svd(mat, full_matrices=False)
+    u = [float(x) for x in vt[0]]
+    u_col = F.array(*[F.lit(x) for x in u])
+    proj = F.aggregate(
+        F.zip_with(F.col("vector"), u_col, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return embeddings.select(
+        "id",
+        F.zip_with(F.col("vector"), u_col, lambda v, uu: v - proj * uu).alias("vector"),
+    )
+
+
+def initialize_and_fill(
+    all_ids: DataFrame, known: DataFrame, dim: int = 32, seed: int = 42
+) -> DataFrame:
+    """Deterministic per-id random init, overwritten by known embeddings
+    (M10, ``encoders/base.py:168-218``): ``all_ids ⟕ known`` +
+    ``coalesce(vector, hash-init(id))`` — no torch xavier, same shape.
+    """
+    init = token_vector_expr(F.col("id"), dim, seed)
+    return all_ids.join(known, "id", "left").select(
+        "id", F.coalesce(F.col("vector"), init).alias("vector")
+    )

@@ -23,8 +23,8 @@ __all__ = [
     "tokenize",
     "qgrams",
     "word_shingles",
-    "minhash_signature",
-    "simhash64",
+    "minhash_signatures",
+    "simhash",
 ]
 
 # Compact english stopword list (top of NLTK's list); fixed so the
@@ -87,48 +87,75 @@ def word_shingles(tokens: Column, k: int = 3, sep: str = " ") -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_perm: int = 32, seed: int = 42) -> Column:
-    """MinHash signature as ``array<bigint>`` over a shingle array.
+def minhash_signatures(
+    df,
+    items_col: Column,
+    id_col: str = "id",
+    num_perm: int = 64,
+    seed: int = 42,
+    sig_col: str = "signature",
+):
+    """Per-row MinHash signature over an array column →
+    ``(id_col, sig_col array<bigint>)`` DataFrame.
 
-    Permutation i is ``xxhash64(shingle, seed + i)``; the signature is
-    the element-wise min — the standard (a*x+b mod p) family replaced by
-    Spark's builtin 64-bit hash, all codegen'd (no UDF, unlike the
-    reference's datasketch loop ``lsh.py:139-161``).
+    Permutation i is ``xxhash64(item, seed + i)``; the signature is the
+    element-wise min — the standard (a·x+b mod p) family replaced by
+    Spark's builtin 64-bit hash (no UDF, unlike the reference's
+    datasketch loop ``lsh.py:139-161``).
+
+    Deliberately a DataFrame transform (explode → ``num_perm`` min
+    aggregates), NOT a nested higher-order-function expression: Spark's
+    project-collapsing re-inlines nested lambda expressions, so a
+    sig-as-expression referenced by ``bands`` outer expressions
+    re-evaluates the whole shingle pipeline bands×perms times —
+    exponential blowup measured at >100x on 500 docs.  The aggregate
+    form is linear and map-side-combines.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, i + F.lit(seed)))
-        ),
+    ex = df.select(F.col(id_col), F.explode(items_col).alias("_item"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_item"), F.lit(seed + i))).alias(f"_h{i}")
+        for i in range(num_perm)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col, F.array(*[F.col(f"_h{i}") for i in range(num_perm)]).alias(sig_col)
+        )
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash of a token array, as ``bigint``.
+def simhash(
+    df,
+    tokens_col: Column,
+    id_col: str = "id",
+    bits: int = 64,
+    fp_col: str = "fp",
+):
+    """Per-row SimHash fingerprint over a token array →
+    ``(id_col, fp_col bigint)`` DataFrame.
 
     For each bit b: sum over tokens of +1/-1 depending on bit b of
     ``xxhash64(token)``; the fingerprint sets bit b iff the sum > 0.
-    Expressed entirely with builtin array/bitwise functions.
+    Explode → ``bits`` sum aggregates (same rationale as
+    ``minhash_signatures``: aggregates stay linear where nested lambda
+    expressions re-evaluate); shift amounts are Python ints as the
+    DataFrame API requires.
     """
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.when(
-            F.aggregate(
-                tokens,
-                F.lit(0),
-                lambda acc, t: acc
-                + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+    ex = df.select(F.col(id_col), F.explode(tokens_col).alias("_t")).select(
+        F.col(id_col), F.xxhash64(F.col("_t")).alias("_h")
     )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, b: F.shiftleft(v.cast("bigint"), b),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    votes = ex.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        weight = (1 << b) - (1 << 64 if b == 63 else 0)  # signed-64 wrap for the top bit
+        fp = fp + F.when(F.col(f"_v{b}") > 0, F.lit(weight).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return votes.select(id_col, fp.alias(fp_col))

@@ -1,0 +1,199 @@
+"""Corpus deduplication operators — the blocking kernel applied
+reflexively (left = right = the corpus), per SURVEY §7 milestone 5.
+
+Every operator returns candidate duplicate pairs ``(doc_a, doc_b, ...)``
+with ``doc_a < doc_b`` (canonical orientation, no self-pairs), or a
+per-document fingerprint table.  All are pure DataFrame plans designed
+so 100 TB = more partitions:
+
+- exact: hash-groupBy, one shuffle on the content hash;
+- MinHash-LSH: shingle → signature → band → bucket self-join — the
+  classic web-scale near-dup pipeline (reference's J7 machinery, used
+  reflexively);
+- SimHash: 64-bit fingerprint, 4×16-bit band index (Hamming ≤ 3 ⇒ some
+  band matches exactly), verify with ``bit_count(xor)``;
+- n-gram Jaccard: exact verification on shingle sets, joinable only
+  within shared-shingle buckets so the cross-product never materializes;
+- embedding cosine: near-dup by vector similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import minhash_signatures, simhash, tokenize, word_shingles
+from ..functions.vectors import topk_cosine_join
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "embedding_cosine_dedup",
+]
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Output: ``(text_hash, n_docs, keep_id)`` — ``keep_id`` is the
+    smallest id of the group (the canonical survivor); groups with
+    ``n_docs > 1`` are duplicate sets.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash banded near-dup candidates.
+
+    Output: ``(doc_a, doc_b)`` distinct candidate pairs.  ``bands``
+    bands of ``num_perm // bands`` rows ⇒ candidate threshold
+    ``(1/bands)^(bands/num_perm)``.  The self-join shuffles on the band
+    hash; hot buckets (boilerplate shingles) are the skew risk — AQE
+    skew-join plus an optional bucket-size cap handle them.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        word_shingles(tokenize("text", 1, []), shingle_k),
+        id_col="doc_id",
+        num_perm=num_perm,
+        seed=seed,
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                F.xxhash64(F.concat_ws(",", F.slice(F.col("signature"), b * rows + 1, rows))),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    other = banded.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
+    return (
+        banded.join(other, "band_key")
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs.
+
+    Output: ``(doc_a, doc_b, hamming)`` for pairs with Hamming distance
+    ≤ ``max_hamming``.  Pigeonhole banding: split the 64-bit fingerprint
+    into 4 16-bit chunks — any pair within Hamming 3 matches on at least
+    one chunk exactly, so the join is an equi-join per chunk, verified
+    by ``bit_count(xor)``.
+    """
+    fp = simhash(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        tokenize("text", 1, []),
+        id_col="doc_id",
+    )
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                "_", F.lit(c), F.shiftright(F.col("fp"), c * 16).bitwiseAND(F.lit(0xFFFF))
+            )
+            for c in range(4)
+        ]
+    )
+    chunked = fp.select("doc_id", "fp", F.explode(chunks).alias("chunk_key"))
+    other = chunked.select("chunk_key", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    return (
+        chunked.join(other, "chunk_key")
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.bit_count(F.col("fp").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard near-dup pairs.
+
+    Output: ``(doc_a, doc_b, jaccard)`` with jaccard ≥ threshold.
+    Plan: explode distinct shingles → self-join on shingle (only
+    shingle-sharing pairs ever exist) → per-pair intersection count →
+    Jaccard from precomputed set sizes.  Shuffles on shingle then on
+    the pair key; the shingle join prunes the quadratic space the same
+    way token blocking does.
+    """
+    shingles = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(text_col, 1, []), shingle_k))
+        ).alias("shingle"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    other = shingles.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        shingles.join(other, "shingle")
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k: int = 10,
+) -> DataFrame:
+    """Embedding near-dup pairs: reflexive top-k cosine join filtered by
+    similarity threshold.  Output: ``(doc_a, doc_b, sim)``."""
+    emb = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+    nn = topk_cosine_join(emb, emb, k=k)
+    return (
+        nn.where(F.col("query_id") < F.col("neighbor_id"))
+        .where(F.col("sim") >= threshold)
+        .select(F.col("query_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b"), "sim")
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column — brute-force baseline,
+LSH-bucketed and IVF scale paths (SURVEY §7 milestone 5).
+
+All three return ``(query_id, neighbor_id, sim|dist, rank)``:
+
+- ``brute_force_topk``: exact; broadcast index + window top-k.  The
+  baseline and the correctness oracle for the approximate paths.
+- ``ann_topk_lsh``: MLlib BucketedRandomProjectionLSH on unit vectors.
+- ``ann_topk_ivf``: IVF — KMeans coarse quantizer; queries probe the
+  ``n_probe`` nearest centroids and search only those inverted lists.
+  This is the 100 TB design: the index is partitioned by centroid id,
+  a query touches n_probe/k_centroids of the data, and the probe join
+  is a plain equi-join on the centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot, l2_norm, topk_cosine_join
+
+__all__ = ["brute_force_topk", "ann_topk_lsh", "ann_topk_ivf"]
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+    ix = index.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+    return topk_cosine_join(q, ix, k=k)
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_hash_tables: int = 4,
+    bucket_length: float = 0.5,
+    distance_threshold: float = 1.2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN via random-projection LSH on L2-normalized
+    vectors (unit-sphere euclidean ≡ cosine ordering)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias("id"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+        )
+        return Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(v)
+
+    q, ix = prep(queries), prep(index)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(ix)
+    joined = lsh.approxSimilarityJoin(q, ix, distance_threshold, distCol="dist")
+    out = joined.select(
+        F.col("datasetA.id").alias("query_id"),
+        F.col("datasetB.id").alias("neighbor_id"),
+        F.col("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ann_topk_ivf(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate kNN.
+
+    Build: KMeans(n_centroids) over the index; each index vector joins
+    its centroid's inverted list (a partition key).  Query: score the
+    centroid table (tiny, broadcast as a literal array) per query,
+    probe the top ``n_probe`` lists, exact top-k within them.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ix = index.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
+
+    feat = ix.withColumn("features", array_to_vector("vector"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
+    inv_lists = model.transform(feat).select(
+        F.col("prediction").alias("centroid_id"), "id", "vector"
+    )
+
+    # Tiny centroid table as literal arrays -> per-query probe scoring
+    # happens in one projection, no join, no collect of data rows.
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(x) for x in c]).alias("cv"))
+            for i, c in centroids
+        ]
+    )
+    scored = q.withColumn(
+        "probes",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        cent_arr,
+                        lambda s: F.struct(
+                            (-cosine(F.col("vector"), s["cv"])).alias("negsim"),
+                            s["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                lambda s: s["cid"],
+            ),
+            1,
+            n_probe,
+        ),
+    )
+    probed = scored.select(
+        F.col("id").alias("query_id"),
+        F.col("vector").alias("_qv"),
+        l2_norm(F.col("vector")).alias("_qn"),
+        F.explode("probes").alias("centroid_id"),
+    )
+    cand = probed.join(inv_lists, "centroid_id").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (dot(F.col("_qv"), F.col("vector")) / (F.col("_qn") * l2_norm(F.col("vector")))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,162 @@
+"""Text analysis operators for training-data pipelines — language ID,
+quality scoring, token counting, document fingerprinting, token/TF-IDF
+statistics (SURVEY §7 milestone 5).
+
+All pure column expressions / aggregates; formulas are fixed engine
+semantics so the DuckDB oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokenize
+
+__all__ = [
+    "token_count",
+    "quality_score",
+    "token_frequencies",
+    "tfidf_top_tokens",
+    "doc_fingerprint",
+    "langid_by_profile",
+]
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + char count per document.
+
+    Output: ``(doc_id, n_tokens, n_chars)``.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword
+    ratio, distinct-token ratio, and a composite score.
+
+    Output: ``(doc_id, n_tokens, mean_token_len, stopword_ratio,
+    distinct_ratio, score)``; score = distinct_ratio * (1 - |stopword_ratio - 0.4|)
+    scaled by a saturating length factor — a deterministic stand-in for
+    the usual fasttext-style quality classifiers.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_len = (F.length(F.col(text_col)) - n + 1) / n  # chars minus separators
+    stopword_ratio = n_stop / n
+    distinct_ratio = n_distinct / n
+    length_factor = F.least(n / F.lit(100.0), F.lit(1.0))
+    score = distinct_ratio * (1.0 - F.abs(stopword_ratio - 0.4)) * length_factor
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def token_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus token frequency table (A6 shape,
+    ``encoders/pretrained.py:470-516``): explode tokens → count.
+
+    Output: ``(token, freq, doc_freq)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return toks.groupBy("token").agg(
+        F.count("*").alias("freq"), F.count_distinct("doc_id").alias("doc_freq")
+    )
+
+
+def tfidf_top_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-n characteristic tokens per doc by tf-idf (M16 shape).
+
+    ``idf = ln((1+N)/(1+df)) + 1``; ties broken by token asc.
+    Output: ``(doc_id, token, rank)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(id_col).distinct().count()
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = df.select("token", (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0).alias("idf"))
+    weighted = tf.join(F.broadcast(idf), "token").withColumn("w", F.col("tf") * F.col("idf"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("token").asc())
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("doc_id", "token", "rank")
+    )
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content fingerprint robust to token order: md5 of the sorted
+    distinct token list.  Output: ``(doc_id, fingerprint)``."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " ")
+        ).alias("fingerprint"),
+    )
+
+
+def langid_by_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    profile_size: int = 20,
+) -> DataFrame:
+    """Naive-Bayes-flavored language ID by token voting.
+
+    Train: per language, the ``profile_size`` most frequent tokens
+    (ties by token asc) — a tiny broadcastable profile table.
+    Predict: each doc token matching a profile token votes for that
+    language; argmax votes (ties by lang asc).
+
+    Output: ``(doc_id, pred_lang, votes)``.  On the synthetic corpus
+    this exercises the full n-gram-profile language-ID dataflow
+    (profile build → broadcast join → per-doc argmax) with
+    deterministic results.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    freq = toks.groupBy("lang", "token").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("token").asc())
+    profile = freq.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= profile_size
+    ).select("lang", "token")
+
+    votes = (
+        toks.select("doc_id", "token")
+        .join(F.broadcast(profile.withColumnRenamed("lang", "cand_lang")), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.col("votes").desc(), F.col("cand_lang").asc())
+    return (
+        votes.withColumn("r", F.row_number().over(pick))
+        .where(F.col("r") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "votes")
+    )

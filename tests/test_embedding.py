@@ -1,0 +1,134 @@
+"""Embedding stack tests — shape/coverage/determinism invariants
+(reference style: ``tests/test_blockbuilder.py:37-138``,
+``tests/test_word_embedding.py:29-56``) plus exact-kNN goldens on fixed
+2-D points.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from klinker_spark.data.frames import EntityFrame
+from klinker_spark.embedding.blockbuilder import (
+    ClusterBlockBuilder,
+    KNNBlockBuilder,
+    LSHKNNBlockBuilder,
+)
+from klinker_spark.embedding.blocker import EmbeddingBlocker
+from klinker_spark.encoders.hashing import (
+    HashingWordEmbedder,
+    SIFHashingWordEmbedder,
+    initialize_and_fill,
+    remove_first_pc,
+)
+from klinker_spark.functions.vectors import topk_cosine_join
+
+# Two well-separated 2-D clusters; left/right points interleaved.
+LEFT_PTS = [("l0", [1.0, 0.0]), ("l1", [0.9, 0.1]), ("l2", [0.0, 1.0]), ("l3", [0.1, 0.9])]
+RIGHT_PTS = [("r0", [1.0, 0.05]), ("r1", [0.95, 0.0]), ("r2", [0.05, 1.0]), ("r3", [0.0, 0.95])]
+
+
+@pytest.fixture(scope="module")
+def left_emb(spark):
+    return spark.createDataFrame(LEFT_PTS, ["id", "vector"])
+
+
+@pytest.fixture(scope="module")
+def right_emb(spark):
+    return spark.createDataFrame(RIGHT_PTS, ["id", "vector"])
+
+
+def test_topk_cosine_exact(left_emb, right_emb):
+    nn = topk_cosine_join(left_emb, right_emb, k=2)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in nn.collect()
+    }
+    # l0=(1,0): nearest r1=(0.95,0) cos=1.0, then r0
+    assert got[("l0", 1)] == "r1" and got[("l0", 2)] == "r0"
+    # l2=(0,1): nearest r3=(0,0.95)
+    assert got[("l2", 1)] == "r3" and got[("l2", 2)] == "r2"
+
+
+def test_knn_blocks_shape(left_emb, right_emb):
+    bm = KNNBlockBuilder(k=2).build_blocks(left_emb, right_emb, "A", "B")
+    rows = bm.df.collect()
+    assert len(rows) == 4  # one block per left entity
+    for r in rows:
+        assert len(r["A"]) == 1 and len(r["B"]) == 2  # (1, k) shape
+
+
+def test_lsh_knn_matches_same_cluster(left_emb, right_emb):
+    bm = LSHKNNBlockBuilder(k=2, num_hash_tables=4).build_blocks(
+        left_emb, right_emb, "A", "B"
+    )
+    got = {r["block_key"]: set(r["B"]) for r in bm.df.collect()}
+    # every left point's neighbors come from its own cluster
+    for lid in ("l0", "l1"):
+        assert got.get(lid, set()) <= {"r0", "r1"}
+    for lid in ("l2", "l3"):
+        assert got.get(lid, set()) <= {"r2", "r3"}
+
+
+def test_cluster_block_builder(left_emb, right_emb):
+    bm = ClusterBlockBuilder(n_clusters=2).build_blocks(left_emb, right_emb, "A", "B")
+    got = {r["block_key"]: (set(r["A"]), set(r["B"])) for r in bm.df.collect()}
+    clusters = sorted(got.values(), key=lambda t: sorted(t[0]))
+    assert clusters[0] == ({"l0", "l1"}, {"r0", "r1"})
+    assert clusters[1] == ({"l2", "l3"}, {"r2", "r3"})
+
+
+def test_hashing_embedder_deterministic(spark):
+    conc = spark.createDataFrame([("e1", "hello world"), ("e2", "hello world")], ["id", "text"])
+    emb = HashingWordEmbedder(dim=8).encode(conc)
+    vecs = {r["id"]: r["vector"] for r in emb.collect()}
+    assert vecs["e1"] == vecs["e2"]  # same text -> same vector
+    assert len(vecs["e1"]) == 8
+
+
+def test_sif_embedder_downweights_common_tokens(spark):
+    # 'common' appears everywhere; e1/e2 differ only in rare tokens
+    rows = [("e1", "common rareone"), ("e2", "common raretwo"), ("e3", "common common common")]
+    conc = spark.createDataFrame(rows, ["id", "text"])
+    uni = HashingWordEmbedder(dim=16).encode(conc)
+    sif = SIFHashingWordEmbedder(dim=16).encode(conc)
+    assert uni.count() == sif.count() == 3
+    # SIF vector differs from uniform mean when frequencies are skewed
+    u = {r["id"]: r["vector"] for r in uni.collect()}
+    s = {r["id"]: r["vector"] for r in sif.collect()}
+    assert u["e1"] != s["e1"]
+
+
+def test_remove_first_pc_changes_vectors(spark):
+    emb = spark.createDataFrame(
+        [("e1", [1.0, 2.0, 3.0]), ("e2", [2.0, 4.0, 6.1]), ("e3", [1.0, 0.0, 0.0])],
+        ["id", "vector"],
+    )
+    out = {r["id"]: r["vector"] for r in remove_first_pc(emb).collect()}
+    assert len(out) == 3 and len(out["e1"]) == 3
+    # e1/e2 are nearly collinear with the first PC -> projected near zero
+    assert sum(x * x for x in out["e2"]) < 0.1
+
+
+def test_initialize_and_fill(spark):
+    all_ids = spark.createDataFrame([("e1",), ("e2",), ("e3",)], ["id"])
+    known = spark.createDataFrame([("e1", [9.0] * 4)], ["id", "vector"])
+    out = {r["id"]: r["vector"] for r in initialize_and_fill(all_ids, known, dim=4).collect()}
+    assert out["e1"] == [9.0] * 4
+    assert len(out["e2"]) == 4 and out["e2"] != out["e3"]  # distinct deterministic init
+
+
+def test_embedding_blocker_end_to_end(frame_a, frame_b, tmp_path):
+    blocker = EmbeddingBlocker(
+        frame_encoder=HashingWordEmbedder(dim=16),
+        block_builder=KNNBlockBuilder(k=2),
+        save_dir=str(tmp_path),
+    )
+    bm = blocker.assign(frame_a, frame_b)
+    assert bm.df.count() == 5
+    # cache created and reused
+    import os
+
+    assert os.path.exists(str(tmp_path / "A_encoded.parquet"))
+    bm2 = blocker.assign(frame_a, frame_b)
+    assert bm2.df.count() == 5

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests — schema, batch shape, and determinism of
+the mapInPandas stages (decode kernels stubbed by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from klinker_spark.ops.multimodal import extract_features, pack_media, sample_frames
+
+
+def _media(spark, n=10, media_type="image"):
+    rows = [(i, bytes([i % 256] * (512 + i * 100))) for i in range(n)]
+    df = spark.createDataFrame(rows, ["id", "payload"])
+    return pack_media(df, "id", "payload", media_type)
+
+
+def test_pack_media_schema(spark):
+    m = _media(spark)
+    assert [f.name for f in m.schema.fields] == [
+        "media_id",
+        "media_type",
+        "payload",
+        "n_bytes",
+        "meta",
+    ]
+    assert m.where(F.col("n_bytes") != F.length("payload")).count() == 0
+
+
+def test_extract_features_shape_and_determinism(spark):
+    m = _media(spark)
+    f1 = {r["media_id"]: r["features"] for r in extract_features(m, dim=8).collect()}
+    f2 = {r["media_id"]: r["features"] for r in extract_features(m, dim=8).collect()}
+    assert len(f1) == 10
+    assert all(len(v) == 8 for v in f1.values())
+    assert f1 == f2  # deterministic fake decoder
+
+
+def test_extract_features_custom_decoder(spark):
+    m = _media(spark, n=4)
+    out = extract_features(m, decode_fn=lambda s: s.map(lambda b: [float(len(b))]))
+    got = {r["media_id"]: r["features"] for r in out.collect()}
+    assert got[0] == [512.0] and got[3] == [812.0]
+
+
+def test_sample_frames(spark):
+    m = _media(spark, n=3, media_type="video")
+    frames = sample_frames(m, every_n_bytes=256, max_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {0, 1, 2}
+    for mid, rs in by_media.items():
+        idxs = sorted(r["frame_idx"] for r in rs)
+        assert idxs == list(range(len(idxs)))  # contiguous frame indices
+        assert all(len(r["frame"]) > 0 for r in rs)
+    # non-video rows are filtered out
+    imgs = _media(spark, n=2, media_type="image")
+    assert sample_frames(imgs).count() == 0

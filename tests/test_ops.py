@@ -1,0 +1,170 @@
+"""Training-data pipeline operator tests on the real documents /
+embeddings testdata plus hand-built micro fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from klinker_spark.ops.dedup import (
+    embedding_cosine_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+from klinker_spark.ops.similarity import ann_topk_ivf, ann_topk_lsh, brute_force_topk
+from klinker_spark.ops.textstats import (
+    doc_fingerprint,
+    langid_by_profile,
+    quality_score,
+    tfidf_top_tokens,
+    token_count,
+    token_frequencies,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    far = "completely different content about spark query engines at scale"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup(dup_docs):
+    groups = exact_dedup(dup_docs).collect()
+    dup_group = [r for r in groups if r["n_docs"] > 1]
+    assert len(dup_group) == 1
+    assert dup_group[0]["n_docs"] == 2 and dup_group[0]["keep_id"] == 1
+
+
+def test_minhash_dedup_finds_near_dup(dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(dup_docs, num_perm=64, bands=32).collect()
+    }
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_dedup(dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_dedup(dup_docs).collect()}
+    assert pairs[(1, 2)] == 0  # identical fingerprints
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_dedup(dup_docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_dedup(dup_docs, threshold=0.3).collect()}
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert 0.3 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_embedding_cosine_dedup(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in embedding_cosine_dedup(emb, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_brute_force_topk_real_embeddings(embeddings):
+    queries = embeddings.where(F.col("vec_id") % 100 == 0)
+    nn = brute_force_topk(queries, embeddings, k=3)
+    rows = nn.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == 3
+        # rank 1 is the query itself (cosine 1.0)
+        best = min(rs, key=lambda r: r["rank"])
+        assert best["neighbor_id"] == q
+
+
+def test_ann_lsh_recall_vs_exact(embeddings):
+    queries = embeddings.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(queries, embeddings, k=5)
+    approx = ann_topk_lsh(queries, embeddings, k=5, num_hash_tables=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # decent recall on clustered synthetic data
+    assert len(e & a) / len(e) > 0.5
+
+
+def test_ann_ivf_recall_vs_exact(embeddings):
+    queries = embeddings.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(queries, embeddings, k=5)
+    approx = ann_topk_ivf(queries, embeddings, k=5, n_centroids=8, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) > 0.6
+
+
+def test_token_count(docs):
+    tc = (
+        token_count(docs)
+        .withColumnRenamed("doc_id", "tc_id")
+        .withColumnRenamed("n_chars", "tc_chars")
+    )
+    joined = tc.join(docs, tc.tc_id == docs.doc_id)
+    assert joined.where(F.col("tc_chars") != F.length("text")).count() == 0
+    assert joined.where(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_quality_score_ranges(docs):
+    q = quality_score(docs)
+    bad = q.where(
+        (F.col("stopword_ratio") < 0) | (F.col("stopword_ratio") > 1)
+        | (F.col("distinct_ratio") <= 0) | (F.col("distinct_ratio") > 1)
+        | (F.col("score") < 0) | (F.col("score") > 1)
+    ).count()
+    assert bad == 0
+    assert q.count() == docs.count()
+
+
+def test_token_frequencies(docs):
+    tf = token_frequencies(docs)
+    row = tf.where(F.col("token") == "spark").collect()
+    assert row and row[0]["freq"] >= row[0]["doc_freq"] > 0
+
+
+def test_tfidf_top_tokens(docs):
+    top = tfidf_top_tokens(docs, top_n=3)
+    sizes = top.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 3
+    assert top.count() > 0
+
+
+def test_doc_fingerprint_order_invariant(spark):
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(d).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_langid_covers_all_docs(docs):
+    pred = langid_by_profile(docs)
+    assert pred.count() == docs.count()
+    langs = {r["pred_lang"] for r in pred.select("pred_lang").distinct().collect()}
+    real = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert langs <= real

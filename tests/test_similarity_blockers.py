@@ -1,0 +1,71 @@
+"""MinHash-LSH and TF-IDF blocker tests — invariant style (reference
+``tests/test_blockers.py:221-279``): determinism under fixed seed,
+self-similarity, threshold behavior, not hash equality.
+"""
+
+from __future__ import annotations
+
+from klinker_spark.blockers.lsh import MinHashLSHBlocker, optimal_band_geometry
+from klinker_spark.blockers.tfidf import TfIdfFilteredTokenBlocker
+
+
+def test_optimal_band_geometry():
+    b, r = optimal_band_geometry(0.5, 128)
+    assert b * r <= 128 and b >= 1 and r >= 1
+    # high threshold -> longer rows (more selective bands)
+    b2, r2 = optimal_band_geometry(0.9, 128)
+    assert r2 >= r
+
+
+def test_lsh_identical_text_always_blocks(frame_a, frame_b, spark):
+    # identical token sets share every band -> must co-block
+    from klinker_spark.data.frames import EntityFrame
+
+    left = EntityFrame.from_wide(
+        spark.createDataFrame([("x1", "alpha beta gamma delta")], ["id", "val"]), "A"
+    )
+    right = EntityFrame.from_wide(
+        spark.createDataFrame([("y1", "alpha beta gamma delta")], ["id", "val"]), "B"
+    )
+    bm = MinHashLSHBlocker(threshold=0.5, num_perm=32).assign(left, right)
+    pairs = {tuple(r) for r in bm.pairs().collect()}
+    assert ("x1", "y1") in pairs
+
+
+def test_lsh_disjoint_text_rarely_blocks(spark):
+    from klinker_spark.data.frames import EntityFrame
+
+    left = EntityFrame.from_wide(
+        spark.createDataFrame([("x1", "alpha beta gamma delta")], ["id", "val"]), "A"
+    )
+    right = EntityFrame.from_wide(
+        spark.createDataFrame([("y1", "epsilon zeta theta iota")], ["id", "val"]), "B"
+    )
+    bm = MinHashLSHBlocker(threshold=0.5, num_perm=32).assign(left, right)
+    assert bm.pairs().count() == 0
+
+
+def test_lsh_deterministic(frame_a, frame_b):
+    b1 = MinHashLSHBlocker(num_perm=32).assign(frame_a, frame_b)
+    b2 = MinHashLSHBlocker(num_perm=32).assign(frame_a, frame_b)
+    p1 = sorted(tuple(r) for r in b1.pairs().collect())
+    p2 = sorted(tuple(r) for r in b2.pairs().collect())
+    assert p1 == p2
+
+
+def test_lsh_blocks_similar_people(frame_a, frame_b):
+    # a3/b3 share most tokens (rebecca smith 04-12-1990 bulgaria)
+    bm = MinHashLSHBlocker(threshold=0.4, num_perm=64).assign(frame_a, frame_b)
+    pairs = {tuple(r) for r in bm.pairs().collect()}
+    assert ("a3", "b3") in pairs
+
+
+def test_tfidf_filtered_blocker(frame_a, frame_b):
+    # threshold 0 keeps every token -> superset of plain token blocking keys
+    bm_all = TfIdfFilteredTokenBlocker(threshold=0.0).assign(frame_a, frame_b)
+    keys_all = {r["block_key"] for r in bm_all.df.collect()}
+    assert {"smith", "usa", "1990", "rebecca"} <= keys_all
+    # aggressive threshold prunes low-weight (common) tokens first
+    bm_hi = TfIdfFilteredTokenBlocker(threshold=0.6).assign(frame_a, frame_b)
+    keys_hi = {r["block_key"] for r in bm_hi.df.collect()}
+    assert keys_hi <= keys_all
