@@ -1,0 +1,78 @@
+"""Headline benchmark — runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect), mirroring how a cluster job would terminate in a
+parquet write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: The benchmark suite: one per major engine path — cheap blocking,
+#: token blocking + purge, the relational headline method, tf-idf,
+#: MinHash-LSH banding, the dedup family, similarity search, text
+#: analysis, windowed events.
+BENCH_QUERIES = [
+    "standard_blocking",
+    "token_blocking",
+    "purge_blocks",
+    "relational_token_blocking",
+    "tfidf_token_blocking",
+    "minhash_lsh_blocking",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "knn_topk",
+    "langid",
+    "quality_score",
+    "tfidf_top_tokens",
+    "windowed_event_counts",
+    "events_dedup_earliest",
+    "eval_metrics",
+]
+
+
+def main() -> None:
+    from klinker_spark.queries import QUERIES
+    from klinker_spark.session import get_spark
+
+    spark = get_spark("bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

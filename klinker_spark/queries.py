@@ -1,0 +1,1117 @@
+"""Query registry — every SURVEY §2 operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable with (where SQL-expressible) a
+DuckDB oracle producing the identical result on the same parquet.
+
+Mapping of the blocking kernel onto the synthetic star schema
+(FIXTURES.md "Driver synthetic tables"): ``customer`` is the left
+entity table, ``supplier`` the right; ``orders``/``lineitem`` FK edges
+play the relation-triple role; deterministic arithmetic relations
+(``c_custkey = 10*s_suppkey``) stand in for gold links.
+
+Determinism rules that make Spark ⇄ DuckDB value-hashes match:
+- ids cast to string on both sides; money as integer cents
+  (``round(x*100)::bigint``) — no float-sum order sensitivity;
+- every double output rounded to 6 decimals;
+- array cells avoided in oracle-checked outputs — blocks are exploded
+  to scalar rows (the at-scale-primary ``pairs`` view anyway);
+- timestamps compared as epoch millis (Spark stores µs, DuckDB ns);
+- all window orderings carry a total tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .blockers.lsh import MinHashLSHBlocker
+from .blockers.standard import StandardBlocker
+from .blockers.token import TokenBlocker
+from .blockers.unique_name import UniqueNameBlocker
+from .data.blocks import BlockManager
+from .data.frames import EntityFrame, clean_rdf_datatype, melt
+from .data.io import load_events
+from .functions.text import STOPWORDS, qgrams, tokenize
+from .ops.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_dedup, simhash_dedup
+from .ops.similarity import ann_topk_ivf, brute_force_topk
+from .ops.textstats import (
+    doc_fingerprint,
+    langid_by_profile,
+    quality_score,
+    tfidf_top_tokens,
+    token_count,
+    token_frequencies,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cust_frame(spark, sf_dir) -> EntityFrame:
+    return EntityFrame.from_wide(
+        _t(spark, sf_dir, "customer"), "customer", "c_custkey", ["c_name"]
+    )
+
+
+def _supp_frame(spark, sf_dir) -> EntityFrame:
+    return EntityFrame.from_wide(
+        _t(spark, sf_dir, "supplier"), "supplier", "s_suppkey", ["s_name"]
+    )
+
+
+def _explode_blocks(bm: BlockManager) -> DataFrame:
+    """Blocks → scalar rows (block_key, left_id, right_id)."""
+    return (
+        bm.df.select("block_key", F.explode(F.col(bm.left_name)).alias("left_id"), F.col(bm.right_name))
+        .select("block_key", "left_id", F.explode(F.col(bm.right_name)).alias("right_id"))
+    )
+
+
+# ------------------------------------------------------------------ S/J/A: standard blocking
+@register(
+    "standard_blocking",
+    """
+    SELECT CAST(c_nationkey AS VARCHAR) AS block_key,
+           CAST(c_custkey AS VARCHAR) AS left_id,
+           CAST(s_suppkey AS VARCHAR) AS right_id
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    """,
+)
+def standard_blocking(spark, sf_dir):
+    """J1+A1 via StandardBlocker on the nation key (SURVEY §2.3 J1)."""
+    left = EntityFrame.from_wide(
+        _t(spark, sf_dir, "customer"), "customer", "c_custkey", ["c_nationkey"]
+    )
+    right = EntityFrame.from_wide(
+        _t(spark, sf_dir, "supplier"), "supplier", "s_suppkey", ["s_nationkey"]
+    )
+    left = left.with_attrs(left.attrs.withColumn("prop", F.lit("nation")))
+    right = right.with_attrs(right.attrs.withColumn("prop", F.lit("nation")))
+    return _explode_blocks(StandardBlocker("nation").assign(left, right))
+
+
+@register(
+    "standard_blocking_stats",
+    """
+    WITH l AS (SELECT CAST(c_nationkey AS VARCHAR) block_key, count(DISTINCT c_custkey) left_size
+               FROM customer GROUP BY 1),
+         r AS (SELECT CAST(s_nationkey AS VARCHAR) block_key, count(DISTINCT s_suppkey) right_size
+               FROM supplier GROUP BY 1)
+    SELECT l.block_key, left_size, right_size,
+           left_size + right_size AS assignments,
+           left_size * right_size AS comparisons
+    FROM l JOIN r USING (block_key)
+    """,
+)
+def standard_blocking_stats(spark, sf_dir):
+    """A7 per-block stats on the same blocking."""
+    left = EntityFrame.from_wide(
+        _t(spark, sf_dir, "customer"), "customer", "c_custkey", ["c_nationkey"]
+    )
+    right = EntityFrame.from_wide(
+        _t(spark, sf_dir, "supplier"), "supplier", "s_suppkey", ["s_nationkey"]
+    )
+    left = left.with_attrs(left.attrs.withColumn("prop", F.lit("nation")))
+    right = right.with_attrs(right.attrs.withColumn("prop", F.lit("nation")))
+    return StandardBlocker("nation").assign(left, right).with_sizes()
+
+
+_TOKENS_SQL = """
+    WITH lt AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) id, tok FROM (
+            SELECT c_custkey, unnest(regexp_split_to_array(lower(c_name), '[^a-z0-9]+')) tok
+            FROM customer)
+          WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+         rt AS (SELECT DISTINCT CAST(s_suppkey AS VARCHAR) id, tok FROM (
+            SELECT s_suppkey, unnest(regexp_split_to_array(lower(s_name), '[^a-z0-9]+')) tok
+            FROM supplier)
+          WHERE length(tok) >= 3 AND tok NOT IN ({stop}))
+"""
+
+
+@register(
+    "token_blocking",
+    _TOKENS_SQL.format(stop=_STOP_SQL)
+    + """
+    SELECT lt.tok AS block_key, lt.id AS left_id, rt.id AS right_id
+    FROM lt JOIN rt ON lt.tok = rt.tok
+    """,
+)
+def token_blocking(spark, sf_dir):
+    """P5→A1→J1: TokenBlocker over entity names (SURVEY §3.2)."""
+    bm = TokenBlocker().assign(_cust_frame(spark, sf_dir), _supp_frame(spark, sf_dir))
+    return _explode_blocks(bm)
+
+
+@register(
+    "qgram_blocking_stats",
+    """
+    WITH lg AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) id, q FROM (
+            SELECT c_custkey, c_name, unnest(generate_series(1, length(c_name)-2)) i FROM customer
+         ) g CROSS JOIN LATERAL (SELECT substr(c_name, i, 3) q)),
+         rg AS (SELECT DISTINCT CAST(s_suppkey AS VARCHAR) id, q FROM (
+            SELECT s_suppkey, s_name, unnest(generate_series(1, length(s_name)-2)) i FROM supplier
+         ) g CROSS JOIN LATERAL (SELECT substr(s_name, i, 3) q)),
+         lb AS (SELECT q block_key, count(*) left_size FROM lg GROUP BY 1),
+         rb AS (SELECT q block_key, count(*) right_size FROM rg GROUP BY 1)
+    SELECT block_key, left_size, right_size FROM lb JOIN rb USING (block_key)
+    """,
+)
+def qgram_blocking_stats(spark, sf_dir):
+    """P6: q-gram blocking on names; per-block sizes (pairs would be
+    quadratic on shared grams — stats check the same dataflow)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.explode(qgrams(F.col("c_name"), 3)).alias("block_key"),
+    ).distinct()
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id"),
+        F.explode(qgrams(F.col("s_name"), 3)).alias("block_key"),
+    ).distinct()
+    lb = cust.groupBy("block_key").agg(F.count("*").alias("left_size"))
+    rb = supp.groupBy("block_key").agg(F.count("*").alias("right_size"))
+    return lb.join(rb, "block_key")
+
+
+@register(
+    "unique_name_blocking",
+    """
+    WITH l AS (SELECT CAST(o_custkey AS VARCHAR) block_key,
+                      CAST(min(o_orderkey) AS VARCHAR) left_id
+               FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderkey) = 1),
+         r AS (SELECT CAST(c_custkey AS VARCHAR) block_key,
+                      CAST(c_custkey AS VARCHAR) right_id
+               FROM customer)
+    SELECT block_key, left_id, right_id FROM l JOIN r USING (block_key)
+    """,
+)
+def unique_name_blocking(spark, sf_dir):
+    """J2/A10: UniqueNameBlocker — orders whose customer is referenced
+    by exactly one order, joined to that customer by key value."""
+    orders = _t(spark, sf_dir, "orders")
+    left = EntityFrame.from_triples(
+        orders.select(
+            F.col("o_orderkey").alias("head"),
+            F.lit("custkey").alias("rel"),
+            F.col("o_custkey").alias("tail"),
+        ),
+        "orders",
+    )
+    cust = _t(spark, sf_dir, "customer")
+    right = EntityFrame.from_triples(
+        cust.select(
+            F.col("c_custkey").alias("head"),
+            F.lit("custkey").alias("rel"),
+            F.col("c_custkey").alias("tail"),
+        ),
+        "customer",
+    )
+    return _explode_blocks(UniqueNameBlocker().assign(left, right))
+
+
+# ------------------------------------------------------------------ P: projections / transforms
+@register(
+    "concat_values",
+    """
+    WITH m AS (
+      SELECT CAST(c_custkey AS VARCHAR) id, c_name v FROM customer
+      UNION ALL SELECT CAST(c_custkey AS VARCHAR), c_mktsegment FROM customer
+      UNION ALL SELECT CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION ALL SELECT CAST(c_custkey AS VARCHAR), CAST(CAST(trunc(c_acctbal) AS BIGINT) AS VARCHAR) FROM customer
+    )
+    SELECT id, string_agg(v, ' ' ORDER BY v) AS text
+    FROM (SELECT DISTINCT id, v FROM m) GROUP BY id
+    """,
+)
+def concat_values(spark, sf_dir):
+    """P2/P3: wide→EAV melt + per-entity sorted-set concat."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("string").alias("nation"),
+        F.col("c_acctbal").cast("bigint").cast("string").alias("acct"),
+    )
+    frame = EntityFrame.from_wide(cust, "customer", "c_custkey")
+    return frame.concat_values()
+
+
+@register(
+    "rdf_clean",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) id,
+           split_part(c_name || '^^xsd:string', '^^', 1) AS cleaned
+    FROM customer
+    """,
+)
+def rdf_clean(spark, sf_dir):
+    """S2: strip RDF datatype suffixes."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        clean_rdf_datatype(F.concat(F.col("c_name"), F.lit("^^xsd:string"))).alias("cleaned"),
+    )
+
+
+@register(
+    "sample_dataset",
+    """
+    WITH ids AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+    SELECT CAST(o_orderkey AS VARCHAR) id
+    FROM orders WHERE o_custkey IN (SELECT c_custkey FROM ids)
+    """,
+)
+def sample_dataset(spark, sf_dir):
+    """P9 (deterministic modulo variant): sample entity ids, semi-join
+    the dependent frame.  The engine's hash-based ``Dataset.sample``
+    has the same plan shape; modulo keeps the oracle exact."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    orders = _t(spark, sf_dir, "orders")
+    ids = cust.select(F.col("c_custkey").alias("o_custkey"))
+    return orders.join(ids, "o_custkey", "left_semi").select(
+        F.col("o_orderkey").cast("string").alias("id")
+    )
+
+
+@register(
+    "filter_with_unique",
+    """
+    WITH uniq AS (SELECT min(o_orderkey) ok FROM orders
+                  GROUP BY o_custkey HAVING count(DISTINCT o_orderkey) = 1)
+    SELECT CAST(o_orderkey AS VARCHAR) id FROM orders
+    WHERE o_orderkey NOT IN (SELECT ok FROM uniq)
+    """,
+)
+def filter_with_unique(spark, sf_dir):
+    """P10: anti-join entities covered by unique-name blocks."""
+    from .blockers.composite import filter_with_unique as fwu
+
+    orders = _t(spark, sf_dir, "orders")
+    left = EntityFrame.from_triples(
+        orders.select(
+            F.col("o_orderkey").alias("head"),
+            F.lit("custkey").alias("rel"),
+            F.col("o_custkey").alias("tail"),
+        ),
+        "orders",
+    )
+    cust = _t(spark, sf_dir, "customer")
+    right = EntityFrame.from_triples(
+        cust.select(
+            F.col("c_custkey").alias("head"),
+            F.lit("custkey").alias("rel"),
+            F.col("c_custkey").alias("tail"),
+        ),
+        "customer",
+    )
+    unique = UniqueNameBlocker().assign(left, right)
+    rest = fwu(left.attrs, unique, "orders")
+    return rest.select("id").distinct()
+
+
+# ------------------------------------------------------------------ A: relational aggregates
+@register(
+    "count_entities",
+    """
+    SELECT count(*) AS n FROM (
+      SELECT CAST(c_custkey AS VARCHAR) e FROM customer
+      UNION SELECT CAST(o_orderkey AS VARCHAR) FROM orders
+      UNION SELECT CAST(o_custkey AS VARCHAR) FROM orders
+    )
+    """,
+)
+def count_entities_q(spark, sf_dir):
+    """A3: distinct entities over attrs ∪ rel heads ∪ rel tails."""
+    from .blockers.relation_aware import count_entities
+
+    attrs = melt(_t(spark, sf_dir, "customer"), "c_custkey", ["c_name"])
+    rels = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("head"),
+        F.lit("placed_by").alias("rel"),
+        F.col("o_custkey").cast("string").alias("tail"),
+    )
+    n = count_entities(attrs, rels)
+    return spark.createDataFrame([(n,)], "n bigint")
+
+
+@register(
+    "relation_importance",
+    """
+    WITH rels AS (SELECT CAST(l_orderkey AS VARCHAR) head, l_returnflag rel,
+                         CAST(l_partkey AS VARCHAR) tail FROM lineitem),
+         n AS (SELECT count(*) c FROM (SELECT head e FROM rels UNION SELECT tail FROM rels)),
+         counted AS (SELECT rel, count(rel) rel_count, count(tail) tail_count
+                     FROM rels GROUP BY rel)
+    SELECT rel, rel_count, tail_count,
+           round(2 * ((rel_count / (c*c*1.0)) * (tail_count*1.0/rel_count))
+                   / ((rel_count / (c*c*1.0)) + (tail_count*1.0/rel_count)), 6) AS importance
+    FROM counted, n
+    """,
+)
+def relation_importance_q(spark, sf_dir):
+    """A4 on lineitem FK edges (rel = returnflag)."""
+    from .blockers.relation_aware import relation_importance
+
+    rels = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("head"),
+        F.col("l_returnflag").alias("rel"),
+        F.col("l_partkey").cast("string").alias("tail"),
+    )
+    n = rels.select(F.col("head").alias("e")).union(rels.select("tail")).distinct().count()
+    counted = rels.groupBy("rel").agg(
+        F.count("rel").alias("rel_count"), F.count("tail").alias("tail_count")
+    )
+    imp = relation_importance(rels, n).withColumn("importance", F.round("importance", 6))
+    return counted.join(imp, "rel")
+
+
+@register(
+    "name_importance",
+    """
+    WITH attrs AS (
+      SELECT CAST(c_custkey AS VARCHAR) id, 'c_name' prop, c_name v FROM customer
+      UNION ALL SELECT CAST(c_custkey AS VARCHAR), 'c_mktsegment', c_mktsegment FROM customer
+    ),
+    n AS (SELECT count(DISTINCT id) c FROM attrs),
+    counted AS (SELECT prop, count(id) head_count, count(prop) rel_count, count(v) tail_count
+                FROM attrs GROUP BY prop)
+    SELECT prop, head_count,
+           round(2 * ((head_count*1.0/c) * (tail_count*1.0/rel_count))
+                   / ((head_count*1.0/c) + (tail_count*1.0/rel_count)), 6) AS importance
+    FROM counted, n
+    """,
+)
+def name_importance_q(spark, sf_dir):
+    """A5 on the customer attribute melt."""
+    from .blockers.relation_aware import name_importance
+
+    attrs = melt(_t(spark, sf_dir, "customer"), "c_custkey", ["c_name", "c_mktsegment"])
+    n = attrs.select("id").distinct().count()
+    counted = attrs.groupBy("prop").agg(F.count("id").alias("head_count"))
+    imp = name_importance(attrs, n).withColumn("importance", F.round("importance", 6))
+    return counted.join(imp, "prop")
+
+
+@register(
+    "top_n_filter",
+    """
+    WITH ranked AS (
+      SELECT s_nationkey, s_suppkey, s_acctbal,
+             dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) r
+      FROM supplier)
+    SELECT CAST(s_nationkey AS VARCHAR) nation, CAST(s_suppkey AS VARCHAR) supplier_id,
+           CAST(round(s_acctbal * 100) AS BIGINT) acctbal_cents
+    FROM ranked WHERE r <= 2
+    """,
+)
+def top_n_filter(spark, sf_dir):
+    """W1: dense-rank top-n per group (top-2 suppliers per nation)."""
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return (
+        supp.withColumn("r", F.dense_rank().over(w))
+        .where(F.col("r") <= 2)
+        .select(
+            F.col("s_nationkey").cast("string").alias("nation"),
+            F.col("s_suppkey").cast("string").alias("supplier_id"),
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        )
+    )
+
+
+@register(
+    "neighbor_concat",
+    """
+    WITH order_blob AS (
+      SELECT 'o' || CAST(o_orderkey AS VARCHAR) oid, o_custkey,
+             string_agg(v, ' ' ORDER BY v) blob
+      FROM (SELECT DISTINCT o_orderkey, o_custkey, v FROM (
+              SELECT o_orderkey, o_custkey, o_orderpriority v FROM orders
+              UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus FROM orders))
+      GROUP BY 1, 2),
+    own_blob AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) cid, c_mktsegment blob FROM customer),
+    all_blobs AS (
+      SELECT cid, blob FROM own_blob
+      UNION SELECT 'c' || CAST(o_custkey AS VARCHAR), blob FROM order_blob)
+    SELECT cid AS id, string_agg(blob, ' ' ORDER BY blob) AS text
+    FROM (SELECT DISTINCT cid, blob FROM all_blobs) GROUP BY cid
+    """,
+)
+def neighbor_concat(spark, sf_dir):
+    """E3/J3: concat_neighbor_attributes over the customer→order FK
+    graph (customers enriched with their orders' priority/status)."""
+    from .blockers.relation_aware import concat_neighbor_attributes
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("id"), "c_mktsegment"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    order_attrs = melt(
+        orders.select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("id"),
+            "o_orderpriority",
+            "o_orderstatus",
+        ),
+        "id",
+    )
+    attrs = melt(cust, "id").unionByName(order_attrs)
+    rels = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("head"),
+        F.lit("placed").alias("rel"),
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("tail"),
+    )
+    conc = concat_neighbor_attributes(EntityFrame(attrs, "g"), rels, include_own_attributes=True)
+    return conc.where(F.col("id").startswith("c"))
+
+
+# ------------------------------------------------------------------ J/U/W: combine, purge, eval
+@register(
+    "blocks_combine",
+    """
+    SELECT DISTINCT CAST(c_custkey AS VARCHAR) left_id, CAST(s_suppkey AS VARCHAR) right_id
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    UNION
+    SELECT DISTINCT CAST(c_custkey AS VARCHAR), CAST(s_suppkey AS VARCHAR)
+    FROM customer JOIN supplier
+      ON CAST(floor(c_acctbal / 1000) AS BIGINT) = CAST(floor(s_acctbal / 1000) AS BIGINT)
+    """,
+)
+def blocks_combine(spark, sf_dir):
+    """J5/U2/U3: combine two blockings; candidate-set union semantics
+    surfaced as the distinct exploded pair view."""
+    cust, supp = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+
+    def frames(key_l, key_r):
+        left = EntityFrame.from_triples(
+            cust.select(F.col("c_custkey").alias("head"), F.lit("k").alias("rel"), key_l.alias("tail")),
+            "customer",
+        )
+        right = EntityFrame.from_triples(
+            supp.select(F.col("s_suppkey").alias("head"), F.lit("k").alias("rel"), key_r.alias("tail")),
+            "supplier",
+        )
+        return StandardBlocker("k").assign(left, right)
+
+    by_nation = frames(F.col("c_nationkey"), F.col("s_nationkey"))
+    by_bucket = frames(
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint"),
+        F.floor(F.col("s_acctbal") / 1000).cast("bigint"),
+    )
+    combined = by_nation.combine(
+        BlockManager(
+            by_bucket.df.withColumn("block_key", F.concat(F.lit("b_"), F.col("block_key"))),
+            "customer",
+            "supplier",
+        )
+    )
+    return combined.pairs(distinct=True)
+
+
+@register(
+    "all_pairs_multiplicity",
+    """
+    WITH p AS (
+      SELECT CAST(c_custkey AS VARCHAR) left_id, CAST(s_suppkey AS VARCHAR) right_id
+      FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      UNION ALL
+      SELECT CAST(c_custkey AS VARCHAR), CAST(s_suppkey AS VARCHAR)
+      FROM customer JOIN supplier
+        ON CAST(floor(c_acctbal / 1000) AS BIGINT) = CAST(floor(s_acctbal / 1000) AS BIGINT)
+    )
+    SELECT left_id, right_id, count(*) AS n_blocks FROM p GROUP BY 1, 2
+    """,
+)
+def all_pairs_multiplicity(spark, sf_dir):
+    """E10 duplicate-pair semantics: pairs(distinct=False) multiplicity
+    across stacked block tables (SURVEY §4 delta 2)."""
+    cust, supp = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    lb1 = cust.select(F.col("c_nationkey").cast("string").alias("block_key"), F.col("c_custkey").cast("string").alias("id"))
+    rb1 = supp.select(F.col("s_nationkey").cast("string").alias("block_key"), F.col("s_suppkey").cast("string").alias("id"))
+    lb2 = cust.select(F.concat(F.lit("b_"), F.floor(F.col("c_acctbal") / 1000).cast("bigint")).alias("block_key"), F.col("c_custkey").cast("string").alias("id"))
+    rb2 = supp.select(F.concat(F.lit("b_"), F.floor(F.col("s_acctbal") / 1000).cast("bigint")).alias("block_key"), F.col("s_suppkey").cast("string").alias("id"))
+    bm1 = BlockManager.from_key_assignments(lb1, rb1, "customer", "supplier")
+    bm2 = BlockManager.from_key_assignments(lb2, rb2, "customer", "supplier")
+    stacked = BlockManager(bm1.df.unionByName(bm2.df), "customer", "supplier")
+    return stacked.pairs(distinct=False).groupBy("left_id", "right_id").agg(
+        F.count("*").alias("n_blocks")
+    )
+
+
+@register(
+    "purge_blocks",
+    _TOKENS_SQL.format(stop=_STOP_SQL)
+    + """
+    , lb AS (SELECT tok block_key, count(DISTINCT id) left_size FROM lt GROUP BY 1),
+      rb AS (SELECT tok block_key, count(DISTINCT id) right_size FROM rt GROUP BY 1),
+      sized AS (SELECT block_key, left_size, right_size,
+                       left_size + right_size AS assignments,
+                       left_size * right_size AS comparisons
+                FROM lb JOIN rb USING (block_key)),
+      cum AS (SELECT *,
+                sum(assignments) OVER w AS cum_assign,
+                sum(comparisons) OVER w AS cum_comp,
+                lag(comparisons) OVER (ORDER BY comparisons, block_key) AS prev_card
+              FROM sized
+              WINDOW w AS (ORDER BY comparisons, block_key
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      cc AS (SELECT *, round(cum_assign * 1.0 / cum_comp, 2) AS cc_val FROM cum),
+      cc2 AS (SELECT *, lag(cc_val) OVER (ORDER BY comparisons, block_key) AS prev_cc FROM cc),
+      thresh AS (SELECT coalesce(min(comparisons), 4611686018427387904) t FROM cc2
+                 WHERE cc_val = prev_cc AND comparisons > prev_card)
+    SELECT block_key, left_size, right_size, comparisons
+    FROM sized, thresh WHERE comparisons <= t
+    """,
+)
+def purge_blocks(spark, sf_dir):
+    """W2: cumulative-CC purge over the token blocking."""
+    bm = TokenBlocker().assign(_cust_frame(spark, sf_dir), _supp_frame(spark, sf_dir))
+    purged = bm.purge(cc_round=2)
+    return purged.with_sizes().select("block_key", "left_size", "right_size", "comparisons")
+
+
+@register(
+    "eval_metrics",
+    """
+    WITH pairs AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) l, CAST(s_suppkey AS VARCHAR) r
+                   FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+         gold AS (SELECT CAST(c_custkey AS VARCHAR) l, CAST(s_suppkey AS VARCHAR) r
+                  FROM customer JOIN supplier ON c_custkey = 10 * s_suppkey),
+         counts AS (SELECT
+             (SELECT count(*) FROM pairs JOIN gold USING (l, r)) tp,
+             (SELECT count(*) FROM pairs) np,
+             (SELECT count(*) FROM gold) ng,
+             (SELECT count(*) FROM customer) nl,
+             (SELECT count(*) FROM supplier) nr)
+    SELECT tp, np - tp AS fp, ng - tp AS fn, np AS comparisons,
+           round(tp * 1.0 / ng, 6) AS recall,
+           round(tp * 1.0 / np, 6) AS precision,
+           round(CASE WHEN tp = 0 THEN 0 ELSE 2.0 * (tp*1.0/ng) * (tp*1.0/np)
+                 / ((tp*1.0/ng) + (tp*1.0/np)) END, 6) AS f_measure,
+           round(1.0 - np * 1.0 / (nl * nr), 6) AS reduction_ratio,
+           round(CASE WHEN tp = 0 THEN 0 ELSE
+                 2.0 * (1.0 - np*1.0/(nl*nr)) * (tp*1.0/ng)
+                 / ((1.0 - np*1.0/(nl*nr)) + (tp*1.0/ng)) END, 6) AS h3r
+    FROM counts
+    """,
+)
+def eval_metrics(spark, sf_dir):
+    """E7/E8/J9/A9: full evaluation as join-counts against synthetic
+    gold (custkey = 10·suppkey)."""
+    from .eval import Evaluation
+
+    cust, supp = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    left = EntityFrame.from_triples(
+        cust.select(F.col("c_custkey").alias("head"), F.lit("k").alias("rel"), F.col("c_nationkey").alias("tail")),
+        "customer",
+    )
+    right = EntityFrame.from_triples(
+        supp.select(F.col("s_suppkey").alias("head"), F.lit("k").alias("rel"), F.col("s_nationkey").alias("tail")),
+        "supplier",
+    )
+    bm = StandardBlocker("k").assign(left, right)
+    gold = cust.join(supp, cust.c_custkey == 10 * supp.s_suppkey).select(
+        F.col("c_custkey").cast("string"), F.col("s_suppkey").cast("string")
+    )
+    ev = Evaluation.from_blocks(bm, gold, left_count=cust.count(), right_count=supp.count())
+    d = ev.to_dict()
+    row = (
+        d["true_positives"],
+        d["false_positives"],
+        d["false_negatives"],
+        d["comparisons"],
+        round(d["recall"], 6),
+        round(d["precision"], 6),
+        round(d["f_measure"], 6),
+        round(d["reduction_ratio"], 6),
+        round(d["h3r"], 6),
+    )
+    return spark.createDataFrame(
+        [row],
+        "tp bigint, fp bigint, fn bigint, comparisons bigint, recall double, "
+        "precision double, f_measure double, reduction_ratio double, h3r double",
+    )
+
+
+@register(
+    "find_blocks",
+    _TOKENS_SQL.format(stop=_STOP_SQL)
+    + """
+    SELECT lt.tok AS block_key FROM lt JOIN rt ON lt.tok = rt.tok
+    WHERE lt.id = '42' GROUP BY 1
+    """,
+)
+def find_blocks(spark, sf_dir):
+    """E11: blocks containing a given entity."""
+    bm = TokenBlocker().assign(_cust_frame(spark, sf_dir), _supp_frame(spark, sf_dir))
+    return bm.find_blocks("42", side="customer").select("block_key")
+
+
+# ------------------------------------------------------------------ similarity blockers
+@register("minhash_lsh_blocking")
+def minhash_lsh_blocking(spark, sf_dir):
+    """J7: MinHash-LSH blocker on entity names.  Banding uses Spark's
+    xxhash64 (not DuckDB-expressible) → rows-only driver check; exact
+    Jaccard behavior is oracle-covered by ngram_jaccard_dedup."""
+    bm = MinHashLSHBlocker(threshold=0.3, num_perm=32).assign(
+        _cust_frame(spark, sf_dir), _supp_frame(spark, sf_dir)
+    )
+    return _explode_blocks(bm)
+
+
+@register(
+    "tfidf_token_blocking",
+    """
+    WITH lt AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) id, tok FROM (
+            SELECT c_custkey, unnest(regexp_split_to_array(lower(c_name), '[^a-z0-9]+')) tok
+            FROM customer)
+          WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+         rt AS (SELECT DISTINCT CAST(s_suppkey AS VARCHAR) id, tok FROM (
+            SELECT s_suppkey, unnest(regexp_split_to_array(lower(s_name), '[^a-z0-9]+')) tok
+            FROM supplier)
+          WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+         ln AS (SELECT count(DISTINCT id) n FROM lt),
+         rn AS (SELECT count(DISTINCT id) n FROM rt),
+         lw AS (SELECT id, tok, ln((1 + (SELECT n FROM ln)) / (1.0 + count(*) OVER (PARTITION BY tok))) + 1 idf
+                FROM lt),
+         lfil AS (SELECT id, tok FROM (
+            SELECT id, tok, idf / sqrt(sum(idf * idf) OVER (PARTITION BY id)) wn FROM lw)
+            WHERE wn >= 0.5),
+         rw AS (SELECT id, tok, ln((1 + (SELECT n FROM rn)) / (1.0 + count(*) OVER (PARTITION BY tok))) + 1 idf
+                FROM rt),
+         rfil AS (SELECT id, tok FROM (
+            SELECT id, tok, idf / sqrt(sum(idf * idf) OVER (PARTITION BY id)) wn FROM rw)
+            WHERE wn >= 0.5)
+    SELECT lfil.tok AS block_key, lfil.id AS left_id, rfil.id AS right_id
+    FROM lfil JOIN rfil ON lfil.tok = rfil.tok
+    """.format(stop=_STOP_SQL),
+)
+def tfidf_token_blocking(spark, sf_dir):
+    """M16: tf-idf-filtered token blocking — only tokens with normalized
+    tf-idf ≥ 0.5 become block keys (drops the ubiquitous
+    'customer'/'supplier' prefix tokens, keeps the discriminative
+    zero-padded numbers)."""
+    from .blockers.tfidf import TfIdfFilteredTokenBlocker
+
+    bm = TfIdfFilteredTokenBlocker(threshold=0.5).assign(
+        _cust_frame(spark, sf_dir), _supp_frame(spark, sf_dir)
+    )
+    return _explode_blocks(bm)
+
+
+_REL_TOK_SQL = """
+    WITH lvals AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) id, c_mktsegment v FROM customer
+      UNION ALL
+      SELECT 'c' || CAST(c_custkey AS VARCHAR), n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR), n_name FROM nation
+      UNION ALL
+      SELECT 'n' || CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+    ),
+    rvals AS (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) id, s_name v FROM supplier
+      UNION ALL
+      SELECT 's' || CAST(s_suppkey AS VARCHAR), n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR), n_name FROM nation
+      UNION ALL
+      SELECT 'n' || CAST(s_nationkey AS VARCHAR), s_name FROM supplier
+    ),
+    lt AS (SELECT DISTINCT id, tok FROM (
+        SELECT id, unnest(regexp_split_to_array(lower(v), '[^a-z0-9]+')) tok FROM lvals)
+      WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+    rt AS (SELECT DISTINCT id, tok FROM (
+        SELECT id, unnest(regexp_split_to_array(lower(v), '[^a-z0-9]+')) tok FROM rvals)
+      WHERE length(tok) >= 3 AND tok NOT IN ({stop}))
+"""
+
+
+@register(
+    "relational_token_blocking",
+    _REL_TOK_SQL.format(stop=_STOP_SQL)
+    + """
+    SELECT lt.tok AS block_key, lt.id AS left_id, rt.id AS right_id
+    FROM lt JOIN rt ON lt.tok = rt.tok
+    """,
+)
+def relational_token_blocking(spark, sf_dir):
+    """E3/E4: SimpleRelationalTokenBlocker — the reference paper's
+    headline method (``relation_aware.py:331-360``) — over a KG built
+    from customers/suppliers linked to their nations.  Each entity's
+    blocking text is its own attributes plus its graph neighbors'
+    (tokens of a space-joined blob == union of value tokens, which is
+    what the oracle computes)."""
+    from .blockers.relation_aware import SimpleRelationalTokenBlocker
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    nat_attrs = melt(
+        nat.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id"), "n_name"), "id"
+    )
+    left = EntityFrame(
+        melt(
+            cust.select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id"), "c_mktsegment"),
+            "id",
+        ).unionByName(nat_attrs),
+        "customer",
+    )
+    right = EntityFrame(
+        melt(
+            supp.select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("id"), "s_name"), "id"
+        ).unionByName(nat_attrs),
+        "supplier",
+    )
+    left_rel = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("head"),
+        F.lit("in_nation").alias("rel"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("tail"),
+    )
+    right_rel = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("head"),
+        F.lit("in_nation").alias("rel"),
+        F.concat(F.lit("n"), F.col("s_nationkey")).alias("tail"),
+    )
+    bm = SimpleRelationalTokenBlocker().assign(left, right, left_rel, right_rel)
+    return _explode_blocks(bm)
+
+
+# ------------------------------------------------------------------ corpus dedup (documents)
+@register(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup_q(spark, sf_dir):
+    """Exact dedup: hash-groupBy duplicate groups."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("minhash_dedup")
+def minhash_dedup_q(spark, sf_dir):
+    """MinHash banded near-dup candidates (xxhash64 signatures — not
+    DuckDB-expressible; rows-only check.  Exact-Jaccard oracle coverage
+    comes from ngram_jaccard_dedup on the same corpus)."""
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), num_perm=32, bands=8)
+
+
+@register("simhash_dedup")
+def simhash_dedup_q(spark, sf_dir):
+    """SimHash near-dup pairs via 16-bit-band pigeonhole (xxhash64 —
+    rows-only check)."""
+    return simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "ngram_jaccard_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> length(t) >= 1) tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(generate_series(1, len(tk) - 2),
+                                      i -> array_to_string(tk[i:i+2], ' '))
+             END sg
+      FROM toks),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(sg) shingle FROM sh)),
+    sizes AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+    inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+              FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def ngram_jaccard_dedup_q(spark, sf_dir):
+    """Exact 3-gram-set Jaccard near-dup pairs (threshold 0.5)."""
+    out = ngram_jaccard_dedup(_t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@register("embedding_cosine_dedup")
+def embedding_cosine_dedup_q(spark, sf_dir):
+    """Embedding near-dup: reflexive top-k cosine ≥ threshold.  Float
+    cosine ordering is oracle-checked by knn_topk; this variant is
+    rows-only."""
+    from .ops.dedup import embedding_cosine_dedup
+
+    out = embedding_cosine_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.35, k=10)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
+# ------------------------------------------------------------------ text analysis (documents)
+@register(
+    "token_count",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def token_count_q(spark, sf_dir):
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) n,
+                 length(text) nc,
+                 len(list_filter(toks, x -> list_contains([{stop}], x))) n_stop,
+                 len(list_distinct(toks)) n_distinct
+          FROM t)
+    SELECT doc_id, n AS n_tokens,
+           round((nc - n + 1) * 1.0 / n, 6) AS mean_token_len,
+           round(n_stop * 1.0 / n, 6) AS stopword_ratio,
+           round(n_distinct * 1.0 / n, 6) AS distinct_ratio,
+           round((n_distinct * 1.0 / n) * (1.0 - abs(n_stop * 1.0 / n - 0.4))
+                 * least(n / 100.0, 1.0), 6) AS score
+    FROM m
+    """.format(stop=_STOP_SQL),
+)
+def quality_score_q(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_frequencies",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents)
+    SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM toks WHERE token != '' GROUP BY token
+    """,
+)
+def token_frequencies_q(spark, sf_dir):
+    return token_frequencies(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_top_tokens",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) tf FROM toks WHERE token != '' GROUP BY 1, 2),
+    n AS (SELECT count(DISTINCT doc_id) nd FROM documents),
+    idf AS (SELECT token, ln((1.0 + (SELECT nd FROM n)) / (1.0 + count(*))) + 1.0 idf
+            FROM tf GROUP BY token),
+    w AS (SELECT doc_id, tf.token, tf * idf w FROM tf JOIN idf ON tf.token = idf.token),
+    r AS (SELECT doc_id, token,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, token ASC) rank
+          FROM w)
+    SELECT doc_id, token, rank FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_tokens_q(spark, sf_dir):
+    return tfidf_top_tokens(_t(spark, sf_dir, "documents"), top_n=3)
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark, sf_dir):
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "langid",
+    """
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) token
+                  FROM documents),
+    tk AS (SELECT * FROM toks WHERE token != ''),
+    freq AS (SELECT lang, token, count(*) freq FROM tk GROUP BY 1, 2),
+    prof AS (SELECT lang, token FROM (
+        SELECT lang, token,
+               row_number() OVER (PARTITION BY lang ORDER BY freq DESC, token ASC) r
+        FROM freq) WHERE r <= 20),
+    votes AS (SELECT tk.doc_id, prof.lang cand_lang, count(*) votes
+              FROM tk JOIN prof ON tk.token = prof.token GROUP BY 1, 2)
+    SELECT doc_id, cand_lang AS pred_lang, votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY votes DESC, cand_lang ASC) r
+      FROM votes) WHERE r = 1
+    """,
+)
+def langid_q(spark, sf_dir):
+    """Language ID by token-profile voting (profile build → broadcast
+    join → per-doc argmax)."""
+    return langid_by_profile(_t(spark, sf_dir, "documents"), profile_size=20)
+
+
+# ------------------------------------------------------------------ similarity search (embeddings)
+@register(
+    "knn_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    sims AS (
+      SELECT q.vec_id query_id, ix.vec_id neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, ix.embedding),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(ix.embedding, x -> x::DOUBLE * x::DOUBLE)))) sim
+      FROM q CROSS JOIN embeddings ix)
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) rank
+      FROM sims) WHERE rank <= 10
+    """,
+)
+def knn_topk(spark, sf_dir):
+    """J8/W4 baseline: exact brute-force top-10 cosine neighbors for a
+    deterministic query subset (vec_id % 10 == 0) against the full
+    index; broadcast index + window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb.where(F.col("vec_id") % 10 == 0), emb, k=10)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
+@register("ann_topk_ivf")
+def ann_topk_ivf_q(spark, sf_dir):
+    """IVF approximate kNN (KMeans coarse quantizer → probe top-4 of 16
+    inverted lists).  KMeans is iterative/stochastic → rows-only check;
+    recall-vs-exact is asserted in tests/test_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_topk_ivf(emb.where(F.col("vec_id") % 10 == 0), emb, k=10)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
+# ------------------------------------------------------------------ events (batch forms of the streaming ops)
+def _events_ns(spark, sf_dir):
+    """Raw events with exact bigint nanosecond ts (no float round-trip)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@register(
+    "windowed_event_counts",
+    """
+    SELECT epoch_ms(time_bucket(INTERVAL 15 MINUTE, ts)) AS window_start_ms,
+           event_type, count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts_q(spark, sf_dir):
+    """Tumbling-window per-type counts/sums — the batch form of
+    streaming.windowed_event_counts (identical plan modulo watermark).
+    Window start from integer ns arithmetic; money as cents."""
+    ev = _events_ns(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.expr("ts DIV 900000000000") * F.lit(900000)).alias("window_start_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+    )
+
+
+@register(
+    "events_dedup_earliest",
+    """
+    SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts ASC, event_id ASC) r
+      FROM events) WHERE r = 1
+    """,
+)
+def events_dedup_earliest(spark, sf_dir):
+    """Keep-earliest dedup per (user_id, event_type) — the deterministic
+    batch analogue of streaming_dedup's keep-first semantics."""
+    ev = _events_ns(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("user_id", "event_type", "event_id", F.expr("ts DIV 1000000").alias("ts_ms"))
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """JSON sidecar extraction (training pipelines carry metadata as
+    JSON columns; Catalyst's get_json_object is codegen'd)."""
+    return _events_ns(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
+@register("embedding_knn_blocking")
+def embedding_knn_blocking(spark, sf_dir):
+    """M1+J8: HashingWordEmbedder encodes concat_values, exact kNN
+    block-build (xxhash-derived vectors → rows-only check)."""
+    from .embedding.blockbuilder import KNNBlockBuilder
+    from .embedding.blocker import EmbeddingBlocker
+
+    blocker = EmbeddingBlocker(block_builder=KNNBlockBuilder(k=3))
+    bm = blocker.assign(_cust_frame(spark, sf_dir), _supp_frame(spark, sf_dir))
+    return bm.df.select("block_key", F.explode(F.col(bm.right_name)).alias("right_id"))
+
+
+@register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents' text bytes as opaque payloads →
+    Arrow-batched mapInPandas feature extraction (decode kernel is the
+    deterministic stub; plan shape is the real product)."""
+    from .ops.multimodal import extract_features, pack_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = pack_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "image",
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select("media_id", "media_type", F.round(F.element_at("features", 1), 6).alias("f0"))
