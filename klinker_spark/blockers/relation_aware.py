@@ -142,15 +142,22 @@ def concat_neighbor_attributes(
         )
 
     own_text = frame.with_attrs(attrs).concat_values()  # (id, text)
+
+    # Own attributes ride along as self-loop edges instead of a second
+    # pass over own_text: one join + one aggregate for the whole blob,
+    # and own_text is consumed exactly once (no recompute of the
+    # concat aggregation across two union branches).
+    if include_own_attributes:
+        self_loops = own_text.select(
+            F.col("id").alias("head"),
+            F.lit("dummy_relation").alias("rel"),
+            F.col("id").alias("tail"),
+        )
+        with_inv = concat_frames([with_inv, self_loops])
+
     neighbor_triples = with_inv.join(
         own_text.withColumnRenamed("id", "tail"), "tail", "inner"
     ).select(F.col("head").alias("id"), F.col("rel").alias("prop"), F.col("text").alias("value"))
-
-    if include_own_attributes:
-        own_triples = own_text.select(
-            "id", F.lit("dummy_relation").alias("prop"), F.col("text").alias("value")
-        )
-        neighbor_triples = neighbor_triples.unionByName(own_triples)
 
     # Re-tokenizing consumers make this set-semantics safe; split/flatten
     # dedups tokens across neighbor blobs like the reference's final

@@ -44,11 +44,13 @@ class TfIdfFilteredTokenBlocker(SchemaAgnosticBlocker):
             "id", F.explode(tokenize("text", self.min_token_length)).alias("token")
         ).where(F.col("token") != "")
         tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
-        n_docs = frame.select("id").distinct().count()
+        # N as a 1-row aggregate cross-joined in (broadcast NLJ of a
+        # single row) — avoids a driver-side count() job per side.
+        n_docs = frame.select(F.countDistinct("id").alias("_n"))
         df = tf.groupBy("token").agg(F.count("*").alias("df"))
-        idf = df.select(
+        idf = df.crossJoin(F.broadcast(n_docs)).select(
             "token",
-            (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
+            (F.log((1.0 + F.col("_n")) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
         )
         weighted = tf.join(F.broadcast(idf), "token").withColumn(
             "w", F.col("tf") * F.col("idf")
