@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "tfidf_top_tokens",
     "windowed_event_counts",
     "events_dedup_earliest",
+    "sessionize_events",
+    "graph_statistics",
+    "composite_unique_name_blocking",
+    "gcn_embedding_blocking",
     "eval_metrics",
 ]
 

@@ -31,6 +31,7 @@ __all__ = [
     "count_entities",
     "relation_importance",
     "name_importance",
+    "graph_statistics",
     "filter_importance",
     "concat_neighbor_attributes",
     "SimpleRelationalBlocker",
@@ -85,6 +86,27 @@ def name_importance(attrs: DataFrame, num_entities: int) -> DataFrame:
     support = F.col("head_count") / num_entities
     disc = F.col("tail_count") / F.col("rel_count")
     return counted.select("prop", _harmonic(support, disc).alias("importance"))
+
+
+def graph_statistics(rels: DataFrame, num_entities: int) -> DataFrame:
+    """Per-relation stats on DISTINCT instance pairs (A11,
+    ``/root/reference/src/klinker/graph_statistics.py:11-58`` — the
+    genuinely-distinct variant, vs :func:`relation_importance`'s
+    non-null-count pandas semantics): support = n_pairs/n²,
+    discriminability = n_objects/n_pairs, importance = harmonic mean.
+
+    Output: ``(rel, n_pairs, n_subjects, n_objects, importance)``.
+    """
+    per = rels.groupBy("rel").agg(
+        F.countDistinct(F.struct("head", "tail")).alias("n_pairs"),
+        F.countDistinct("head").alias("n_subjects"),
+        F.countDistinct("tail").alias("n_objects"),
+    )
+    support = F.col("n_pairs") / F.lit(float(num_entities) ** 2)
+    disc = F.col("n_objects") / F.col("n_pairs")
+    return per.select(
+        "rel", "n_pairs", "n_subjects", "n_objects", _harmonic(support, disc).alias("importance")
+    )
 
 
 def filter_importance(

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .data.blocks import BlockManager
 
-__all__ = ["Evaluation", "harmonic_mean"]
+__all__ = ["Evaluation", "harmonic_mean", "dice", "compare_blockings"]
 
 
 def harmonic_mean(a: float, b: float) -> float:
@@ -112,3 +112,41 @@ class Evaluation:
             "false_negatives": self.false_negatives,
             "comparisons": self.comparisons,
         }
+
+
+def dice(n_a: int, n_b: int, n_common: int) -> float:
+    """Dice coefficient over set sizes (``eval.py:329-331``)."""
+    return 2 * n_common / (n_a + n_b) if (n_a + n_b) else 0.0
+
+
+def compare_blockings(
+    blocks_a: BlockManager,
+    blocks_b: BlockManager,
+    gold: DataFrame,
+) -> dict:
+    """Compare two blockings' true-positive sets (E9,
+    ``eval.py:329-507``): dice overlap of TPs, pairs found by only one
+    side, and the combined recall — all as join-counts, no driver sets.
+    """
+    lcol, rcol = gold.columns[:2]
+    g = gold.select(
+        F.col(lcol).cast("string").alias("left_id"),
+        F.col(rcol).cast("string").alias("right_id"),
+    )
+    tp_a = blocks_a.pairs(distinct=True).join(g, ["left_id", "right_id"], "inner")
+    tp_b = blocks_b.pairs(distinct=True).join(g, ["left_id", "right_id"], "inner")
+    n_a, n_b = tp_a.count(), tp_b.count()
+    n_common = tp_a.intersect(tp_b).count()
+    n_gold = g.count()
+    n_union = n_a + n_b - n_common
+    return {
+        "tp_a": n_a,
+        "tp_b": n_b,
+        "tp_common": n_common,
+        "tp_dice": dice(n_a, n_b, n_common),
+        "only_a": n_a - n_common,
+        "only_b": n_b - n_common,
+        "recall_a": n_a / n_gold if n_gold else 0.0,
+        "recall_b": n_b / n_gold if n_gold else 0.0,
+        "combined_recall": n_union / n_gold if n_gold else 0.0,
+    }

@@ -5,6 +5,7 @@ from .dedup import (
     ngram_jaccard_dedup,
     simhash_dedup,
 )
+from .rerank import sinkhorn_rerank
 from .similarity import ann_topk_ivf, ann_topk_lsh, brute_force_topk
 from .textstats import (
     doc_fingerprint,
@@ -24,6 +25,7 @@ __all__ = [
     "ann_topk_ivf",
     "ann_topk_lsh",
     "brute_force_topk",
+    "sinkhorn_rerank",
     "doc_fingerprint",
     "langid_by_profile",
     "quality_score",

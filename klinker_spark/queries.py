@@ -1115,3 +1115,192 @@ def multimodal_features(spark, sf_dir):
     )
     feats = extract_features(media, dim=8)
     return feats.select("media_id", "media_type", F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+# ------------------------------------------------------------------ graph stats, sessions, composite, propagation
+@register(
+    "graph_statistics",
+    """
+    WITH rels AS (SELECT CAST(l_orderkey AS VARCHAR) head, l_returnflag rel,
+                         CAST(l_partkey AS VARCHAR) tail FROM lineitem),
+         n AS (SELECT count(*) c FROM (SELECT head e FROM rels UNION SELECT tail FROM rels)),
+         per AS (SELECT rel,
+                        count(DISTINCT (head, tail)) n_pairs,
+                        count(DISTINCT head) n_subjects,
+                        count(DISTINCT tail) n_objects
+                 FROM rels GROUP BY rel)
+    SELECT rel, n_pairs, n_subjects, n_objects,
+           round(2 * ((n_pairs / (c*c*1.0)) * (n_objects*1.0/n_pairs))
+                   / ((n_pairs / (c*c*1.0)) + (n_objects*1.0/n_pairs)), 6) AS importance
+    FROM per, n
+    """,
+)
+def graph_statistics_q(spark, sf_dir):
+    """A11: distinct-pair relation statistics on lineitem edges."""
+    from .blockers.relation_aware import graph_statistics
+
+    rels = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("head"),
+        F.col("l_returnflag").alias("rel"),
+        F.col("l_partkey").cast("string").alias("tail"),
+    )
+    n = rels.select(F.col("head").alias("e")).union(rels.select("tail")).distinct().count()
+    return graph_statistics(rels, n).withColumn("importance", F.round("importance", 6))
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH e AS (SELECT user_id, epoch_ms(ts) ts_ms FROM events),
+    flagged AS (
+      SELECT user_id, ts_ms,
+             CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+                       >= 1800000 THEN 1 ELSE 0 END new_sess
+      FROM e),
+    sess AS (SELECT user_id, ts_ms,
+                    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+             FROM flagged)
+    SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Session windows (gap 30 min) — batch gaps-and-islands form of the
+    streaming session_window op (net-new vs the batch-only reference)."""
+    from .data.io import load_events
+    from .streaming.sessions import sessionize
+
+    return sessionize(load_events(spark, sf_dir), gap="30 minutes")
+
+
+_COMPOSITE_SQL = """
+    WITH l AS (SELECT CAST(o_custkey AS VARCHAR) block_key,
+                      CAST(min(o_orderkey) AS VARCHAR) uid
+               FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderkey) = 1),
+         uniq AS (SELECT l.block_key, l.uid left_id, CAST(c_custkey AS VARCHAR) right_id
+                  FROM l JOIN customer ON l.block_key = CAST(c_custkey AS VARCHAR)),
+         lcov AS (SELECT DISTINCT left_id id FROM uniq),
+         rcov AS (SELECT DISTINCT right_id id FROM uniq),
+         lt AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) id, tok FROM (
+             SELECT o_orderkey, unnest(regexp_split_to_array(lower(o_orderpriority), '[^a-z0-9]+')) tok
+             FROM orders)
+           WHERE length(tok) >= 3 AND tok NOT IN ({stop})
+             AND CAST(o_orderkey AS VARCHAR) NOT IN (SELECT id FROM lcov)),
+         rt AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) id, tok FROM (
+             SELECT c_custkey, unnest(regexp_split_to_array(lower(c_mktsegment), '[^a-z0-9]+')) tok
+             FROM customer)
+           WHERE length(tok) >= 3 AND tok NOT IN ({stop})
+             AND CAST(c_custkey AS VARCHAR) NOT IN (SELECT id FROM rcov))
+    SELECT block_key, left_id, right_id FROM uniq
+    UNION
+    SELECT lt.tok, lt.id, rt.id FROM lt JOIN rt ON lt.tok = rt.tok
+"""
+
+
+@register(
+    "composite_unique_name_blocking",
+    _COMPOSITE_SQL.format(stop=_STOP_SQL),
+)
+def composite_unique_name_blocking(spark, sf_dir):
+    """E5: unique-name pass → anti-join covered entities → token blocker
+    on the remainder → combine.  Left = orders (attr: priority, unique
+    key: custkey ref), right = customers (attr: mktsegment, key:
+    custkey).  The relation branch is disabled (attr-only composite) so
+    the oracle stays tractable; the full relational branch is covered by
+    relational_token_blocking."""
+    from .blockers.composite import CompositeUniqueNameBlocker
+    from .blockers.unique_name import UniqueNameBlocker
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    left_u = EntityFrame.from_triples(
+        orders.select(
+            F.col("o_orderkey").alias("head"),
+            F.lit("custkey").alias("rel"),
+            F.col("o_custkey").alias("tail"),
+        ),
+        "orders",
+    )
+    right_u = EntityFrame.from_triples(
+        cust.select(
+            F.col("c_custkey").alias("head"),
+            F.lit("custkey").alias("rel"),
+            F.col("c_custkey").alias("tail"),
+        ),
+        "customer",
+    )
+    unique = UniqueNameBlocker().assign(left_u, right_u)
+    unique = unique.__class__(unique.df.persist(), unique.left_name, unique.right_name)
+
+    from .blockers.composite import filter_with_unique as fwu
+    from .blockers.token import TokenBlocker
+
+    left_t = EntityFrame(
+        fwu(
+            melt(
+                orders.select(F.col("o_orderkey").cast("string").alias("id"), "o_orderpriority"),
+                "id",
+            ),
+            unique,
+            "orders",
+        ),
+        "orders",
+    )
+    right_t = EntityFrame(
+        fwu(
+            melt(
+                cust.select(F.col("c_custkey").cast("string").alias("id"), "c_mktsegment"), "id"
+            ),
+            unique,
+            "customer",
+        ),
+        "customer",
+    )
+    rest = TokenBlocker().assign(left_t, right_t)
+    combined = unique.combine(rest)
+    return _explode_blocks(combined).distinct()
+
+
+@register("gcn_embedding_blocking")
+def gcn_embedding_blocking(spark, sf_dir):
+    """M9-M11: untrained GCN propagation over the customer↔nation KG,
+    kNN block build on the propagated embeddings (hash-derived init →
+    rows-only check; invariants in tests/test_propagation.py)."""
+    from .embedding.blockbuilder import KNNBlockBuilder
+    from .encoders.propagation import GCNFrameEncoder
+
+    cust = _t(spark, sf_dir, "customer").limit(500)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    enc = GCNFrameEncoder(depth=2, dim=16)
+
+    def side(df, key, name_col, nk, pfx):
+        conc = df.select(
+            F.concat(F.lit(pfx), F.col(key)).alias("id"), F.col(name_col).alias("text")
+        )
+        rels = df.select(
+            F.concat(F.lit(pfx), F.col(key)).alias("head"),
+            F.lit("in_nation").alias("rel"),
+            F.concat(F.lit("n"), F.col(nk)).alias("tail"),
+        )
+        return enc.encode(conc, rels)
+
+    left_emb = side(cust, "c_custkey", "c_mktsegment", "c_nationkey", "c")
+    right_emb = side(supp, "s_suppkey", "s_name", "s_nationkey", "s")
+    bm = KNNBlockBuilder(k=3).build_blocks(left_emb, right_emb, "customer", "supplier")
+    return bm.df.select("block_key", F.explode(F.col("supplier")).alias("right_id"))
+
+
+@register("sinkhorn_rerank")
+def sinkhorn_rerank_q(spark, sf_dir):
+    """W5/M17: Sinkhorn re-rank of the brute-force kNN candidates
+    (distributed sparse row/col normalization; float-iteration output →
+    rows-only check, doubly-stochastic invariants in tests)."""
+    from .ops.rerank import sinkhorn_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = brute_force_topk(emb.where(F.col("vec_id") % 10 == 0), emb, k=10)
+    out = sinkhorn_rerank(nn, iters=3, k=5)
+    return out.withColumn("score", F.round("score", 6))

@@ -1,0 +1,84 @@
+"""Tests for attribute-value clustering blocking (M15) and blocking
+comparison metrics (E9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from klinker_spark.blockers.attribute_clustering import AttributeClusteringBlocker
+from klinker_spark.blockers.standard import StandardBlocker
+from klinker_spark.data.frames import EntityFrame
+from klinker_spark.eval import compare_blockings, dice
+
+
+@pytest.fixture
+def ab_frames(spark):
+    left = EntityFrame(
+        spark.createDataFrame(
+            [("a1", "name", "red apple"), ("a2", "name", "green apple"), ("a3", "name", "zebra")],
+            "id string, prop string, value string",
+        ),
+        "A",
+    )
+    right = EntityFrame(
+        spark.createDataFrame(
+            [("b1", "name", "red apple"), ("b2", "name", "zebra"), ("b3", "name", "zebra stripes")],
+            "id string, prop string, value string",
+        ),
+        "B",
+    )
+    return left, right
+
+
+def test_attribute_clustering_blocker(spark, ab_frames):
+    left, right = ab_frames
+    bm = AttributeClusteringBlocker(n_clusters=2, dim=8).assign(left, right)
+    rows = bm.df.collect()
+    # every block key is a cluster label; both sides non-empty per block
+    assert all(r["block_key"].startswith("clustering_label_") for r in rows)
+    # identical values land in the same cluster → a1/b1 must share a block
+    shared = [
+        r for r in rows if "a1" in r["A"] and "b1" in r["B"]
+    ]
+    assert shared
+
+
+def test_attribute_clustering_deterministic(spark, ab_frames):
+    left, right = ab_frames
+    b1 = AttributeClusteringBlocker(n_clusters=2, dim=8).assign(left, right)
+    b2 = AttributeClusteringBlocker(n_clusters=2, dim=8).assign(left, right)
+    p1 = {(r["left_id"], r["right_id"]) for r in b1.pairs().collect()}
+    p2 = {(r["left_id"], r["right_id"]) for r in b2.pairs().collect()}
+    assert p1 == p2
+
+
+def test_dice():
+    assert dice(3, 5, 2) == pytest.approx(0.5)
+    assert dice(0, 0, 0) == 0.0
+
+
+def test_compare_blockings(spark):
+    left = EntityFrame(
+        spark.createDataFrame(
+            [("a1", "k", "x"), ("a2", "k", "y")], "id string, prop string, value string"
+        ),
+        "A",
+    )
+    right = EntityFrame(
+        spark.createDataFrame(
+            [("b1", "k", "x"), ("b2", "k", "z")], "id string, prop string, value string"
+        ),
+        "B",
+    )
+    bm_x = StandardBlocker("k").assign(left, right)  # blocks a1-b1 (value x)
+    # second blocking: everything in one block
+    left2 = EntityFrame(
+        left.attrs.withColumn("value", F.lit("all")), "A"
+    )
+    right2 = EntityFrame(right.attrs.withColumn("value", F.lit("all")), "B")
+    bm_all = StandardBlocker("k").assign(left2, right2)
+    gold = spark.createDataFrame([("a1", "b1"), ("a2", "b2")], "l string, r string")
+    cmp = compare_blockings(bm_x, bm_all, gold)
+    assert cmp["tp_a"] == 1 and cmp["tp_b"] == 2
+    assert cmp["tp_common"] == 1 and cmp["only_b"] == 1
+    assert cmp["tp_dice"] == pytest.approx(2 * 1 / 3)
+    assert cmp["combined_recall"] == pytest.approx(1.0)
