@@ -1,4 +1,5 @@
 from .hashing import HashingWordEmbedder, SIFHashingWordEmbedder, initialize_and_fill, remove_first_pc
+from .deepblocker import AutoencoderFrameEncoder, CrossTupleTrainingEncoder, HybridDeepBlockerEncoder
 from .propagation import GCNFrameEncoder, RelationAwarePropagationEncoder, propagate
 
 __all__ = [
@@ -6,6 +7,9 @@ __all__ = [
     "SIFHashingWordEmbedder",
     "initialize_and_fill",
     "remove_first_pc",
+    "AutoencoderFrameEncoder",
+    "CrossTupleTrainingEncoder",
+    "HybridDeepBlockerEncoder",
     "GCNFrameEncoder",
     "RelationAwarePropagationEncoder",
     "propagate",

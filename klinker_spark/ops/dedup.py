@@ -172,17 +172,27 @@ def ngram_jaccard_dedup(
         ),
     )
     prefix = ranked.where(F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    # Size filter rides along with candidate generation: J ≥ t forces
+    # t·|A| ≤ |B| ≤ |A|/t, so length-mismatched pairs die before the
+    # array join (and n_a/n_b never need a second lookup join).
     cand = (
-        prefix.select("shingle", F.col("doc_id").alias("doc_a"))
-        .join(prefix.select("shingle", F.col("doc_id").alias("doc_b")), "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        prefix.select("shingle", F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        .join(
+            prefix.select("shingle", F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "shingle",
+        )
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+            & (F.col("n_a") >= threshold * F.col("n_b"))
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
-    sets = shingles.select("doc_id", "sh", F.size("sh").alias("n"))
+    sets = shingles.select("doc_id", "sh")
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")), "doc_b")
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     return (

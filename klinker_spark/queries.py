@@ -1304,3 +1304,19 @@ def sinkhorn_rerank_q(spark, sf_dir):
     nn = brute_force_topk(emb.where(F.col("vec_id") % 10 == 0), emb, k=10)
     out = sinkhorn_rerank(nn, iters=3, k=5)
     return out.withColumn("score", F.round("score", 6))
+
+
+@register("deepblocker_knn_blocking")
+def deepblocker_knn_blocking(spark, sf_dir):
+    """M6/M8: torch-free DeepBlocker analogue — linear-autoencoder (PCA)
+    projection of hash embeddings fit on both sides, exact kNN blocks on
+    the projected space (SVD-derived floats → rows-only check;
+    invariants in tests/test_deepblocker.py)."""
+    from .embedding.blockbuilder import KNNBlockBuilder
+    from .encoders.deepblocker import AutoencoderFrameEncoder
+
+    left = _cust_frame(spark, sf_dir).concat_values()
+    right = _supp_frame(spark, sf_dir).concat_values()
+    le, re_ = AutoencoderFrameEncoder(out_dim=8, in_dim=32, sample_n=2000).fit_encode(left, right)
+    bm = KNNBlockBuilder(k=3).build_blocks(le, re_, "customer", "supplier")
+    return bm.df.select("block_key", F.explode(F.col("supplier")).alias("right_id"))
