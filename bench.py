@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "graph_statistics",
     "composite_unique_name_blocking",
     "gcn_embedding_blocking",
+    "deepblocker_knn_blocking",
     "eval_metrics",
 ]
 

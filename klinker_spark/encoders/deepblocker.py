@@ -83,8 +83,10 @@ class AutoencoderFrameEncoder:
         return [[float(x) for x in row] for row in vt[: self.out_dim]]
 
     def fit_encode(self, left_conc: DataFrame, right_conc: DataFrame):
-        left_emb = self.attr_encoder.encode(left_conc)
-        right_emb = self.attr_encoder.encode(right_conc)
+        # each side feeds both the SVD sample and the final projection —
+        # persist so the encode pipeline runs once per side
+        left_emb = self.attr_encoder.encode(left_conc).persist()
+        right_emb = self.attr_encoder.encode(right_conc).persist()
         both = left_emb.unionByName(right_emb)
         comps = self._components(both)
         proj = lambda df: df.select("id", _project_expr(F.col("vector"), comps).alias("vector"))

@@ -104,10 +104,11 @@ class SIFHashingWordEmbedder(HashingWordEmbedder):
 
     def _token_weights(self, tokens: DataFrame) -> DataFrame:
         freq = tokens.groupBy("token").agg(F.count("*").alias("freq"))
-        total = tokens.count()
-        weights = freq.select(
+        # corpus total as a 1-row broadcast aggregate — no driver count() job
+        total = tokens.select(F.count("*").alias("_total"))
+        weights = freq.crossJoin(F.broadcast(total)).select(
             "token",
-            (self.sif_a / (self.sif_a + F.col("freq") / F.lit(float(total)))).alias("weight"),
+            (self.sif_a / (self.sif_a + F.col("freq") / F.col("_total"))).alias("weight"),
         )
         return tokens.join(F.broadcast(weights), "token")
 
@@ -122,6 +123,10 @@ def remove_first_pc(embeddings: DataFrame, sample_n: int = 10_000, seed: int = 4
     """
     import numpy as np
 
+    # Diamond dependency: the embedding pipeline feeds both the SVD
+    # sample and the final projection — persist so the (often expensive)
+    # encode runs once, as the reference persists reused intermediates.
+    embeddings = embeddings.persist()
     sample = embeddings.orderBy(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1 << 31))).limit(
         sample_n
     )

@@ -77,6 +77,13 @@ def word_shingles(tokens: Column, k: int = 3, sep: str = " ") -> Column:
 
     Building block for n-gram-Jaccard and MinHash dedup.  Documents
     shorter than k words yield a single shingle of all their tokens.
+
+    PERFORMANCE: pass a *materialized column* (a prior ``select``
+    alias), never a nested expression like ``word_shingles(tokenize(c))``
+    — Column composition copies the inner expression into the per-element
+    lambda, so the tokenizer would re-run once per shingle position
+    (O(n²) per row; measured 10x on 5k docs).  An aliased column is
+    referenced, not copied, and Catalyst keeps the projection separate.
     """
     n = F.size(tokens)
     return F.when(n <= k, F.array(F.array_join(tokens, sep))).otherwise(

@@ -66,9 +66,12 @@ def minhash_lsh_dedup(
     skew-join plus an optional bucket-size cap handle them.
     """
     rows = num_perm // bands
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
+    )
     sigs = minhash_signatures(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-        word_shingles(tokenize("text", 1, []), shingle_k),
+        toks,
+        word_shingles(F.col("tk"), shingle_k),
         id_col="doc_id",
         num_perm=num_perm,
         seed=seed,
@@ -160,8 +163,9 @@ def ngram_jaccard_dedup(
     measured 5-10x over the naive join on repetitive corpora.
     """
     shingles = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(tokenize(text_col, 1, []), shingle_k)).alias("sh"),
+        F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
+    ).select(
+        "doc_id", F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh")
     )
     ex = shingles.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))

@@ -1320,3 +1320,43 @@ def deepblocker_knn_blocking(spark, sf_dir):
     le, re_ = AutoencoderFrameEncoder(out_dim=8, in_dim=32, sample_n=2000).fit_encode(left, right)
     bm = KNNBlockBuilder(k=3).build_blocks(le, re_, "customer", "supplier")
     return bm.df.select("block_key", F.explode(F.col("supplier")).alias("right_id"))
+
+
+@register(
+    "windowed_token_blocks",
+    """
+    WITH toks AS (
+      SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE, ts)) window_start_ms,
+             event_id, unnest(regexp_split_to_array(lower(props), '[^a-z0-9]+')) tok
+      FROM events)
+    SELECT window_start_ms, tok AS token, count(DISTINCT event_id) AS n_ids
+    FROM toks WHERE length(tok) >= 1
+    GROUP BY 1, 2
+    """,
+)
+def windowed_token_blocks(spark, sf_dir):
+    """Tumbling-window token blocking over the event stream's JSON
+    payload — batch form of streaming.streaming_token_blocks; block
+    arrays surfaced as per-block distinct-id counts for the oracle."""
+    from .streaming.dedup import streaming_token_blocks
+
+    out = streaming_token_blocks(load_events(spark, sf_dir), window="10 minutes")
+    return out.select(
+        F.unix_millis(F.col("window_start").cast("timestamp")).alias("window_start_ms"),
+        "token",
+        F.size(F.array_distinct("ids")).alias("n_ids"),
+    )
+
+
+@register("sif_pc_removal")
+def sif_pc_removal(spark, sf_dir):
+    """M2: SIF-weighted hash embeddings + first-principal-component
+    removal (sampled driver SVD applied as a distributed projection;
+    SVD floats → rows-only check).  Output: per-entity vector norms."""
+    from .encoders.hashing import SIFHashingWordEmbedder, remove_first_pc
+    from .functions.vectors import l2_norm
+
+    conc = _cust_frame(spark, sf_dir).concat_values()
+    emb = SIFHashingWordEmbedder(dim=16).encode(conc)
+    out = remove_first_pc(emb, sample_n=2000)
+    return out.select("id", F.round(l2_norm(F.col("vector")), 6).alias("norm"))

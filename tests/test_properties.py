@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis): the codegen text functions agree
+with straightforward pure-Python models on arbitrary inputs.
+
+These pin the exact engine semantics the DuckDB oracles assume —
+tokenize's split/filter/dedup order, qgram windows, shingle edges."""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from klinker_spark.functions.text import STOPWORDS, qgrams, tokenize, word_shingles
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=["Ll", "Lu", "Nd", "Zs", "Po"]),
+    max_size=60,
+)
+
+
+def py_tokenize(s, min_len=3, stopwords=STOPWORDS):
+    toks = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if len(t) >= min_len]
+    if stopwords:
+        # array_except semantics: dedup, keep first-seen order
+        seen, out = set(), []
+        for t in toks:
+            if t not in stopwords and t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+    return toks
+
+
+def py_qgrams(s, q=3):
+    if s is None:
+        return None
+    return [s[i : i + q] for i in range(len(s) - q + 1)]
+
+
+def py_shingles(toks, k=3, sep=" "):
+    if len(toks) <= k:
+        return [sep.join(toks)]
+    return [sep.join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+@pytest.fixture(scope="module")
+def run_expr(spark):
+    def _run(value, expr):
+        df = spark.createDataFrame([(value,)], "s string")
+        return df.select(expr.alias("out")).first()["out"]
+
+    return _run
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(s=TEXT)
+def test_tokenize_matches_python(run_expr, s):
+    assert run_expr(s, tokenize("s")) == py_tokenize(s)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(s=TEXT)
+def test_qgrams_match_python(run_expr, s):
+    assert run_expr(s, qgrams("s", 3)) == py_qgrams(s, 3)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(s=TEXT)
+def test_shingles_match_python(run_expr, s):
+    got = run_expr(s, word_shingles(tokenize("s", 1, []), 3))
+    toks = py_tokenize(s, min_len=1, stopwords=[])
+    assert got == py_shingles(toks, 3)
+
+
+def test_qgrams_null_and_short(run_expr):
+    assert run_expr(None, qgrams("s", 3)) is None
+    assert run_expr("ab", qgrams("s", 3)) == []
