@@ -57,10 +57,17 @@ class Evaluation:
         g = gold.select(
             F.col(lcol).cast("string").alias("left_id"),
             F.col(rcol).cast("string").alias("right_id"),
-        )
+        ).distinct()  # gold is a set of links; dupes would inflate the left-join
         pairs = blocks.pairs(distinct=distinct)
-        n_pairs = pairs.count()
-        tp = pairs.join(g, ["left_id", "right_id"], "inner").count()
+        # one job for comparisons + TPs: left-join gold (broadcast — gold
+        # is the small side by construction) and count flag hits
+        marked = pairs.join(
+            F.broadcast(g.withColumn("_g", F.lit(1))), ["left_id", "right_id"], "left"
+        )
+        row = marked.agg(
+            F.count("*").alias("_n"), F.sum(F.coalesce(F.col("_g"), F.lit(0))).alias("_tp")
+        ).first()
+        n_pairs, tp = row["_n"], int(row["_tp"] or 0)
         n_gold = g.count()
         return cls(
             true_positives=tp,

@@ -1,0 +1,47 @@
+"""Regenerate PLANS.md — formatted physical plans of headline queries
+with scale annotations.  Companion to tests/test_plans.py."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, ".")
+
+NOTES = {
+    "token_blocking": "Both scans pruned to (id, name); per-side partial+final ObjectHashAggregate (collect_set); supplier side broadcast — zero shuffle joins.",
+    "relational_token_blocking": "The headline method: concat aggregates, one inner edge join carrying self-loops, re-concat, token explode, block join. Importance tables would enter as broadcasts.",
+    "ngram_jaccard_dedup": "PPJoin prefix filter: frequency count -> per-doc window -> prefix self-join -> array_intersect verify; size filter rides the candidate join.",
+    "knn_topk": "Index broadcast, deliberate BroadcastNestedLoopJoin cross product, single window for top-k; vec_id filter pushed to the scan.",
+    "windowed_event_counts": "Scan pruned to 3 columns; map-side partial aggregate; one exchange on (window, type).",
+    "eval_metrics": "Join-count evaluation: pairs left-join broadcast gold, one aggregate for comparisons+TPs.",
+}
+
+
+def main() -> None:
+    from klinker_spark.queries import QUERIES
+    from klinker_spark.session import get_spark
+
+    spark = get_spark("plansdoc")
+    sf = "/root/testdata/sf0.001"
+    out = [
+        "# PLANS — captured physical plans of headline queries (sf0.001)",
+        "",
+        "Regenerate: `python scripts/dump_plans.py`.  Guarded by",
+        "`tests/test_plans.py` so the properties below survive refactors.",
+        "",
+    ]
+    for name, note in NOTES.items():
+        df = QUERIES[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()
