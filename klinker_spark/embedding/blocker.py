@@ -60,3 +60,13 @@ class EmbeddingBlocker(Blocker):
         left_emb = self._encode_side(left, spark)
         right_emb = self._encode_side(right, spark)
         return self.block_builder.build_blocks(left_emb, right_emb, left.name, right.name)
+
+    def _assign(
+        self, left_conc: DataFrame, right_conc: DataFrame, left_name: str, right_name: str
+    ) -> BlockManager:
+        """SchemaAgnostic contract on pre-concatenated ``(id, text)``
+        frames — lets the embedding blocker slot into composites as the
+        relation branch (E6, ``blockers/hybrid.py:15-178``)."""
+        left_emb = self.frame_encoder.encode(left_conc)
+        right_emb = self.frame_encoder.encode(right_conc)
+        return self.block_builder.build_blocks(left_emb, right_emb, left_name, right_name)

@@ -119,14 +119,15 @@ def minhash_signatures(
     form is linear and map-side-combines.
 
     Two scale optimizations (no arithmetic, so ANSI-safe):
-    - items are deduplicated per row first — MinHash is set-semantics
-      and ``min`` ignores duplicates, so the aggregate input shrinks to
-      O(distinct items);
+    - items are deduplicated *within the row* (``array_distinct`` before
+      the explode — MinHash is set-semantics and ``min`` ignores
+      duplicates anyway, so no cross-row ``distinct()`` shuffle of the
+      full item strings is ever needed);
     - the variable-length item string is hashed ONCE; permutation i
       hashes the resulting 8-byte long (``xxhash64(h, seed+i)``), which
       is ~the cost of a multiply, not a string traversal per perm.
     """
-    ex = df.select(F.col(id_col), F.explode(items_col).alias("_item")).distinct()
+    ex = df.select(F.col(id_col), F.explode(F.array_distinct(items_col)).alias("_item"))
     ex = ex.select(F.col(id_col), F.xxhash64(F.col("_item")).alias("_h"))
     aggs = [
         F.min(F.xxhash64(F.col("_h"), F.lit(seed + i))).alias(f"_h{i}")

@@ -82,3 +82,39 @@ def test_compare_blockings(spark):
     assert cmp["tp_common"] == 1 and cmp["only_b"] == 1
     assert cmp["tp_dice"] == pytest.approx(2 * 1 / 3)
     assert cmp["combined_recall"] == pytest.approx(1.0)
+
+
+def test_hybrid_composite_with_embedding_rel_blocker(spark):
+    """E6: CompositeUniqueNameBlocker with an embedding relation branch
+    (hybrid.py:15-178 shape)."""
+    from pyspark.sql import functions as F
+    from klinker_spark.blockers.composite import CompositeUniqueNameBlocker
+    from klinker_spark.blockers.token import TokenBlocker
+    from klinker_spark.embedding.blockbuilder import KNNBlockBuilder
+    from klinker_spark.embedding.blocker import EmbeddingBlocker
+
+    left = EntityFrame(
+        spark.createDataFrame(
+            [("a1", "name", "unique-key-1"), ("a2", "name", "red apple"), ("a3", "name", "blue")],
+            "id string, prop string, value string",
+        ),
+        "A",
+    )
+    right = EntityFrame(
+        spark.createDataFrame(
+            [("b1", "name", "unique-key-1"), ("b2", "name", "red apple")],
+            "id string, prop string, value string",
+        ),
+        "B",
+    )
+    rels = spark.createDataFrame(
+        [("a2", "r", "a3"), ("b2", "r", "b1")], "head string, rel string, tail string"
+    )
+    comp = CompositeUniqueNameBlocker(
+        attribute_blocker=TokenBlocker(),
+        relation_blocker=EmbeddingBlocker(block_builder=KNNBlockBuilder(k=1)),
+    )
+    bm = comp.assign(left, right, rels, rels)
+    pairs = {(r["left_id"], r["right_id"]) for r in bm.pairs().collect()}
+    # unique-name pass must link a1-b1; embedding/attr branches add more
+    assert ("a1", "b1") in pairs
