@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "composite_unique_name_blocking",
     "gcn_embedding_blocking",
     "deepblocker_knn_blocking",
+    "corpus_clean_pipeline",
     "eval_metrics",
 ]
 

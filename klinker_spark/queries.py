@@ -1360,3 +1360,45 @@ def sif_pc_removal(spark, sf_dir):
     emb = SIFHashingWordEmbedder(dim=16).encode(conc)
     out = remove_first_pc(emb, sample_n=2000)
     return out.select("id", F.round(l2_norm(F.col("vector")), 6).alias("norm"))
+
+
+@register(
+    "corpus_clean_pipeline",
+    """
+    WITH q AS (
+      SELECT doc_id, text, lang, len(string_split(text, ' ')) n,
+             len(list_distinct(string_split(text, ' '))) nd,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains([{stop}], x))) ns
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, lang, n
+      FROM q
+      WHERE (nd * 1.0 / n) * (1.0 - abs(ns * 1.0 / n - 0.4))
+            * least(n / 100.0, 1.0) >= 0.2),
+    kept AS (
+      SELECT min(doc_id) doc_id, min(lang) lang, min(n) n
+      FROM scored GROUP BY md5(text))
+    SELECT lang, count(*) AS n_docs, sum(n) AS total_tokens
+    FROM kept GROUP BY lang
+    """.format(stop=_STOP_SQL),
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """Flagship composition for the training-data story: quality filter
+    → exact dedup (keep lowest id per content hash) → per-language
+    corpus stats.  One declarative plan — Catalyst pipelines the filter
+    into the scan and the dedup into one aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).where(F.col("score") >= 0.2)
+    kept_docs = docs.join(q.select("doc_id", "n_tokens"), "doc_id")
+    survivors = (
+        kept_docs.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n"),
+        )
+    )
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens")
+    )
