@@ -159,31 +159,47 @@ def simhash(
     expressions re-evaluate); shift amounts are Python ints as the
     DataFrame API requires.
 
-    Scale optimization: occurrences are pre-aggregated to
-    ``(row, token) → count`` and the bit-votes are count-weighted —
-    identical result (a sum of ±1 per occurrence == ±count), but the
-    ``bits``-aggregate stage reads O(distinct tokens per row) rows
-    instead of O(occurrences), a 10-20x shrink on natural text.
+    Scale optimizations:
+    - occurrences pre-aggregate to ``(row, token) → count`` and the
+      bit-votes are count-weighted — identical result (a sum of ±1 per
+      occurrence == ±count) on 10-20x fewer rows;
+    - votes run in LONG format ``(row, bit, vote)`` through two plain
+      hash-aggregates instead of ``bits`` parallel aggregate columns —
+      a 64-aggregate + 64-conditional-sum expression tree costs seconds
+      of whole-stage-codegen *compilation* per query; the long form is
+      two tiny codegen kernels and partial-aggregates map-side.
     """
-    ex = (
+    counted = (
         df.select(F.col(id_col), F.explode(tokens_col).alias("_t"))
         .groupBy(id_col, "_t")
         .agg(F.count("*").alias("_n"))
         .select(F.col(id_col), F.xxhash64(F.col("_t")).alias("_h"), F.col("_n"))
     )
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, F.col("_n")
-            ).otherwise(-F.col("_n"))
-        ).alias(f"_v{b}")
-        for b in range(bits)
-    ]
-    votes = ex.groupBy(id_col).agg(*aggs)
-    fp = F.lit(0).cast("bigint")
-    for b in range(bits):
-        weight = (1 << b) - (1 << 64 if b == 63 else 0)  # signed-64 wrap for the top bit
-        fp = fp + F.when(F.col(f"_v{b}") > 0, F.lit(weight).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    votes = (
+        counted.select(
+            F.col(id_col),
+            F.col("_n"),
+            F.col("_h"),
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_b"),
         )
-    return votes.select(id_col, fp.alias(fp_col))
+        .groupBy(id_col, "_b")
+        .agg(
+            F.sum(
+                # F.shiftright only takes a literal shift — SQL form for
+                # the column-valued bit index
+                F.when(F.expr("shiftright(_h, _b) & 1") == 1, F.col("_n")).otherwise(
+                    -F.col("_n")
+                )
+            ).alias("_v")
+        )
+    )
+    # bit weights as a literal array; index 63 carries the signed wrap
+    weights = [(1 << b) - (1 << 64 if b == bits - 1 else 0) for b in range(bits)]
+    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("_v") > 0, F.element_at(w_arr, F.col("_b") + 1)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias(fp_col)
+    )

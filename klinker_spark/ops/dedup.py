@@ -86,7 +86,9 @@ def minhash_lsh_dedup(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    # persist: both sides of the band self-join derive from the same
+    # signature pipeline — without it signatures compute twice
+    banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key")).persist()
     other = banded.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
         banded.join(other, "band_key")
@@ -123,7 +125,8 @@ def simhash_dedup(
             for c in range(4)
         ]
     )
-    chunked = fp.select("doc_id", "fp", F.explode(chunks).alias("chunk_key"))
+    # persist: self-join diamond, same rationale as minhash banding
+    chunked = fp.select("doc_id", "fp", F.explode(chunks).alias("chunk_key")).persist()
     other = chunked.select("chunk_key", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
     return (
         chunked.join(other, "chunk_key")
@@ -133,8 +136,8 @@ def simhash_dedup(
             "doc_b",
             F.bit_count(F.col("fp").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)  # filter before the dedup shuffle
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )
 
 
@@ -162,11 +165,14 @@ def ngram_jaccard_dedup(
     Hot-shingle skew moves from the join to a cheap frequency count;
     measured 5-10x over the naive join on repetitive corpora.
     """
+    # persist: the shingle arrays feed candidate generation (freq →
+    # rank → prefix) AND verification (array_intersect) — without it the
+    # tokenize+shingle expression pipeline re-runs for every branch
     shingles = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
     ).select(
         "doc_id", F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh")
-    )
+    ).persist()
     ex = shingles.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle"))
     freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = ex.join(freq, "shingle").withColumn(
@@ -175,7 +181,9 @@ def ngram_jaccard_dedup(
             Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
         ),
     )
-    prefix = ranked.where(F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    prefix = ranked.where(
+        F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).persist()  # both sides of the candidate self-join
     # Size filter rides along with candidate generation: J ≥ t forces
     # t·|A| ≤ |B| ≤ |A|/t, so length-mismatched pairs die before the
     # array join (and n_a/n_b never need a second lookup join).
