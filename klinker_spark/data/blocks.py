@@ -211,6 +211,24 @@ class BlockManager:
         native, no pyarrow schema pinning needed."""
         self.df.write.mode("overwrite").parquet(path)
 
+    def to_bucketed_table(self, table: str, n_buckets: int = 64, distinct: bool = True) -> None:
+        """Write the exploded pairs view as a Hive-bucketed table on
+        ``(left_id, right_id)`` (the at-scale persistence format,
+        SCALE.md): every later equi-join on the pair key — gold
+        evaluation, blocking comparison, candidate intersection — reads
+        the buckets co-located and skips its shuffle entirely (the plan
+        shows SortMergeJoin with no Exchange).  Use when blocks are
+        reused across experiment runs, the reference's cache motive
+        (``composite.py:131``) taken to storage."""
+        (
+            self.pairs(distinct=distinct)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "left_id", "right_id")
+            .sortBy("left_id", "right_id")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
     @classmethod
     def read_parquet(
         cls, spark: SparkSession, path: str, left_name: str | None = None, right_name: str | None = None

@@ -1271,7 +1271,9 @@ def gcn_embedding_blocking(spark, sf_dir):
     from .embedding.blockbuilder import KNNBlockBuilder
     from .encoders.propagation import GCNFrameEncoder
 
-    cust = _t(spark, sf_dir, "customer").limit(500)
+    # partition-preserving subset (a global .limit() would funnel the
+    # whole side through one partition before the encoder)
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     enc = GCNFrameEncoder(depth=2, dim=16)

@@ -74,3 +74,46 @@ def test_no_python_udfs_in_relational_kernel(spark, sf_dir):
     ]:
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_bucketed_pairs_join_skips_shuffle(spark):
+    """Bucketed block storage: a pair-key join between two tables
+    bucketed the same way runs with no Exchange on either side."""
+    from klinker_spark.data.blocks import BlockManager
+
+    lb = spark.createDataFrame(
+        [("k1", "a1"), ("k1", "a2"), ("k2", "a3")], "block_key string, id string"
+    )
+    rb = spark.createDataFrame(
+        [("k1", "b1"), ("k2", "b2")], "block_key string, id string"
+    )
+    bm = BlockManager.from_key_assignments(lb, rb, "A", "B")
+    import shutil
+
+    for t in ("pairs_bucketed", "gold_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a stale warehouse dir with no metastore entry blocks saveAsTable
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    bm.to_bucketed_table("pairs_bucketed", n_buckets=4)
+    gold = spark.createDataFrame([("a1", "b1")], "left_id string, right_id string")
+    (
+        gold.write.mode("overwrite")
+        .bucketBy(4, "left_id", "right_id")
+        .sortBy("left_id", "right_id")
+        .format("parquet")
+        .saveAsTable("gold_bucketed")
+    )
+    # force the shuffle-join path (tiny test tables would broadcast)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("pairs_bucketed").join(
+            spark.table("gold_bucketed"), ["left_id", "right_id"]
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        # the whole point: neither side shuffles
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
