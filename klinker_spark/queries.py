@@ -1404,3 +1404,25 @@ def corpus_clean_pipeline(spark, sf_dir):
     return survivors.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens")
     )
+
+
+@register(
+    "token_blocking_capped",
+    _TOKENS_SQL.format(stop=_STOP_SQL)
+    + """
+    , lcap AS (SELECT tok FROM lt GROUP BY tok HAVING count(DISTINCT id) <= 50),
+      rcap AS (SELECT tok FROM rt GROUP BY tok HAVING count(DISTINCT id) <= 50)
+    SELECT lt.tok AS block_key, lt.id AS left_id, rt.id AS right_id
+    FROM lt JOIN rt ON lt.tok = rt.tok
+    WHERE lt.tok IN (SELECT tok FROM lcap) AND rt.tok IN (SELECT tok FROM rcap)
+    """,
+)
+def token_blocking_capped(spark, sf_dir):
+    """TokenBlocker with the skew cap: tokens whose per-side id-set
+    exceeds max_block_size are dropped BEFORE the join (hot-key
+    mitigation, SCALE.md) — kills the 'customer'/'supplier' stop-token
+    blocks, keeps the discriminative number tokens."""
+    bm = TokenBlocker(max_block_size=50).assign(
+        _cust_frame(spark, sf_dir), _supp_frame(spark, sf_dir)
+    )
+    return _explode_blocks(bm)
