@@ -77,4 +77,4 @@ class AttributeClusteringBlocker(Blocker):
             .select("block_key", "id")
             .distinct()
         )
-        return BlockManager.from_key_assignments(lk, rk, left.name, right.name)
+        return BlockManager.from_key_assignments(lk, rk, left.name, right.name, assume_distinct=True)

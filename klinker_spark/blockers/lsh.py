@@ -118,5 +118,6 @@ class MinHashLSHBlocker(SchemaAgnosticBlocker):
         self, left: DataFrame, right: DataFrame, left_name: str, right_name: str
     ) -> BlockManager:
         return BlockManager.from_key_assignments(
-            self._band_side(left), self._band_side(right), left_name, right_name
+            self._band_side(left), self._band_side(right), left_name, right_name,
+            assume_distinct=True,  # one row per (id, band), keys band-prefixed
         )

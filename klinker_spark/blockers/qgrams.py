@@ -38,5 +38,6 @@ class QgramsBlocker(Blocker):
         right_rel: DataFrame | None = None,
     ) -> BlockManager:
         return BlockManager.from_key_assignments(
-            self._side(left), self._side(right), left.name, right.name
+            self._side(left), self._side(right), left.name, right.name,
+            assume_distinct=True,  # _side ends in .distinct()
         )

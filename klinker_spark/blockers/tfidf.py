@@ -70,4 +70,5 @@ class TfIdfFilteredTokenBlocker(SchemaAgnosticBlocker):
             self._weighted_tokens(right, right_name),
             left_name,
             right_name,
+            assume_distinct=True,  # tf groupBy(id, token) dedups upstream
         )

@@ -35,25 +35,42 @@ class TokenBlocker(SchemaAgnosticBlocker):
         self.stopwords = stopwords
         self.max_block_size = max_block_size
 
-    def _tok_side(self, frame: DataFrame, name: str) -> DataFrame:
-        toks = (
-            frame.select(
-                "id",
-                F.explode(
-                    tokenize("text", self.min_token_length, self.stopwords)
-                ).alias("block_key"),
-            )
-            .where(F.col("block_key") != "")
-            .groupBy("block_key")
-            .agg(F.array_sort(F.collect_set("id")).alias(name))
-        )
+    def _tok_keys(self, frame: DataFrame) -> DataFrame:
+        """(id, text) → distinct ``(block_key, id)`` token assignments.
+
+        ``tokenize``'s stopword ``array_except`` already dedups tokens
+        per row and the input is one row per id, so the assignments are
+        naturally distinct unless the stopword filter is disabled.  The
+        ``max_block_size`` skew cap counts over a window partitioned by
+        the same key the downstream join shuffles on — one shuffle per
+        side total.
+        """
+        toks = frame.select(
+            "id",
+            F.explode(tokenize("text", self.min_token_length, self.stopwords)).alias(
+                "block_key"
+            ),
+        ).where(F.col("block_key") != "")
+        if self.stopwords is not None and len(self.stopwords) == 0:
+            toks = toks.dropDuplicates(["block_key", "id"])
         if self.max_block_size is not None:
-            toks = toks.where(F.size(F.col(name)) <= self.max_block_size)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("block_key")
+            toks = (
+                toks.withColumn("_n", F.count("*").over(w))
+                .where(F.col("_n") <= self.max_block_size)
+                .drop("_n")
+            )
         return toks
 
     def _assign(
         self, left: DataFrame, right: DataFrame, left_name: str, right_name: str
     ) -> BlockManager:
-        lb = self._tok_side(left, left_name)
-        rb = self._tok_side(right, right_name)
-        return BlockManager(lb.join(rb, "block_key", "inner"), left_name, right_name)
+        return BlockManager.from_key_assignments(
+            self._tok_keys(left),
+            self._tok_keys(right),
+            left_name,
+            right_name,
+            assume_distinct=True,
+        )

@@ -35,7 +35,7 @@ class UniqueNameBlocker(Blocker):
                 F.max(F.col("id")).alias("only_id"),
             )
             .where(F.col("n") == 1)
-            .select("block_key", F.array(F.col("only_id")).alias(name))
+            .select("block_key", F.col("only_id").alias("id"))
         )
 
     def assign(
@@ -45,6 +45,10 @@ class UniqueNameBlocker(Blocker):
         left_rel: DataFrame | None = None,
         right_rel: DataFrame | None = None,
     ) -> BlockManager:
-        lb = self._unique_values(left, left.name)
-        rb = self._unique_values(right, right.name)
-        return BlockManager(lb.join(rb, "block_key", "inner"), left.name, right.name)
+        return BlockManager.from_key_assignments(
+            self._unique_values(left, left.name),
+            self._unique_values(right, right.name),
+            left.name,
+            right.name,
+            assume_distinct=True,
+        )

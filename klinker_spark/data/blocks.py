@@ -37,11 +37,40 @@ class BlockManager:
     |block_key|         A|       B|
     +---------+----------+--------+
     |   block1|  [a1, a3]|[b3, b4]|
+
+    Dual representation: when built via :meth:`from_key_assignments`
+    the manager ALSO carries the per-side ``(block_key, id)`` key
+    frames, and every pairs-shaped consumer joins those directly —
+    the array-cell ``df`` (the reference-compatible presentation
+    format) is only assembled when actually read.  At 100 TB a hot
+    block never becomes a million-element array cell unless the caller
+    explicitly asks for the array layout.
     """
 
-    df: DataFrame
+    _df: DataFrame | None
     left_name: str = "A"
     right_name: str = "B"
+    left_keys: DataFrame | None = None  # (block_key, id), distinct
+    right_keys: DataFrame | None = None
+
+    @property
+    def df(self) -> DataFrame:
+        """Array-cell block layout, assembled on demand from the key
+        frames when not given (A1: per side
+        ``groupBy(block_key).agg(collect_set(id))`` — the built-in
+        equivalent of ``groupby(key).apply(lambda x: list(set(...)))``,
+        ``standard.py:36-56`` — then the J1 inner key join,
+        ``standard.py:87``).  Arrays sorted for deterministic goldens
+        (set semantics, SURVEY §4)."""
+        if self._df is not None:
+            return self._df
+        lb = self.left_keys.groupBy("block_key").agg(
+            F.array_sort(F.collect_set(F.col("id"))).alias(self.left_name)
+        )
+        rb = self.right_keys.groupBy("block_key").agg(
+            F.array_sort(F.collect_set(F.col("id"))).alias(self.right_name)
+        )
+        return lb.join(rb, "block_key", "inner")
 
     # ---------------------------------------------------------------- build
     @classmethod
@@ -51,25 +80,17 @@ class BlockManager:
         right: DataFrame,
         left_name: str = "A",
         right_name: str = "B",
+        assume_distinct: bool = False,
     ) -> "BlockManager":
-        """Build blocks from per-side ``(block_key, id)`` assignments.
-
-        The core blocking aggregate + join (A1 + J1): per side
-        ``groupBy(block_key).agg(collect_set(id))`` — the built-in
-        equivalent of the reference's
-        ``groupby(key).apply(lambda x: list(set(x[id_col])))``
-        (``standard.py:36-56``, ``token_blocking.py:130-136``) — then an
-        inner equi-join on the key (``standard.py:87``).  Catalyst picks
-        broadcast vs sort-merge; AQE splits skewed keys.  Arrays are
-        sorted for deterministic goldens (set semantics, SURVEY §4).
-        """
-        lb = left.groupBy("block_key").agg(
-            F.array_sort(F.collect_set(F.col("id"))).alias(left_name)
-        )
-        rb = right.groupBy("block_key").agg(
-            F.array_sort(F.collect_set(F.col("id"))).alias(right_name)
-        )
-        return cls(lb.join(rb, "block_key", "inner"), left_name, right_name)
+        """Build from per-side ``(block_key, id)`` assignments — the
+        at-scale constructor: nothing aggregates until a consumer picks
+        a layout.  ``assume_distinct`` skips the dedup when the caller
+        already guarantees distinct (key, id) rows (e.g. an upstream
+        ``collect_set`` or ``distinct()``)."""
+        if not assume_distinct:
+            left = left.dropDuplicates(["block_key", "id"])
+            right = right.dropDuplicates(["block_key", "id"])
+        return cls(None, left_name, right_name, left_keys=left, right_keys=right)
 
     @classmethod
     def from_dict(
@@ -91,20 +112,34 @@ class BlockManager:
         return cls(spark.createDataFrame(rows, schema), left_name, right_name)
 
     # ---------------------------------------------------------------- views
+    def block_pairs(self) -> DataFrame:
+        """Per-block candidate pairs ``(block_key, left_id, right_id)``.
+
+        Key-frame path: a plain equi-join of the two assignment tables —
+        one shuffle, no array cells ever built.  Array path (df given
+        directly): the double-``explode`` UDTF shape (``blocks.py:
+        131-139``; the reference's own ``spark_eval.py:31-35``).
+        """
+        if self.left_keys is not None:
+            return (
+                self.left_keys.withColumnRenamed("id", "left_id")
+                .join(self.right_keys.withColumnRenamed("id", "right_id"), "block_key")
+            )
+        return self.df.select(
+            "block_key",
+            F.explode(self.df[self.left_name]).alias("left_id"),
+            F.col(self.right_name),
+        ).select("block_key", "left_id", F.explode(F.col(self.right_name)).alias("right_id"))
+
     def pairs(self, distinct: bool = True) -> DataFrame:
         """Blocks → candidate pairs ``(left_id, right_id)`` (E10).
 
-        The one true UDTF shape: a double ``explode``
-        (``blocks.py:131-139``; the reference's own Spark port
-        ``spark_eval.py:31-35``).  ``distinct=False`` keeps duplicate
-        pairs occurring in several blocks, matching ``Evaluation``'s
-        comparison counting; ``True`` matches ``spark_eval.py:35`` —
-        the two reference implementations disagree, so it's a flag
-        (SURVEY §4 delta 2).
+        ``distinct=False`` keeps duplicate pairs occurring in several
+        blocks, matching ``Evaluation``'s comparison counting; ``True``
+        matches ``spark_eval.py:35`` — the two reference implementations
+        disagree, so it's a flag (SURVEY §4 delta 2).
         """
-        out = self.df.select(
-            F.explode(self.df[self.left_name]).alias("left_id"), F.col(self.right_name)
-        ).select("left_id", F.explode(F.col(self.right_name)).alias("right_id"))
+        out = self.block_pairs().select("left_id", "right_id")
         return out.distinct() if distinct else out
 
     def find_blocks(self, entity_id: str, side: str | None = None) -> DataFrame:
@@ -118,12 +153,21 @@ class BlockManager:
 
     # ---------------------------------------------------------------- stats
     def with_sizes(self) -> DataFrame:
-        """Blocks + per-block sizes and comparison counts (A7)."""
-        return self.df.select(
-            "block_key",
-            F.size(F.col(self.left_name)).alias("left_size"),
-            F.size(F.col(self.right_name)).alias("right_size"),
-        ).select(
+        """Blocks + per-block sizes and comparison counts (A7).
+
+        Key-frame path: two count aggregates + join — never builds the
+        arrays just to ``size()`` them."""
+        if self.left_keys is not None:
+            ls = self.left_keys.groupBy("block_key").agg(F.count("*").alias("left_size"))
+            rs = self.right_keys.groupBy("block_key").agg(F.count("*").alias("right_size"))
+            sized = ls.join(rs, "block_key")
+        else:
+            sized = self.df.select(
+                "block_key",
+                F.size(F.col(self.left_name)).alias("left_size"),
+                F.size(F.col(self.right_name)).alias("right_size"),
+            )
+        return sized.select(
             "*",
             (F.col("left_size") + F.col("right_size")).alias("assignments"),
             (F.col("left_size") * F.col("right_size")).alias("comparisons"),
@@ -198,11 +242,20 @@ class BlockManager:
             .agg(F.min("comparisons").alias("threshold"))
             .withColumn("threshold", F.coalesce(F.col("threshold"), F.lit(2**62)))
         )
-        kept = self.df.join(
-            sized.join(F.broadcast(thresh)).where(F.col("comparisons") <= F.col("threshold")).select("block_key"),
-            "block_key",
-            "left_semi",
+        keep_keys = (
+            sized.join(F.broadcast(thresh))
+            .where(F.col("comparisons") <= F.col("threshold"))
+            .select("block_key")
         )
+        if self.left_keys is not None:
+            return BlockManager(
+                None,
+                self.left_name,
+                self.right_name,
+                left_keys=self.left_keys.join(keep_keys, "block_key", "left_semi"),
+                right_keys=self.right_keys.join(keep_keys, "block_key", "left_semi"),
+            )
+        kept = self.df.join(keep_keys, "block_key", "left_semi")
         return BlockManager(kept, self.left_name, self.right_name)
 
     # ---------------------------------------------------------------- io

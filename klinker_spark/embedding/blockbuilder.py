@@ -32,14 +32,16 @@ __all__ = ["KNNBlockBuilder", "LSHKNNBlockBuilder", "ClusterBlockBuilder"]
 
 
 def _nn_to_blocks(nn: DataFrame, left_name: str, right_name: str) -> BlockManager:
-    """``(query_id, neighbor_id, rank)`` → blocks keyed by left id."""
-    df = nn.groupBy(F.col("query_id").alias("block_key")).agg(
-        F.array_sort(F.collect_set("neighbor_id")).alias(right_name)
+    """``(query_id, neighbor_id, rank)`` → blocks keyed by left id
+    (NN-block normalization, ``blocks.py:466-557``): one key frame per
+    side, arrays only on demand."""
+    lk = nn.select(
+        F.col("query_id").alias("block_key"), F.col("query_id").alias("id")
+    ).dropDuplicates(["block_key"])
+    rk = nn.select(F.col("query_id").alias("block_key"), F.col("neighbor_id").alias("id"))
+    return BlockManager.from_key_assignments(
+        lk, rk, left_name, right_name, assume_distinct=True
     )
-    df = df.select(
-        "block_key", F.array(F.col("block_key")).alias(left_name), right_name
-    )
-    return BlockManager(df, left_name, right_name)
 
 
 class KNNBlockBuilder:

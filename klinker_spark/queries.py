@@ -79,11 +79,9 @@ def _supp_frame(spark, sf_dir) -> EntityFrame:
 
 
 def _explode_blocks(bm: BlockManager) -> DataFrame:
-    """Blocks → scalar rows (block_key, left_id, right_id)."""
-    return (
-        bm.df.select("block_key", F.explode(F.col(bm.left_name)).alias("left_id"), F.col(bm.right_name))
-        .select("block_key", "left_id", F.explode(F.col(bm.right_name)).alias("right_id"))
-    )
+    """Blocks → scalar rows (block_key, left_id, right_id) — the
+    key-frame join when available (no array cells), else explode²."""
+    return bm.block_pairs()
 
 
 # ------------------------------------------------------------------ S/J/A: standard blocking
