@@ -187,16 +187,40 @@ def ngram_jaccard_dedup(
     # Size filter rides along with candidate generation: J ≥ t forces
     # t·|A| ≤ |B| ≤ |A|/t, so length-mismatched pairs die before the
     # array join (and n_a/n_b never need a second lookup join).
+    #
+    # Positional filter (PPJoin): for a collision at prefix ranks
+    # (r_a, r_b) under the shared global order, the overlap is at most
+    # 1 + min(n_a - r_a, n_b - r_b), while J ≥ t needs overlap
+    # ≥ t·(n_a+n_b)/(1+t).  A qualifying pair's *first* common shingle
+    # sits in both prefixes and passes this bound, so keeping pairs
+    # where ANY collision passes is exact — it only drops candidates
+    # whose every collision already proves J < t, before the expensive
+    # array_intersect verification.
+    required = F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
     cand = (
-        prefix.select("shingle", F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        prefix.select(
+            "shingle",
+            F.col("doc_id").alias("doc_a"),
+            F.col("n").alias("n_a"),
+            F.col("r").alias("r_a"),
+        )
         .join(
-            prefix.select("shingle", F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            prefix.select(
+                "shingle",
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("n_b"),
+                F.col("r").alias("r_b"),
+            ),
             "shingle",
         )
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("n_b") >= threshold * F.col("n_a"))
             & (F.col("n_a") >= threshold * F.col("n_b"))
+            & (
+                F.lit(1) + F.least(F.col("n_a") - F.col("r_a"), F.col("n_b") - F.col("r_b"))
+                >= required
+            )
         )
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
