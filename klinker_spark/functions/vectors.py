@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "positional_dot", "topk_cosine_join"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "positional_dot",
+    "topk_cosine_join",
+    "topk_cosine_matmul",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -65,6 +72,104 @@ def positional_dot(a: Column, b: Column, dim: int) -> Column:
 POSITIONAL_DOT_MAX_DIM = 16
 
 
+def topk_cosine_matmul(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    query_id: str = "id",
+    index_id: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Exact top-k cosine neighbors via a broadcast numpy index matrix.
+
+    The vectorized twin of :func:`topk_cosine_join`'s expression path:
+    the index is collected to the driver once (same memory envelope as
+    the expr path's ``F.broadcast``), L2-normalized into one float64
+    matrix, and shipped to executors as an ``sc.broadcast`` variable.
+    Queries stream through ``mapInPandas``; each Arrow batch computes a
+    BLAS matmul + ``argpartition`` top-k.  No join rows are ever
+    materialized and no shuffle or sort runs — measured 11 s → ~1.5 s
+    on a 6k×60k dim-64 search (sf0.1 ``knn_topk``) vs the expr path,
+    whose 360M interpreted dot products dominate.
+
+    Ordering matches the expr path: sim DESC, neighbor id ASC, ranks
+    1..k.  Sims are float64 matmul results, equal to the expression
+    dots up to summation order (~1e-15 relative); exact ties rank
+    identically.  Divergences from the expr path, by design:
+
+    - zero-norm vectors produce NaN sims; Spark orders NaN *first* in
+      DESC (NaN > +Inf), numpy ranks them last.  Filter zero/null
+      vectors upstream if that distinction matters.
+    - null query vectors error here (``np.stack``) instead of yielding
+      all-null sims.
+
+    At 100 TB the index side of an exact search must still fit one
+    machine (it is broadcast either way); beyond that use the IVF /
+    LSH paths or shard-and-union (see module docstring of
+    ``ops.similarity``).
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    q_type = queries.schema[query_id].dataType.simpleString()
+    id_type = index.schema[index_id].dataType.simpleString()
+    out_schema = f"query_id {q_type}, neighbor_id {id_type}, sim double, rank int"
+
+    ipdf = index.select(F.col(index_id).alias("nid"), F.col(vec_col).alias("v")).toPandas()
+    n = len(ipdf)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    ids = ipdf["nid"].to_numpy()
+    mat = np.stack(ipdf["v"].to_numpy()).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    bc = spark.sparkContext.broadcast((ids, unit))
+    # sims tile budget ~128 MB of float64 per task
+    chunk = max(1, (1 << 24) // n)
+    kk = int(k)
+
+    def search(batches):
+        b_ids, b_unit = bc.value
+        nn = b_unit.shape[0]
+        m = min(nn, kk)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf["qid"].to_numpy()
+            qmat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                qunit = qmat / np.linalg.norm(qmat, axis=1)[:, None]
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for lo in range(0, len(pdf), chunk):
+                sims = qunit[lo : lo + chunk] @ b_unit.T
+                for r in range(sims.shape[0]):
+                    row = sims[r]
+                    if m < nn:
+                        cand = np.argpartition(-row, m - 1)[:m]
+                    else:
+                        cand = np.arange(nn)
+                    # stable two-pass argsort == ORDER BY sim DESC, id ASC
+                    o = cand[np.argsort(b_ids[cand], kind="stable")]
+                    o = o[np.argsort(-row[o], kind="stable")][:m]
+                    out_q.append(np.repeat(qids[lo + r], len(o)))
+                    out_n.append(b_ids[o])
+                    out_s.append(row[o])
+                    out_r.append(np.arange(1, len(o) + 1))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                    "rank": np.concatenate(out_r).astype("int32"),
+                }
+            )
+
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("v"))
+    return q.mapInPandas(search, schema=out_schema)
+
+
 def topk_cosine_join(
     queries: DataFrame,
     index: DataFrame,
@@ -73,20 +178,28 @@ def topk_cosine_join(
     index_id: str = "id",
     vec_col: str = "vector",
     dim: int | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Exact brute-force top-k cosine neighbors (J8 baseline / W4).
 
     Output: ``(query_id, neighbor_id, sim, rank)`` with rank 1..k,
     deterministic tie-break on neighbor id.
 
-    Plan: broadcast the index side (small-dim embedding tables up to a
-    few hundred MB broadcast fine), cross-join, per-query window top-k.
-    Norms are precomputed per side so the join computes one dot product
-    per pair, not three aggregates; the dot is positionally unrolled
-    into codegen'd arithmetic (``dim`` sniffed from the index side with
-    one tiny job when not given).  At scale prefer the LSH-bucketed
-    path (``ops.similarity.ann_topk_lsh``) or shard the index and union
-    per-shard top-k before the final window.
+    ``impl``: ``"matmul"`` (Arrow + broadcast numpy matrix, see
+    :func:`topk_cosine_matmul`), ``"expr"`` (pure-SQL broadcast
+    cross-join + window — the oracle baseline, keeps everything in
+    Catalyst), or ``"auto"`` (matmul — it wins at every size we
+    measured; expr remains for oracle parity and NaN/null edge
+    semantics).
+
+    Expr plan: broadcast the index side (small-dim embedding tables up
+    to a few hundred MB broadcast fine), cross-join, per-query window
+    top-k.  Norms are precomputed per side so the join computes one dot
+    product per pair, not three aggregates; the dot is positionally
+    unrolled into codegen'd arithmetic (``dim`` sniffed from the index
+    side with one tiny job when not given).  At scale prefer the
+    LSH-bucketed path (``ops.similarity.ann_topk_lsh``) or shard the
+    index and union per-shard top-k before the final window.
 
     CALLER NOTE: if either side is an expensive *expression pipeline*
     (e.g. a projection of higher-order functions), persist it first —
@@ -94,6 +207,12 @@ def topk_cosine_join(
     per-pair similarity, recomputing them |L|·|R| times instead of
     |L|+|R| (see ``KNNBlockBuilder.build_blocks``).
     """
+    if impl not in ("auto", "expr", "matmul"):
+        raise ValueError(f"impl must be auto|expr|matmul, got {impl!r}")
+    if impl in ("auto", "matmul"):
+        return topk_cosine_matmul(
+            queries, index, k=k, query_id=query_id, index_id=index_id, vec_col=vec_col
+        )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),

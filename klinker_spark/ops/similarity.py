@@ -29,10 +29,11 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
     ix = index.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
-    return topk_cosine_join(q, ix, k=k)
+    return topk_cosine_join(q, ix, k=k, impl=impl)
 
 
 def ann_topk_lsh(

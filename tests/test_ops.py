@@ -99,6 +99,40 @@ def test_brute_force_topk_real_embeddings(embeddings):
         assert best["neighbor_id"] == q
 
 
+def test_topk_matmul_matches_expr(embeddings):
+    queries = embeddings.where(F.col("vec_id") % 50 == 0)
+    mm = brute_force_topk(queries, embeddings, k=4, impl="matmul")
+    ex = brute_force_topk(queries, embeddings, k=4, impl="expr")
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in mm.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ex.collect()}
+    assert a == b
+    sa = {(r["query_id"], r["rank"]): r["sim"] for r in mm.collect()}
+    sb = {(r["query_id"], r["rank"]): r["sim"] for r in ex.collect()}
+    for key, s in sa.items():
+        assert abs(s - sb[key]) < 1e-9
+
+
+def test_topk_matmul_ties_and_string_ids(spark):
+    from klinker_spark.functions.vectors import topk_cosine_matmul
+
+    # b and c are identical vectors -> tie broken by id ASC at rank 2/3
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("c", [1.0, 1.0]), ("b", [1.0, 1.0]), ("d", [0.0, 1.0])],
+        ["id", "vector"],
+    )
+    out = topk_cosine_matmul(df.where(F.col("id") == "a"), df, k=3).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_topk_matmul_empty_sides(spark):
+    from klinker_spark.functions.vectors import topk_cosine_matmul
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["id", "vector"])
+    none = df.where(F.lit(False))
+    assert topk_cosine_matmul(df, none, k=2).count() == 0
+    assert topk_cosine_matmul(none, df, k=2).count() == 0
+
+
 def test_ann_lsh_recall_vs_exact(embeddings):
     queries = embeddings.where(F.col("vec_id") % 100 == 0)
     exact = brute_force_topk(queries, embeddings, k=5)
