@@ -37,9 +37,19 @@ def test_token_blocking_prunes_and_broadcasts(spark, sf_dir):
 def test_knn_broadcasts_index(spark, sf_dir):
     from klinker_spark.queries import QUERIES
 
+    # default (matmul) path: no join, no sort — one Arrow scan stage
     plan = plan_of(QUERIES["knn_topk"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan  # deliberate broadcast cross join
-    assert "PushedFilters: [IsNotNull(vec_id)]" in plan
+    assert "MapInPandas" in plan
+    for bad in ("Join", "Sort", "Exchange", "Window"):
+        assert bad not in plan, f"unexpected {bad} in matmul kNN plan"
+    # expr impl keeps the deliberate broadcast cross join + pushed filter
+    from klinker_spark.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    eplan = plan_of(brute_force_topk(q, emb, k=5, impl="expr"))
+    assert "BroadcastNestedLoopJoin" in eplan  # deliberate broadcast cross join
+    assert "PushedFilters: [IsNotNull(vec_id)]" in eplan
 
 
 def test_windowed_counts_partial_aggregation(spark, sf_dir):
