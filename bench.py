@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "graph_statistics",
     "composite_unique_name_blocking",
+    "composite_relational_blocking",
     "gcn_embedding_blocking",
     "deepblocker_knn_blocking",
     "corpus_clean_pipeline",

@@ -76,6 +76,15 @@ class CompositeUniqueNameBlocker(_ConcatRelationalInfo, Blocker):
 
         unique = UniqueNameBlocker().assign(left, right)
         unique = BlockManager(unique.df.persist(), unique.left_name, unique.right_name)
+        # Materialize NOW, not at the terminal action: the unique table
+        # is embedded six times downstream (two covered-id anti-joins
+        # per branch + two combines).  Left lazy, each copy re-enters
+        # analysis/optimization as a full aggregate subtree and the
+        # final plan blows up (measured 29 s analysis + 48 s execution
+        # vs ~6 s total with the eager cache at sf0.01); once cached,
+        # downstream plans substitute InMemoryRelation at analysis
+        # time.  The table is tiny (one row per unique value pair).
+        unique.df.count()
 
         left_rest = left.with_attrs(filter_with_unique(left.attrs, unique, left.name))
         right_rest = right.with_attrs(filter_with_unique(right.attrs, unique, right.name))

@@ -1261,6 +1261,110 @@ def composite_unique_name_blocking(spark, sf_dir):
     return _explode_blocks(combined).distinct()
 
 
+_COMPOSITE_REL_SQL = """
+    WITH lattr AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) id, c_mktsegment v FROM customer
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR), replace(n_name, '_', '')  FROM nation),
+    rattr AS (
+      SELECT 's' || CAST(s_suppkey AS VARCHAR) id, s_name v FROM supplier
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR), replace(n_name, '_', '')  FROM nation),
+    lu AS (SELECT v block_key, max(id) id FROM lattr WHERE v IS NOT NULL
+           GROUP BY v HAVING count(DISTINCT id) = 1),
+    ru AS (SELECT v block_key, max(id) id FROM rattr WHERE v IS NOT NULL
+           GROUP BY v HAVING count(DISTINCT id) = 1),
+    uniq AS (SELECT lu.block_key, lu.id left_id, ru.id right_id
+             FROM lu JOIN ru USING (block_key)),
+    lcov AS (SELECT DISTINCT left_id id FROM uniq),
+    rcov AS (SELECT DISTINCT right_id id FROM uniq),
+    lat AS (SELECT DISTINCT id, tok FROM (
+        SELECT id, unnest(regexp_split_to_array(lower(v), '[^a-z0-9]+')) tok FROM lattr
+        WHERE id NOT IN (SELECT id FROM lcov))
+      WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+    rat AS (SELECT DISTINCT id, tok FROM (
+        SELECT id, unnest(regexp_split_to_array(lower(v), '[^a-z0-9]+')) tok FROM rattr
+        WHERE id NOT IN (SELECT id FROM rcov))
+      WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+    lrel AS (SELECT DISTINCT id, tok FROM (
+        SELECT id, unnest(regexp_split_to_array(lower(v), '[^a-z0-9]+')) tok FROM (
+          SELECT 'c' || CAST(c_custkey AS VARCHAR) id, c_mktsegment v FROM customer
+          UNION ALL
+          SELECT 'c' || CAST(c_custkey AS VARCHAR), replace(n_name, '_', '') 
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        WHERE id NOT IN (SELECT id FROM lcov))
+      WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+    rrel AS (SELECT DISTINCT id, tok FROM (
+        SELECT id, unnest(regexp_split_to_array(lower(v), '[^a-z0-9]+')) tok FROM (
+          SELECT 's' || CAST(s_suppkey AS VARCHAR) id, s_name v FROM supplier
+          UNION ALL
+          SELECT 's' || CAST(s_suppkey AS VARCHAR), replace(n_name, '_', '') 
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        WHERE id NOT IN (SELECT id FROM rcov))
+      WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+    la AS (SELECT block_key, left_id FROM uniq
+           UNION SELECT tok, id FROM lat
+           UNION SELECT tok, id FROM lrel),
+    ra AS (SELECT block_key, right_id FROM uniq
+           UNION SELECT tok, id FROM rat
+           UNION SELECT tok, id FROM rrel)
+    SELECT DISTINCT la.block_key, la.left_id, ra.right_id
+    FROM la JOIN ra USING (block_key)
+"""
+
+
+@register(
+    "composite_relational_blocking",
+    _COMPOSITE_REL_SQL.format(stop=_STOP_SQL),
+)
+def composite_relational_blocking(spark, sf_dir):
+    """E4/E5/E6: the FULL CompositeRelationalTokenBlocker flow —
+    unique-name pass (nations, the only values unique on both sides) →
+    anti-join covered entities → token blocker on remaining attrs →
+    token blocker on neighbor-concat text of the remainder → two
+    array-union combines.  The oracle models combine exactly: per-side
+    assignment sets unioned per block_key across the three branches,
+    then the per-key cross product (a key hit by several branches pairs
+    the *union* of its members, not the union of per-branch pairs)."""
+    from .blockers.composite import CompositeRelationalTokenBlocker
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    # underscore stripped so the synthetic names (NATION_7) tokenize to
+    # one discriminative token per nation instead of the shared token
+    # 'nation' (which would make one block the full cross product)
+    nat_name = F.regexp_replace(F.col("n_name"), "_", "").alias("n_name")
+    nat_attrs = melt(
+        nat.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id"), nat_name), "id"
+    )
+    left = EntityFrame(
+        melt(
+            cust.select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id"), "c_mktsegment"),
+            "id",
+        ).unionByName(nat_attrs),
+        "customer",
+    )
+    right = EntityFrame(
+        melt(
+            supp.select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("id"), "s_name"), "id"
+        ).unionByName(nat_attrs),
+        "supplier",
+    )
+    left_rel = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("head"),
+        F.lit("in_nation").alias("rel"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("tail"),
+    )
+    right_rel = supp.select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("head"),
+        F.lit("in_nation").alias("rel"),
+        F.concat(F.lit("n"), F.col("s_nationkey")).alias("tail"),
+    )
+    bm = CompositeRelationalTokenBlocker().assign(left, right, left_rel, right_rel)
+    return _explode_blocks(bm).distinct()
+
+
 @register("gcn_embedding_blocking")
 def gcn_embedding_blocking(spark, sf_dir):
     """M9-M11: untrained GCN propagation over the customer↔nation KG,
