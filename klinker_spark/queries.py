@@ -1067,6 +1067,27 @@ def events_dedup_earliest(spark, sf_dir):
 
 
 @register(
+    "running_user_stats",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           max(epoch_ms(ts)) AS last_ts_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def running_user_stats_q(spark, sf_dir):
+    """§2.8 custom stateful op: batch analogue of
+    streaming.stateful.running_user_stats (applyInPandasWithState
+    running per-user totals); the streaming path's final state equals
+    this aggregate (asserted in tests/test_streaming.py)."""
+    from .data.io import load_events
+    from .streaming.stateful import running_user_stats
+
+    out = running_user_stats(load_events(spark, sf_dir))
+    return out.withColumn("sum_value", F.round("sum_value", 6))
+
+
+@register(
     "events_json_extract",
     """
     SELECT event_id, event_type,

@@ -1,4 +1,14 @@
 from .dedup import streaming_dedup, streaming_token_blocks, windowed_event_counts
 from .sessions import sessionize
+from .sinks import foreach_batch_sink, write_stream_parquet
+from .stateful import running_user_stats
 
-__all__ = ["streaming_dedup", "streaming_token_blocks", "windowed_event_counts", "sessionize"]
+__all__ = [
+    "streaming_dedup",
+    "streaming_token_blocks",
+    "windowed_event_counts",
+    "sessionize",
+    "foreach_batch_sink",
+    "write_stream_parquet",
+    "running_user_stats",
+]

@@ -72,6 +72,62 @@ def test_streaming_end_to_end(spark, events, tmp_path):
     assert n > 0
 
 
+def test_foreach_batch_parquet_sink_idempotent(spark, events, tmp_path):
+    from klinker_spark.streaming.sinks import write_stream_parquet
+
+    src = str(tmp_path / "sink_src")
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    sample = events.limit(1000)
+    sample.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = write_stream_parquet(stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert "_batch_id" in got.columns
+    # replaying the same batch id must overwrite, not append (idempotence)
+    import pyspark.sql.functions as F2
+
+    bid = got.select(F2.max("_batch_id")).collect()[0][0]
+    stream2 = spark.readStream.schema(events.schema).parquet(src)
+    q2 = write_stream_parquet(stream2, out, str(tmp_path / "sink_ckpt2"), available_now=True)
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out)
+    assert again.where(F2.col("_batch_id") == bid).count() == 1000
+
+
+def test_stateful_running_user_stats(spark, events, tmp_path):
+    from klinker_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "state_src")
+    sample = events.limit(2000).cache()
+    # two files -> at least one micro-batch each in availableNow mode
+    sample.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # final state per user (last emitted row) == batch aggregate
+    final = spark.sql(
+        "select user_id, max_by(n_events, n_events) n, max_by(sum_value, n_events) s"
+        " from user_stats group by user_id"
+    )
+    batch = running_user_stats(sample)
+    j = final.join(batch, "user_id")
+    assert j.count() == batch.count()
+    bad = j.where(
+        (F.col("n") != F.col("n_events")) | (F.abs(F.col("s") - F.col("sum_value")) > 1e-6)
+    ).count()
+    assert bad == 0
+
+
 def test_streaming_dedup_stream_mode(spark, events, tmp_path):
     src = str(tmp_path / "dedup_src")
     dup = events.limit(500)
