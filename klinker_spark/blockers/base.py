@@ -33,7 +33,18 @@ class Blocker(abc.ABC):
 
 
 class SchemaAgnosticBlocker(Blocker):
-    """Concat each side's values to ``(id, text)`` then ``_assign`` (E2)."""
+    """Concat each side's values to ``(id, text)`` then ``_assign`` (E2).
+
+    ``purge=True`` runs the cumulative-CC purge (W2,
+    ``BlockManager.purge``) on the result — the skew guardrail SCALE.md
+    advises before any array materialization on corpora with hot keys.
+    Off by default to mirror the reference, where purging is an
+    explicit post-hoc call (``blocks.py:172-244``).
+    """
+
+    def __init__(self, purge: bool = False, cc_round: int = 2):
+        self._purge = purge
+        self._cc_round = cc_round
 
     def assign(
         self,
@@ -42,9 +53,12 @@ class SchemaAgnosticBlocker(Blocker):
         left_rel: DataFrame | None = None,
         right_rel: DataFrame | None = None,
     ) -> BlockManager:
-        return self._assign(
+        bm = self._assign(
             left.concat_values(), right.concat_values(), left.name, right.name
         )
+        if getattr(self, "_purge", False):
+            bm = bm.purge(cc_round=self._cc_round)
+        return bm
 
     @abc.abstractmethod
     def _assign(

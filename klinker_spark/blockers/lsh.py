@@ -79,7 +79,10 @@ class MinHashLSHBlocker(SchemaAgnosticBlocker):
         weights: tuple[float, float] = (0.5, 0.5),
         min_token_length: int = 3,
         seed: int = 42,
+        purge: bool = False,
+        cc_round: int = 2,
     ):
+        super().__init__(purge=purge, cc_round=cc_round)
         self.threshold = threshold
         self.num_perm = num_perm
         self.weights = weights

@@ -31,7 +31,14 @@ __all__ = ["TfIdfFilteredTokenBlocker"]
 
 
 class TfIdfFilteredTokenBlocker(SchemaAgnosticBlocker):
-    def __init__(self, threshold: float = 0.1, min_token_length: int = 3):
+    def __init__(
+        self,
+        threshold: float = 0.1,
+        min_token_length: int = 3,
+        purge: bool = False,
+        cc_round: int = 2,
+    ):
+        super().__init__(purge=purge, cc_round=cc_round)
         self.threshold = threshold
         self.min_token_length = min_token_length
 

@@ -30,7 +30,10 @@ class TokenBlocker(SchemaAgnosticBlocker):
         min_token_length: int = 3,
         stopwords: list[str] | None = None,
         max_block_size: int | None = None,
+        purge: bool = False,
+        cc_round: int = 2,
     ):
+        super().__init__(purge=purge, cc_round=cc_round)
         self.min_token_length = min_token_length
         self.stopwords = stopwords
         self.max_block_size = max_block_size

@@ -72,6 +72,12 @@ def test_token_blocker_max_block_size(frame_a, frame_b):
     assert got["john"] == ({"a1"}, {"b1"})
 
 
+def test_token_blocker_purge_flag(frame_a, frame_b):
+    eager = TokenBlocker(purge=True).assign(frame_a, frame_b)
+    posthoc = TokenBlocker().assign(frame_a, frame_b).purge()
+    assert blocks_as_dict(eager) == blocks_as_dict(posthoc)
+
+
 def test_unique_name_blocker(frame_a, frame_b):
     bm = UniqueNameBlocker().assign(frame_a, frame_b)
     got = blocks_as_dict(bm)
