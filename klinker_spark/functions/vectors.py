@@ -24,6 +24,7 @@ __all__ = [
     "positional_dot",
     "topk_cosine_join",
     "topk_cosine_matmul",
+    "topk_cosine_sharded",
 ]
 
 
@@ -170,6 +171,94 @@ def topk_cosine_matmul(
     return q.mapInPandas(search, schema=out_schema)
 
 
+def topk_cosine_sharded(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    query_id: str = "id",
+    index_id: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Exact top-k cosine when the INDEX is too big to broadcast.
+
+    The dual of :func:`topk_cosine_matmul`: broadcast the *query*
+    matrix (the small side — searches fan a bounded query set across
+    an unbounded corpus), stream the index through ``mapInPandas``
+    partition by partition, and keep one running ``|Q|×k`` best-so-far
+    buffer per partition (BLAS matmul per Arrow batch + vectorized
+    merge).  Each partition emits at most ``|Q|·k`` candidate rows, so
+    the only shuffle is the final merge window over
+    ``num_partitions · |Q| · k`` rows — independent of index size.
+
+    This is the 100 TB exact-search plan: a 1000-executor scan of a
+    partitioned parquet index with a constant-size reduce, versus
+    :func:`topk_cosine_matmul` whose index must fit in one broadcast.
+    Results are identical to the matmul path (same float64 matmul,
+    same sim DESC / neighbor id ASC order, same NaN caveats; ties at
+    the top-k boundary resolve by argpartition order in both).
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    q_type = queries.schema[query_id].dataType.simpleString()
+    id_type = index.schema[index_id].dataType.simpleString()
+    out_schema = f"query_id {q_type}, neighbor_id {id_type}, sim double, rank int"
+
+    qpdf = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("v")).toPandas()
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    qids = qpdf["qid"].to_numpy()
+    qmat = np.stack(qpdf["v"].to_numpy()).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qunit = qmat / np.linalg.norm(qmat, axis=1)[:, None]
+    bc = spark.sparkContext.broadcast((qids, qunit))
+    kk = int(k)
+
+    def scan(batches):
+        import pandas as pd
+
+        b_qids, b_qunit = bc.value
+        nq = b_qunit.shape[0]
+        best_s = np.full((nq, kk), -np.inf)
+        best_i = None  # (nq, kk) neighbor ids, dtype set on first batch
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nids = pdf["nid"].to_numpy()
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+            sims = b_qunit @ unit.T  # (nq, B)
+            if best_i is None:
+                best_i = np.full((nq, kk), nids[0])  # placeholder cells masked by -inf
+            cat_s = np.concatenate([best_s, sims], axis=1)
+            cat_i = np.concatenate(
+                [best_i, np.broadcast_to(nids, (nq, len(nids)))], axis=1
+            )
+            if cat_s.shape[1] > kk:
+                idx = np.argpartition(-cat_s, kk - 1, axis=1)[:, :kk]
+            else:
+                idx = np.argsort(-cat_s, axis=1)
+            best_s = np.take_along_axis(cat_s, idx, axis=1)
+            best_i = np.take_along_axis(cat_i, idx, axis=1)
+        if best_i is None:
+            return
+        valid = ~np.isneginf(best_s)
+        rows = np.repeat(np.arange(nq), valid.sum(axis=1))
+        yield pd.DataFrame(
+            {
+                "query_id": b_qids[rows],
+                "neighbor_id": best_i[valid],
+                "sim": best_s[valid],
+            }
+        )
+
+    ix = index.select(F.col(index_id).alias("nid"), F.col(vec_col).alias("v"))
+    cand = ix.mapInPandas(scan, schema=f"query_id {q_type}, neighbor_id {id_type}, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def topk_cosine_join(
     queries: DataFrame,
     index: DataFrame,
@@ -186,11 +275,13 @@ def topk_cosine_join(
     deterministic tie-break on neighbor id.
 
     ``impl``: ``"matmul"`` (Arrow + broadcast numpy matrix, see
-    :func:`topk_cosine_matmul`), ``"expr"`` (pure-SQL broadcast
-    cross-join + window — the oracle baseline, keeps everything in
-    Catalyst), or ``"auto"`` (matmul — it wins at every size we
-    measured; expr remains for oracle parity and NaN/null edge
-    semantics).
+    :func:`topk_cosine_matmul`), ``"sharded"`` (broadcast queries,
+    stream index partitions — exact search for indexes too big to
+    broadcast, see :func:`topk_cosine_sharded`), ``"expr"`` (pure-SQL
+    broadcast cross-join + window — the oracle baseline, keeps
+    everything in Catalyst), or ``"auto"`` (matmul — it wins at every
+    size where the index fits a broadcast; expr remains for oracle
+    parity and NaN/null edge semantics).
 
     Expr plan: broadcast the index side (small-dim embedding tables up
     to a few hundred MB broadcast fine), cross-join, per-query window
@@ -207,10 +298,14 @@ def topk_cosine_join(
     per-pair similarity, recomputing them |L|·|R| times instead of
     |L|+|R| (see ``KNNBlockBuilder.build_blocks``).
     """
-    if impl not in ("auto", "expr", "matmul"):
-        raise ValueError(f"impl must be auto|expr|matmul, got {impl!r}")
+    if impl not in ("auto", "expr", "matmul", "sharded"):
+        raise ValueError(f"impl must be auto|expr|matmul|sharded, got {impl!r}")
     if impl in ("auto", "matmul"):
         return topk_cosine_matmul(
+            queries, index, k=k, query_id=query_id, index_id=index_id, vec_col=vec_col
+        )
+    if impl == "sharded":
+        return topk_cosine_sharded(
             queries, index, k=k, query_id=query_id, index_id=index_id, vec_col=vec_col
         )
     q = queries.select(

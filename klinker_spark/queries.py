@@ -1000,6 +1000,23 @@ def knn_topk(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+_KNN_ORACLE = ORACLES["knn_topk"]
+
+
+@register("knn_topk_sharded", _KNN_ORACLE)
+def knn_topk_sharded_q(spark, sf_dir):
+    """Exact kNN, big-index plan: broadcast the query matrix, stream
+    index partitions with a running per-partition top-k, merge with a
+    window over num_partitions·|Q|·k rows.  Identical result to
+    knn_topk (shares its oracle) with no index broadcast — the shape
+    that survives an index 1000× larger than executor memory."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb.where(F.col("vec_id") % 10 == 0), emb, k=10, impl="sharded"
+    )
+    return out.withColumn("sim", F.round("sim", 6))
+
+
 @register("ann_topk_ivf")
 def ann_topk_ivf_q(spark, sf_dir):
     """IVF approximate kNN (KMeans coarse quantizer → probe top-4 of 16
@@ -1008,6 +1025,18 @@ def ann_topk_ivf_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = ann_topk_ivf(emb.where(F.col("vec_id") % 10 == 0), emb, k=10)
     return out.withColumn("sim", F.round("sim", 6))
+
+
+@register("ann_topk_lsh")
+def ann_topk_lsh_q(spark, sf_dir):
+    """LSH approximate kNN (MLlib BucketedRandomProjectionLSH on unit
+    vectors; random hyperplanes → rows-only check; recall-vs-exact is
+    asserted in tests/test_ops.py)."""
+    from .ops.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_topk_lsh(emb.where(F.col("vec_id") % 10 == 0), emb, k=10)
+    return out.withColumn("dist", F.round("dist", 6))
 
 
 # ------------------------------------------------------------------ events (batch forms of the streaming ops)

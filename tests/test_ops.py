@@ -112,6 +112,29 @@ def test_topk_matmul_matches_expr(embeddings):
         assert abs(s - sb[key]) < 1e-9
 
 
+def test_topk_sharded_matches_expr(embeddings):
+    # force several input partitions so the per-partition running
+    # top-k + merge window actually exercises the multi-shard path
+    queries = embeddings.where(F.col("vec_id") % 50 == 0)
+    sh = brute_force_topk(queries, embeddings.repartition(7), k=4, impl="sharded")
+    ex = brute_force_topk(queries, embeddings, k=4, impl="expr")
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in sh.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ex.collect()}
+    assert a == b
+
+
+def test_topk_sharded_partition_smaller_than_k(spark):
+    from klinker_spark.functions.vectors import topk_cosine_sharded
+
+    # 3 index rows over 5 partitions (some empty, all smaller than k)
+    ix = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("y", [1.0, 1.0]), ("z", [0.0, 1.0])], ["id", "vector"]
+    ).repartition(5)
+    q = spark.createDataFrame([("q1", [1.0, 0.0])], ["id", "vector"])
+    out = topk_cosine_sharded(q, ix, k=10).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [("x", 1), ("y", 2), ("z", 3)]
+
+
 def test_topk_matmul_ties_and_string_ids(spark):
     from klinker_spark.functions.vectors import topk_cosine_matmul
 
