@@ -45,13 +45,21 @@ class Evaluation:
         cls,
         blocks: BlockManager,
         gold: DataFrame,
-        left_count: int,
-        right_count: int,
+        left_count: "int | DataFrame",
+        right_count: "int | DataFrame",
         distinct: bool = True,
     ) -> "Evaluation":
         """``gold``: 2 columns ``(left_id, right_id)`` (any names —
         positionally mapped, as ``eval.py:168-179`` maps block column
-        names).  Three join-counts, no pair collection on the driver.
+        names).  All counters are join-counts, never a driver-side pair
+        materialization.
+
+        ``left_count`` / ``right_count`` accept the entity DataFrames
+        themselves; then the whole evaluation runs in TWO driver
+        actions — one scan of the (huge) pairs table with the gold set
+        broadcast onto it, and one action folding the three small
+        counts (gold, |L|, |R|) into a single cross-joined aggregate
+        plan — instead of four.
         """
         lcol, rcol = gold.columns[:2]
         g = gold.select(
@@ -68,7 +76,17 @@ class Evaluation:
             F.count("*").alias("_n"), F.sum(F.coalesce(F.col("_g"), F.lit(0))).alias("_tp")
         ).first()
         n_pairs, tp = row["_n"], int(row["_tp"] or 0)
-        n_gold = g.count()
+        small = g.agg(F.count("*").alias("_ng"))
+        if isinstance(left_count, DataFrame):
+            small = small.crossJoin(left_count.agg(F.count("*").alias("_nl")))
+        if isinstance(right_count, DataFrame):
+            small = small.crossJoin(right_count.agg(F.count("*").alias("_nr")))
+        srow = small.first()
+        n_gold = srow["_ng"]
+        if isinstance(left_count, DataFrame):
+            left_count = srow["_nl"]
+        if isinstance(right_count, DataFrame):
+            right_count = srow["_nr"]
         return cls(
             true_positives=tp,
             false_positives=n_pairs - tp,

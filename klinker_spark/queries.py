@@ -628,7 +628,7 @@ def eval_metrics(spark, sf_dir):
     gold = cust.join(supp, cust.c_custkey == 10 * supp.s_suppkey).select(
         F.col("c_custkey").cast("string"), F.col("s_suppkey").cast("string")
     )
-    ev = Evaluation.from_blocks(bm, gold, left_count=cust.count(), right_count=supp.count())
+    ev = Evaluation.from_blocks(bm, gold, left_count=cust, right_count=supp)
     d = ev.to_dict()
     row = (
         d["true_positives"],

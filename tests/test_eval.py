@@ -42,6 +42,17 @@ def test_quality(spark, gold):
     assert e.h3r == pytest.approx(0.42396313364055294)
 
 
+def test_quality_dataframe_counts(spark, gold):
+    # passing the entity tables instead of ints folds |L|/|R|/|gold|
+    # into one driver action and must yield identical metrics
+    blocks = BlockManager.from_dict(spark, EXAMPLE)
+    left = spark.createDataFrame([(f"A:{i}",) for i in range(8)], ["id"])
+    right = spark.createDataFrame([(f"B:{i}",) for i in range(7)], ["id"])
+    e = Evaluation.from_blocks(blocks, gold, left_count=left, right_count=right)
+    ref = Evaluation.from_blocks(blocks, gold, left_count=8, right_count=7)
+    assert e == ref
+
+
 def test_quality_nothing(spark, gold):
     blocks = BlockManager.from_dict(spark, NOTHING_FOUND)
     e = Evaluation.from_blocks(blocks, gold, left_count=8, right_count=7)
