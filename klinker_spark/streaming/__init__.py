@@ -1,7 +1,7 @@
 from .dedup import streaming_dedup, streaming_token_blocks, windowed_event_counts
 from .sessions import sessionize
 from .sinks import foreach_batch_sink, write_stream_parquet
-from .stateful import running_user_stats
+from .stateful import running_user_stats, running_user_stats_tws
 
 __all__ = [
     "streaming_dedup",
@@ -11,4 +11,5 @@ __all__ = [
     "foreach_batch_sink",
     "write_stream_parquet",
     "running_user_stats",
+    "running_user_stats_tws",
 ]

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["running_user_stats"]
+__all__ = ["running_user_stats", "running_user_stats_tws"]
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_ts_ms bigint"
 _STATE_SCHEMA = "n bigint, s double, last bigint"
@@ -73,5 +73,67 @@ def running_user_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_stats_tws(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """:func:`running_user_stats` on the ``transformWithStateInPandas``
+    API — Spark 4's successor to ``applyInPandasWithState``: typed
+    state variables (``ValueState``/``ListState``/``MapState``) behind a
+    ``StatefulProcessor`` instead of one opaque state tuple, with TTL
+    and timers.  Requires the RocksDB state-store provider (set in
+    ``session.get_spark``) and the ``protobuf`` package (the state
+    server's wire protocol — not in this container, so the pytest
+    coverage import-skips; the classic variant stays the tested path).
+    Same output and update-mode semantics as the classic variant, so
+    the same batch aggregate is its oracle.
+    """
+    ts_ms = F.unix_millis(F.col(ts_col))
+    if not events.isStreaming:
+        return running_user_stats(events, ts_col)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import StructType
+
+    state_schema = StructType.fromDDL(_STATE_SCHEMA)
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, s, last = self._agg.get() if self._agg.exists() else (0, 0.0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                if len(pdf):
+                    last = max(last, int(pdf["ts_ms"].max()))
+            self._agg.update((n, s, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "last_ts_ms": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value", ts_ms.alias("ts_ms"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

@@ -128,6 +128,39 @@ def test_stateful_running_user_stats(spark, events, tmp_path):
     assert bad == 0
 
 
+def test_stateful_running_user_stats_tws(spark, events, tmp_path):
+    # Spark 4 transformWithStateInPandas variant: same final state as
+    # the batch aggregate (and as the applyInPandasWithState classic).
+    # Its state-server protocol needs protobuf (absent in this env).
+    pytest.importorskip("google.protobuf")
+    from klinker_spark.streaming.stateful import running_user_stats, running_user_stats_tws
+
+    src = str(tmp_path / "tws_src")
+    sample = events.limit(2000).cache()
+    sample.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = running_user_stats_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_stats_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.sql(
+        "select user_id, max_by(n_events, n_events) n, max_by(sum_value, n_events) s"
+        " from user_stats_tws group by user_id"
+    )
+    batch = running_user_stats(sample)
+    j = final.join(batch, "user_id")
+    assert j.count() == batch.count()
+    bad = j.where(
+        (F.col("n") != F.col("n_events")) | (F.abs(F.col("s") - F.col("sum_value")) > 1e-6)
+    ).count()
+    assert bad == 0
+
+
 def test_streaming_dedup_stream_mode(spark, events, tmp_path):
     src = str(tmp_path / "dedup_src")
     dup = events.limit(500)
