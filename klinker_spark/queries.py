@@ -1502,6 +1502,71 @@ def windowed_token_blocks(spark, sf_dir):
     )
 
 
+@register("lightea_embedding_blocking")
+def lightea_embedding_blocking(spark, sf_dir):
+    """M12: LightEA-flavored relation-aware propagation (per-relation
+    hash vectors modulate messages, per-hop L2 norm) + kNN block build
+    (hash/float-valued → rows-only check; invariants in
+    tests/test_propagation.py)."""
+    from .embedding.blockbuilder import KNNBlockBuilder
+    from .encoders.propagation import RelationAwarePropagationEncoder
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    supp = _t(spark, sf_dir, "supplier")
+    enc = RelationAwarePropagationEncoder(depth=2, dim=16)
+
+    def side(df, key, name_col, nk, pfx):
+        conc = df.select(
+            F.concat(F.lit(pfx), F.col(key)).alias("id"), F.col(name_col).alias("text")
+        )
+        rels = df.select(
+            F.concat(F.lit(pfx), F.col(key)).alias("head"),
+            F.lit("in_nation").alias("rel"),
+            F.concat(F.lit("n"), F.col(nk)).alias("tail"),
+        )
+        return enc.encode(conc, rels)
+
+    left_emb = side(cust, "c_custkey", "c_mktsegment", "c_nationkey", "c")
+    right_emb = side(supp, "s_suppkey", "s_name", "s_nationkey", "s")
+    bm = KNNBlockBuilder(k=3).build_blocks(left_emb, right_emb, "customer", "supplier")
+    return bm.df.select("block_key", F.explode(F.col("supplier")).alias("right_id"))
+
+
+@register("attribute_clustering_blocking")
+def attribute_clustering_blocking(spark, sf_dir):
+    """M15: attribute-value clustering blocker — distinct values
+    hash-embedded, KMeans-clustered, value→cluster-label as blocking
+    key (KMeans is iterative → rows-only check; deterministic-seed
+    invariants in tests/test_attr_clustering_eval.py).  Output: block
+    sizes per side (array cells not hashable by the driver compare)."""
+    from .blockers.attribute_clustering import AttributeClusteringBlocker
+    from .data.frames import EntityFrame
+
+    cust, supp = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    left = EntityFrame.from_triples(
+        cust.select(
+            F.col("c_custkey").alias("head"),
+            F.lit("segment").alias("rel"),
+            F.col("c_mktsegment").alias("tail"),
+        ),
+        "customer",
+    )
+    right = EntityFrame.from_triples(
+        supp.select(
+            F.col("s_suppkey").alias("head"),
+            F.lit("name").alias("rel"),
+            F.col("s_name").alias("tail"),
+        ),
+        "supplier",
+    )
+    bm = AttributeClusteringBlocker(n_clusters=8, dim=16).assign(left, right)
+    return bm.df.select(
+        "block_key",
+        F.size("customer").alias("n_left"),
+        F.size("supplier").alias("n_right"),
+    )
+
+
 @register("sif_pc_removal")
 def sif_pc_removal(spark, sf_dir):
     """M2: SIF-weighted hash embeddings + first-principal-component
