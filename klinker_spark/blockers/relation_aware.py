@@ -88,12 +88,16 @@ def name_importance(attrs: DataFrame, num_entities: int) -> DataFrame:
     return counted.select("prop", _harmonic(support, disc).alias("importance"))
 
 
-def graph_statistics(rels: DataFrame, num_entities: int) -> DataFrame:
+def graph_statistics(rels: DataFrame, num_entities: int | None = None) -> DataFrame:
     """Per-relation stats on DISTINCT instance pairs (A11,
     ``/root/reference/src/klinker/graph_statistics.py:11-58`` — the
     genuinely-distinct variant, vs :func:`relation_importance`'s
     non-null-count pandas semantics): support = n_pairs/n²,
     discriminability = n_objects/n_pairs, importance = harmonic mean.
+
+    ``num_entities=None`` folds the distinct-entity count into the plan
+    as a cross-joined single-row aggregate (one broadcast row) instead
+    of a separate driver action — the whole statistic is then one job.
 
     Output: ``(rel, n_pairs, n_subjects, n_objects, importance)``.
     """
@@ -102,7 +106,18 @@ def graph_statistics(rels: DataFrame, num_entities: int) -> DataFrame:
         F.countDistinct("head").alias("n_subjects"),
         F.countDistinct("tail").alias("n_objects"),
     )
-    support = F.col("n_pairs") / F.lit(float(num_entities) ** 2)
+    if num_entities is None:
+        n_df = (
+            rels.select(F.col("head").alias("e"))
+            .union(rels.select("tail"))
+            .distinct()
+            .agg(F.count("*").alias("_n"))
+        )
+        per = per.crossJoin(F.broadcast(n_df))
+        n_sq = F.col("_n").cast("double") * F.col("_n").cast("double")
+    else:
+        n_sq = F.lit(float(num_entities) ** 2)
+    support = F.col("n_pairs") / n_sq
     disc = F.col("n_objects") / F.col("n_pairs")
     return per.select(
         "rel", "n_pairs", "n_subjects", "n_objects", _harmonic(support, disc).alias("importance")

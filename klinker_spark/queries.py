@@ -1192,8 +1192,7 @@ def graph_statistics_q(spark, sf_dir):
         F.col("l_returnflag").alias("rel"),
         F.col("l_partkey").cast("string").alias("tail"),
     )
-    n = rels.select(F.col("head").alias("e")).union(rels.select("tail")).distinct().count()
-    return graph_statistics(rels, n).withColumn("importance", F.round("importance", 6))
+    return graph_statistics(rels).withColumn("importance", F.round("importance", 6))
 
 
 @register(
