@@ -11,6 +11,9 @@ All three return ``(query_id, neighbor_id, sim|dist, rank)``:
   This is the 100 TB design: the index is partitioned by centroid id,
   a query touches n_probe/k_centroids of the data, and the probe join
   is a plain equi-join on the centroid id.
+- ``build_ivf_index`` / ``ann_topk_ivf_indexed``: the persisted form —
+  build once (inverted lists as parquet partitioned by centroid id),
+  query many (probe set becomes a static partition prune at the scan).
 """
 
 from __future__ import annotations
@@ -20,7 +23,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot, l2_norm, topk_cosine_join
 
-__all__ = ["brute_force_topk", "ann_topk_lsh", "ann_topk_ivf"]
+__all__ = [
+    "brute_force_topk",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "build_ivf_index",
+    "ann_topk_ivf_indexed",
+]
 
 
 def brute_force_topk(
@@ -75,6 +84,108 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
     return out.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def build_ivf_index(
+    index: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: inverted lists as parquet PARTITIONED BY
+    centroid id, centroids as a tiny sibling table.
+
+    This is the build half of the at-scale ANN design: build once,
+    query many.  Because the lists live in ``centroid_id=N/``
+    directories, a probe of ``n_probe`` lists is a *static partition
+    prune* at the parquet scan — a query over a 100 TB index reads
+    ``n_probe / n_centroids`` of the files, no shuffle, no index scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ix = index.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
+    feat = ix.withColumn("features", array_to_vector("vector"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
+    (
+        model.transform(feat)
+        .select(F.col("prediction").alias("centroid_id"), "id", "vector")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    spark = index.sparkSession
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark.createDataFrame(cents, "cid int, cv array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ann_topk_ivf_indexed(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query half of :func:`build_ivf_index`: score the (tiny, collected)
+    centroid table per query, take the union of probed list ids, and
+    read ``lists/`` with an ``isin`` filter on the partition column —
+    the scan plans with ``PartitionFilters`` and never opens unprobed
+    directories (asserted in tests/test_plans.py).
+    """
+    spark = queries.sparkSession
+    cents = sorted(
+        ((r["cid"], r["cv"]) for r in spark.read.parquet(f"{path}/centroids").collect())
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(x) for x in c]).alias("cv"))
+            for i, c in cents
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
+    scored = q.withColumn(
+        "probes",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        cent_arr,
+                        lambda s: F.struct(
+                            (-cosine(F.col("vector"), s["cv"])).alias("negsim"),
+                            s["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                lambda s: s["cid"],
+            ),
+            1,
+            n_probe,
+        ),
+    ).persist()
+    probed = scored.select(
+        F.col("id").alias("query_id"),
+        F.col("vector").alias("_qv"),
+        l2_norm(F.col("vector")).alias("_qn"),
+        F.explode("probes").alias("centroid_id"),
+    )
+    # tiny action: the distinct probed-list ids (bounded by n_centroids)
+    # become a static IN-filter => parquet partition pruning at the scan
+    probe_ids = [r["centroid_id"] for r in probed.select("centroid_id").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").where(F.col("centroid_id").isin(probe_ids))
+    cand = probed.join(lists, "centroid_id").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (dot(F.col("_qv"), F.col("vector")) / (F.col("_qn") * l2_norm(F.col("vector")))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def ann_topk_ivf(

@@ -1027,6 +1027,25 @@ def ann_topk_ivf_q(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+@register("ann_topk_ivf_indexed")
+def ann_topk_ivf_indexed_q(spark, sf_dir):
+    """Persisted-IVF ANN: build the partitioned-parquet inverted-list
+    index (KMeans → write partitionBy centroid_id), then probe it —
+    the probe set reaches the scan as a static partition filter
+    (PartitionFilters asserted in tests/test_plans.py).  KMeans is
+    iterative → rows-only check."""
+    import os
+
+    from .ops.similarity import ann_topk_ivf_indexed, build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "spark-warehouse", f"ivf_{sf_tag}")
+    build_ivf_index(emb, path, n_centroids=16)
+    out = ann_topk_ivf_indexed(emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
 @register("ann_topk_lsh")
 def ann_topk_lsh_q(spark, sf_dir):
     """LSH approximate kNN (MLlib BucketedRandomProjectionLSH on unit

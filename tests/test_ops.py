@@ -175,6 +175,23 @@ def test_ann_ivf_recall_vs_exact(embeddings):
     assert len(e & a) / len(e) > 0.6
 
 
+def test_ivf_indexed_build_query(embeddings, tmp_path):
+    from klinker_spark.ops.similarity import ann_topk_ivf_indexed, build_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, path, n_centroids=8)
+    queries = embeddings.where(F.col("vec_id") % 100 == 0)
+    approx = ann_topk_ivf_indexed(queries, path, k=5, n_probe=3)
+    exact = brute_force_topk(queries, embeddings, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) > 0.6
+    # the on-disk layout is one directory per inverted list
+    import os
+
+    assert any(d.startswith("centroid_id=") for d in os.listdir(f"{path}/lists"))
+
+
 def test_token_count(docs):
     tc = (
         token_count(docs)

@@ -34,6 +34,20 @@ def test_token_blocking_prunes_and_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_indexed_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    from klinker_spark.ops.similarity import ann_topk_ivf_indexed, build_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    out = ann_topk_ivf_indexed(emb.where(F.col("vec_id") % 100 == 0), path, k=3, n_probe=2)
+    plan = plan_of(out)
+    # probe set must reach the parquet scan as a partition filter —
+    # unprobed centroid directories are never opened
+    assert "PartitionFilters" in plan
+    assert "centroid_id IN" in plan or "centroid_id#" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_knn_broadcasts_index(spark, sf_dir):
     from klinker_spark.queries import QUERIES
 
