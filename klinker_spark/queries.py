@@ -649,6 +649,75 @@ def eval_metrics(spark, sf_dir):
 
 
 @register(
+    "compare_blockings",
+    """
+    WITH pa AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) l, CAST(s_suppkey AS VARCHAR) r
+                FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+         pb AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) l, CAST(s_suppkey AS VARCHAR) r
+                FROM customer JOIN supplier ON c_custkey % 7 = s_suppkey % 7),
+         gold AS (SELECT CAST(c_custkey AS VARCHAR) l, CAST(s_suppkey AS VARCHAR) r
+                  FROM customer JOIN supplier ON c_custkey = 10 * s_suppkey),
+         ta AS (SELECT l, r FROM pa INTERSECT SELECT l, r FROM gold),
+         tb AS (SELECT l, r FROM pb INTERSECT SELECT l, r FROM gold),
+         tc AS (SELECT l, r FROM ta INTERSECT SELECT l, r FROM tb),
+         c AS (SELECT (SELECT count(*) FROM ta) na, (SELECT count(*) FROM tb) nb,
+                      (SELECT count(*) FROM tc) nc, (SELECT count(*) FROM gold) ng)
+    SELECT na AS tp_a, nb AS tp_b, nc AS tp_common,
+           round(CASE WHEN na + nb = 0 THEN 0 ELSE 2.0 * nc / (na + nb) END, 6) AS tp_dice,
+           na - nc AS only_a, nb - nc AS only_b,
+           round(na * 1.0 / ng, 6) AS recall_a, round(nb * 1.0 / ng, 6) AS recall_b,
+           round((na + nb - nc) * 1.0 / ng, 6) AS combined_recall
+    FROM c
+    """,
+)
+def compare_blockings_q(spark, sf_dir):
+    """E9: dice overlap / exclusive TPs / combined recall of two
+    blockings (nation-key vs key-mod-7 standard blocking) against the
+    synthetic gold — all join-counts, no driver pair sets."""
+    from .eval import compare_blockings
+
+    cust, supp = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+
+    def blocks(lcols_df, rcols_df, key):
+        left = EntityFrame.from_wide(lcols_df, "customer", "c_custkey", [key + "_l"])
+        right = EntityFrame.from_wide(rcols_df, "supplier", "s_suppkey", [key + "_r"])
+        left = left.with_attrs(left.attrs.withColumn("prop", F.lit(key)))
+        right = right.with_attrs(right.attrs.withColumn("prop", F.lit(key)))
+        return StandardBlocker(key).assign(left, right)
+
+    bm_a = blocks(
+        cust.withColumn("nat_l", F.col("c_nationkey").cast("string")),
+        supp.withColumn("nat_r", F.col("s_nationkey").cast("string")),
+        "nat",
+    )
+    bm_b = blocks(
+        cust.withColumn("k7_l", (F.col("c_custkey") % 7).cast("string")),
+        supp.withColumn("k7_r", (F.col("s_suppkey") % 7).cast("string")),
+        "k7",
+    )
+    gold = cust.join(supp, cust.c_custkey == 10 * supp.s_suppkey).select(
+        F.col("c_custkey").cast("string"), F.col("s_suppkey").cast("string")
+    )
+    d = compare_blockings(bm_a, bm_b, gold)
+    row = (
+        d["tp_a"],
+        d["tp_b"],
+        d["tp_common"],
+        round(d["tp_dice"], 6),
+        d["only_a"],
+        d["only_b"],
+        round(d["recall_a"], 6),
+        round(d["recall_b"], 6),
+        round(d["combined_recall"], 6),
+    )
+    return spark.createDataFrame(
+        [row],
+        "tp_a bigint, tp_b bigint, tp_common bigint, tp_dice double, only_a bigint, "
+        "only_b bigint, recall_a double, recall_b double, combined_recall double",
+    )
+
+
+@register(
     "find_blocks",
     _TOKENS_SQL.format(stop=_STOP_SQL)
     + """
