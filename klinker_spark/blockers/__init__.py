@@ -17,8 +17,10 @@ from .composite import CompositeRelationalTokenBlocker, CompositeUniqueNameBlock
 from .lsh import MinHashLSHBlocker
 from .relation_aware import (
     RelationalBlocker,
+    RelationalMinHashLSHBlocker,
     RelationalTokenBlocker,
     SimpleRelationalBlocker,
+    SimpleRelationalMinHashLSHBlocker,
     SimpleRelationalTokenBlocker,
 )
 from .tfidf import TfIdfFilteredTokenBlocker
@@ -28,8 +30,10 @@ __all__ += [
     "CompositeUniqueNameBlocker",
     "MinHashLSHBlocker",
     "RelationalBlocker",
+    "RelationalMinHashLSHBlocker",
     "RelationalTokenBlocker",
     "SimpleRelationalBlocker",
+    "SimpleRelationalMinHashLSHBlocker",
     "SimpleRelationalTokenBlocker",
     "TfIdfFilteredTokenBlocker",
 ]

@@ -38,6 +38,8 @@ __all__ = [
     "SimpleRelationalTokenBlocker",
     "RelationalBlocker",
     "RelationalTokenBlocker",
+    "SimpleRelationalMinHashLSHBlocker",
+    "RelationalMinHashLSHBlocker",
 ]
 
 
@@ -307,6 +309,74 @@ class RelationalTokenBlocker(RelationalBlocker):
         super().__init__(
             TokenBlocker(min_token_length=attr_min_token_length),
             TokenBlocker(min_token_length=rel_min_token_length),
+            top_n_a,
+            top_n_r,
+        )
+
+
+class SimpleRelationalMinHashLSHBlocker(SimpleRelationalBlocker):
+    """LSH on own+neighbor concatenated text
+    (``relation_aware.py:359-388``); one MinHash banding pass over the
+    enriched text, same reference defaults (threshold 0.5, 128 perms).
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.5,
+        num_perm: int = 128,
+        weights: tuple[float, float] = (0.5, 0.5),
+        min_token_length: int = 3,
+        top_n_a: int | None = None,
+        top_n_r: int | None = None,
+    ):
+        from .lsh import MinHashLSHBlocker
+
+        super().__init__(
+            MinHashLSHBlocker(
+                threshold=threshold,
+                num_perm=num_perm,
+                weights=weights,
+                min_token_length=min_token_length,
+            ),
+            top_n_a,
+            top_n_r,
+        )
+
+
+class RelationalMinHashLSHBlocker(RelationalBlocker):
+    """Separate attr/rel LSH passes, combined
+    (``relation_aware.py:432-470``; reference defaults rel_threshold
+    0.7 — neighbor text must be *more* similar than own text to
+    block together).
+    """
+
+    def __init__(
+        self,
+        attr_threshold: float = 0.5,
+        attr_num_perm: int = 128,
+        attr_weights: tuple[float, float] = (0.5, 0.5),
+        rel_threshold: float = 0.7,
+        rel_num_perm: int = 128,
+        rel_weights: tuple[float, float] = (0.5, 0.5),
+        min_token_length: int = 3,
+        top_n_a: int | None = None,
+        top_n_r: int | None = None,
+    ):
+        from .lsh import MinHashLSHBlocker
+
+        super().__init__(
+            MinHashLSHBlocker(
+                threshold=attr_threshold,
+                num_perm=attr_num_perm,
+                weights=attr_weights,
+                min_token_length=min_token_length,
+            ),
+            MinHashLSHBlocker(
+                threshold=rel_threshold,
+                num_perm=rel_num_perm,
+                weights=rel_weights,
+                min_token_length=min_token_length,
+            ),
             top_n_a,
             top_n_r,
         )

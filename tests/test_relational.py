@@ -96,6 +96,30 @@ def test_simple_relational_token_blocker(frame_a, frame_b, rels_a, rels_b):
     assert "b1" in got["rebecca"][1] and "b3" in got["rebecca"][1]
 
 
+def test_relational_lsh_blockers(frame_a, frame_b, rels_a, rels_b):
+    # reference surface parity: SimpleRelationalMinHashLSHBlocker /
+    # RelationalMinHashLSHBlocker (relation_aware.py:359-388 / :432-470).
+    # identical enriched text must co-block; determinism under the seed
+    from klinker_spark.blockers.relation_aware import (
+        RelationalMinHashLSHBlocker,
+        SimpleRelationalMinHashLSHBlocker,
+    )
+
+    simple = SimpleRelationalMinHashLSHBlocker(threshold=0.3, num_perm=32)
+    bm1 = simple.assign(frame_a, frame_b, rels_a, rels_b)
+    pairs1 = {tuple(r) for r in bm1.pairs().collect()}
+    # a3/b3 share name+bday+country text; their knows-neighbors inherit it
+    assert ("a3", "b3") in pairs1
+    bm2 = simple.assign(frame_a, frame_b, rels_a, rels_b)
+    assert pairs1 == {tuple(r) for r in bm2.pairs().collect()}
+
+    split = RelationalMinHashLSHBlocker(
+        attr_threshold=0.3, attr_num_perm=32, rel_threshold=0.5, rel_num_perm=32
+    )
+    bm3 = split.assign(frame_a, frame_b, rels_a, rels_b)
+    assert ("a3", "b3") in {tuple(r) for r in bm3.pairs().collect()}
+
+
 def test_filter_with_unique(frame_a, frame_b):
     unique = UniqueNameBlocker().assign(frame_a, frame_b)
     rest = filter_with_unique(frame_a.attrs, unique, "A")
