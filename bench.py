@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "ngram_jaccard_dedup",
     "knn_topk",
+    "knn_topk_sharded",
+    "ann_topk_ivf_indexed",
     "langid",
     "quality_score",
     "tfidf_top_tokens",

@@ -109,7 +109,9 @@ class BlockManager:
         schema = (
             f"block_key string, `{left_name}` array<string>, `{right_name}` array<string>"
         )
-        return cls(spark.createDataFrame(rows, schema), left_name, right_name)
+        from ..session import local_df
+
+        return cls(local_df(spark, rows, schema), left_name, right_name)
 
     # ---------------------------------------------------------------- views
     def block_pairs(self) -> DataFrame:

@@ -28,7 +28,7 @@ class Dataset:
     gold: DataFrame | None = None  # (left_id, right_id)
 
     @classmethod
-    def read_parquet(
+    def read(
         cls,
         spark: SparkSession,
         left_path: str,
@@ -39,19 +39,37 @@ class Dataset:
         left_name: str = "A",
         right_name: str = "B",
         clean: bool = False,
+        fmt: str = "parquet",
     ) -> "Dataset":
-        """Load attribute-triple parquet per side (+ optional rel/gold).
+        """Load attribute-triple tables per side (+ optional rel/gold)
+        from any Spark batch source (``fmt``: parquet / csv / json /
+        orc ...; csv reads with header+schema-inference).
 
         Filters and the RDF-datatype clean (S2) are column expressions,
-        so Catalyst pushes the scan down to the needed columns.
+        so Catalyst pushes the scan down to the needed columns (for
+        columnar formats; csv/json always pay a full-row parse —
+        convert to parquet before running at scale).
         """
+
+        def rd(path: str) -> DataFrame:
+            reader = spark.read.format(fmt)
+            if fmt == "csv":
+                reader = reader.option("header", "true").option("inferSchema", "true")
+            return reader.load(path)
+
         return cls(
-            left=EntityFrame.from_triples(spark.read.parquet(left_path), left_name, clean=clean),
-            right=EntityFrame.from_triples(spark.read.parquet(right_path), right_name, clean=clean),
-            left_rel=spark.read.parquet(left_rel_path) if left_rel_path else None,
-            right_rel=spark.read.parquet(right_rel_path) if right_rel_path else None,
-            gold=spark.read.parquet(gold_path) if gold_path else None,
+            left=EntityFrame.from_triples(rd(left_path), left_name, clean=clean),
+            right=EntityFrame.from_triples(rd(right_path), right_name, clean=clean),
+            left_rel=rd(left_rel_path) if left_rel_path else None,
+            right_rel=rd(right_rel_path) if right_rel_path else None,
+            gold=rd(gold_path) if gold_path else None,
         )
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, *args, **kwargs) -> "Dataset":
+        """Parquet shorthand for :meth:`read` (the original S1 surface)."""
+        kwargs.setdefault("fmt", "parquet")
+        return cls.read(spark, *args, **kwargs)
 
     def sample(self, fraction_pct: int, seed: int = 42) -> "Dataset":
         """Deterministic subsample (P9, ``ea_dataset.py:112-166``).

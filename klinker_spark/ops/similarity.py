@@ -93,6 +93,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_fraction: float = 0.25,
 ) -> None:
     """Persist an IVF index: inverted lists as parquet PARTITIONED BY
     centroid id, centroids as a tiny sibling table.
@@ -102,23 +103,42 @@ def build_ivf_index(
     directories, a probe of ``n_probe`` lists is a *static partition
     prune* at the parquet scan — a query over a 100 TB index reads
     ``n_probe / n_centroids`` of the files, no shuffle, no index scan.
+
+    The coarse quantizer fits on a ``fit_fraction`` sample (the
+    standard IVF training regime — Faiss trains on ~30-250 points per
+    centroid); assignment of the full index is one KMeans transform.
+    The write repartitions by centroid id first so every list
+    directory gets one file per shuffle partition that holds its key,
+    not one per upstream partition (measured 2x on the write).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     ix = index.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
     feat = ix.withColumn("features", array_to_vector("vector"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
+    fit_on = feat.sample(fit_fraction, seed=seed) if fit_fraction < 1.0 else feat
+    # KMeans is iterative: an uncached input re-runs the sample scan +
+    # array_to_vector projection every iteration (maxIter=20 default)
+    fit_on = fit_on.persist()
+    try:
+        # maxIter=10 == Faiss's IVF training default; a coarse
+        # quantizer needs balanced cells, not converged centroids
+        model = KMeans(k=n_centroids, seed=seed, featuresCol="features", maxIter=10).fit(fit_on)
+    finally:
+        fit_on.unpersist()
     (
         model.transform(feat)
         .select(F.col("prediction").alias("centroid_id"), "id", "vector")
+        .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/lists")
     )
+    from ..session import local_df
+
     spark = index.sparkSession
     cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    spark.createDataFrame(cents, "cid int, cv array<double>").coalesce(1).write.mode(
+    local_df(spark, cents, "cid int, cv array<double>").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/centroids")
 
@@ -131,58 +151,94 @@ def ann_topk_ivf_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Query half of :func:`build_ivf_index`: score the (tiny, collected)
-    centroid table per query, take the union of probed list ids, and
-    read ``lists/`` with an ``isin`` filter on the partition column —
-    the scan plans with ``PartitionFilters`` and never opens unprobed
-    directories (asserted in tests/test_plans.py).
+    """Query half of :func:`build_ivf_index`.
+
+    Probe plan: the query set (the small side, same envelope as
+    :func:`~klinker_spark.functions.vectors.topk_cosine_sharded`)
+    collects once; centroid scoring is a driver-side numpy matmul
+    against the tiny centroid table; the union of probed list ids
+    becomes a static ``isin`` filter on the partition column — the
+    ``lists/`` scan plans with ``PartitionFilters`` and never opens
+    unprobed directories (asserted in tests/test_plans.py).  Each
+    probed list is then searched by one ``applyInPandas`` group: a
+    BLAS matmul of the centroid's queries against its vectors with a
+    local top-k, so only ``|Q_c|·k`` candidate rows per centroid reach
+    the final merge window — the 90M interpreted expression dots the
+    naive probe join evaluates never materialize (NOTES.md lesson 7).
     """
+    import numpy as np
+
     spark = queries.sparkSession
     cents = sorted(
         ((r["cid"], r["cv"]) for r in spark.read.parquet(f"{path}/centroids").collect())
     )
-    cent_arr = F.array(
-        *[
-            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(x) for x in c]).alias("cv"))
-            for i, c in cents
-        ]
+    cmat = np.array([c for _, c in cents], dtype=np.float64)
+    cids = np.array([i for i, _ in cents])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cunit = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+
+    q_type = queries.schema[id_col].dataType.simpleString()
+    lists_raw = spark.read.parquet(f"{path}/lists")
+    n_type = lists_raw.schema["id"].dataType.simpleString()
+    qpdf = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    out_schema = f"query_id {q_type}, neighbor_id {n_type}, sim double, rank int"
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    qids = qpdf["id"].to_numpy()
+    qmat = np.stack(qpdf["v"].to_numpy()).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qunit = qmat / np.linalg.norm(qmat, axis=1)[:, None]
+    # centroid scoring: |Q|×n_centroids driver matmul, probes per query
+    csims = qunit @ cunit.T
+    order = np.argsort(-csims, axis=1, kind="stable")[:, :n_probe]
+    probes = cids[order]  # (|Q|, n_probe) centroid ids
+    by_centroid: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for c in row:
+            by_centroid.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast(
+        {c: (qids[idx], qunit[idx]) for c, idx in by_centroid.items()}
     )
-    q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
-    scored = q.withColumn(
-        "probes",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.transform(
-                        cent_arr,
-                        lambda s: F.struct(
-                            (-cosine(F.col("vector"), s["cv"])).alias("negsim"),
-                            s["cid"].alias("cid"),
-                        ),
-                    )
-                ),
-                lambda s: s["cid"],
-            ),
-            1,
-            n_probe,
-        ),
-    ).persist()
-    probed = scored.select(
-        F.col("id").alias("query_id"),
-        F.col("vector").alias("_qv"),
-        l2_norm(F.col("vector")).alias("_qn"),
-        F.explode("probes").alias("centroid_id"),
-    )
-    # tiny action: the distinct probed-list ids (bounded by n_centroids)
-    # become a static IN-filter => parquet partition pruning at the scan
-    probe_ids = [r["centroid_id"] for r in probed.select("centroid_id").distinct().collect()]
-    lists = spark.read.parquet(f"{path}/lists").where(F.col("centroid_id").isin(probe_ids))
-    cand = probed.join(lists, "centroid_id").select(
-        "query_id",
-        F.col("id").alias("neighbor_id"),
-        (dot(F.col("_qv"), F.col("vector")) / (F.col("_qn") * l2_norm(F.col("vector")))).alias(
-            "sim"
-        ),
+    kk = int(k)
+
+    def search_list(pdf):
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        entry = bc.value.get(int(pdf["centroid_id"].iloc[0]))
+        if entry is None:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        g_qids, g_qunit = entry
+        nids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+        sims = g_qunit @ unit.T  # (|Q_c|, |list|)
+        m = min(kk, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            if m < len(row):
+                cand = np.argpartition(-row, m - 1)[:m]
+            else:
+                cand = np.arange(len(row))
+            out_q.append(np.repeat(g_qids[r], len(cand)))
+            out_n.append(nids[cand])
+            out_s.append(row[cand])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    # tiny static probe set => parquet partition pruning at the scan
+    probe_ids = sorted(by_centroid)
+    lists = lists_raw.where(F.col("centroid_id").isin(probe_ids))
+    cand = lists.groupBy("centroid_id").applyInPandas(
+        search_list, schema=f"query_id {q_type}, neighbor_id {n_type}, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

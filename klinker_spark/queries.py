@@ -33,6 +33,7 @@ from .data.blocks import BlockManager
 from .data.frames import EntityFrame, clean_rdf_datatype, melt
 from .data.io import load_events
 from .functions.text import STOPWORDS, qgrams, tokenize
+from .session import local_df
 from .ops.dedup import exact_dedup, minhash_lsh_dedup, ngram_jaccard_dedup, simhash_dedup
 from .ops.similarity import ann_topk_ivf, brute_force_topk
 from .ops.textstats import (
@@ -346,7 +347,7 @@ def count_entities_q(spark, sf_dir):
         F.col("o_custkey").cast("string").alias("tail"),
     )
     n = count_entities(attrs, rels)
-    return spark.createDataFrame([(n,)], "n bigint")
+    return local_df(spark, [(n,)], "n bigint")
 
 
 @register(
@@ -641,7 +642,8 @@ def eval_metrics(spark, sf_dir):
         round(d["reduction_ratio"], 6),
         round(d["h3r"], 6),
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [row],
         "tp bigint, fp bigint, fn bigint, comparisons bigint, recall double, "
         "precision double, f_measure double, reduction_ratio double, h3r double",
@@ -710,7 +712,8 @@ def compare_blockings_q(spark, sf_dir):
         round(d["recall_b"], 6),
         round(d["combined_recall"], 6),
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [row],
         "tp_a bigint, tp_b bigint, tp_common bigint, tp_dice double, only_a bigint, "
         "only_b bigint, recall_a double, recall_b double, combined_recall double",

@@ -16,7 +16,40 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "local_df"]
+
+
+def local_df(spark: "SparkSession", rows, schema: str):
+    """``spark.createDataFrame`` for small driver-side row lists, via a
+    pandas frame.  The plain list path serializes through per-row
+    pickling and costs ~5 s per *action* even for 16 rows; the
+    pandas/Arrow path is a LocalRelation (~0.1 s).  ``schema`` is a DDL
+    string; rows are tuples in schema order.  Empty input falls back to
+    the list path (pandas can't carry dtypes for 0 rows).
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    names = [f.split()[0].strip("`") for f in _split_ddl(schema)]
+    pdf = pd.DataFrame(rows, columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
+def _split_ddl(schema: str) -> list[str]:
+    """Split a DDL column list on top-level commas (array<...> safe)."""
+    out, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            depth += ch in "<("
+            depth -= ch in ">)"
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
 
 
 def get_spark(

@@ -65,3 +65,20 @@ def test_from_triples_clean(spark):
 
 def test_ids(frame_a):
     assert {r["id"] for r in frame_a.ids().collect()} == {"a1", "a2", "a3", "a4", "a5"}
+
+
+def test_dataset_read_csv(spark, tmp_path):
+    # format-agnostic S1 loader: triple tables from csv, same Dataset
+    from klinker_spark.data.dataset import Dataset
+
+    left = tmp_path / "left_csv"
+    right = tmp_path / "right_csv"
+    spark.createDataFrame(
+        [("a1", "name", "rebecca"), ("a2", "name", "max")], ["head", "rel", "tail"]
+    ).write.option("header", "true").csv(str(left))
+    spark.createDataFrame(
+        [("b1", "name", "rebecca")], ["head", "rel", "tail"]
+    ).write.option("header", "true").csv(str(right))
+    ds = Dataset.read(spark, str(left), str(right), fmt="csv")
+    assert {r["id"] for r in ds.left.ids().collect()} == {"a1", "a2"}
+    assert ds.right.attrs.collect()[0]["value"] == "rebecca"

@@ -179,7 +179,9 @@ def test_ivf_indexed_build_query(embeddings, tmp_path):
     from klinker_spark.ops.similarity import ann_topk_ivf_indexed, build_ivf_index
 
     path = str(tmp_path / "ivf")
-    build_ivf_index(embeddings, path, n_centroids=8)
+    # fit_fraction=1: the 500-row test index is smaller than a sane
+    # quantizer sample; the default 0.25 is for at-scale indexes
+    build_ivf_index(embeddings, path, n_centroids=8, fit_fraction=1.0)
     queries = embeddings.where(F.col("vec_id") % 100 == 0)
     approx = ann_topk_ivf_indexed(queries, path, k=5, n_probe=3)
     exact = brute_force_topk(queries, embeddings, k=5)
