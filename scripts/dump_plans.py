@@ -16,6 +16,8 @@ NOTES = {
     "knn_topk": "Index broadcast, deliberate BroadcastNestedLoopJoin cross product, single window for top-k; vec_id filter pushed to the scan.",
     "windowed_event_counts": "Scan pruned to 3 columns; map-side partial aggregate; one exchange on (window, type).",
     "eval_metrics": "Join-count evaluation: pairs left-join broadcast gold, one aggregate for comparisons+TPs.",
+    "knn_topk_sharded": "Unbroadcastable-index exact kNN: query matrix broadcast, index partitions stream through MapInPandas with a running Q×k buffer; only per-partition winners reach the merge window's exchange.",
+    "ann_topk_ivf_indexed": "Persisted IVF probe: scan shows PartitionFilters on centroid_id (unprobed list directories never open); per-list matmul via FlatMapGroupsInPandas; tiny final window.",
 }
 
 
