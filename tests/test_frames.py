@@ -67,6 +67,23 @@ def test_ids(frame_a):
     assert {r["id"] for r in frame_a.ids().collect()} == {"a1", "a2", "a3", "a4", "a5"}
 
 
+def test_local_df_arrow_path(spark):
+    from klinker_spark.session import _split_ddl, local_df
+
+    # nested-type-safe DDL split
+    assert _split_ddl("a int, b array<struct<x:int,y:double>>, c string") == [
+        "a int",
+        "b array<struct<x:int,y:double>>",
+        "c string",
+    ]
+    df = local_df(
+        spark, [(1, [0.5, 1.5], "x"), (2, [2.5], "y")], "cid int, cv array<double>, s string"
+    )
+    assert df.schema.simpleString() == "struct<cid:int,cv:array<double>,s:string>"
+    assert df.count() == 2
+    assert local_df(spark, [], "a bigint, b string").count() == 0
+
+
 def test_dataset_read_csv(spark, tmp_path):
     # format-agnostic S1 loader: triple tables from csv, same Dataset
     from klinker_spark.data.dataset import Dataset
