@@ -101,6 +101,7 @@ def minhash_signatures(
     num_perm: int = 64,
     seed: int = 42,
     sig_col: str = "signature",
+    hash_fn: str = "xxhash64",
 ):
     """Per-row MinHash signature over an array column →
     ``(id_col, sig_col array<bigint>)`` DataFrame.
@@ -128,6 +129,25 @@ def minhash_signatures(
       is ~the cost of a multiply, not a string traversal per perm.
     """
     ex = df.select(F.col(id_col), F.explode(F.array_distinct(items_col)).alias("_item"))
+    if hash_fn == "md5":
+        # Cross-engine-deterministic mode: permutation i is the md5 hex
+        # digest of "i:item"; min over the fixed-length lowercase-hex
+        # strings is a valid total order.  ~3-5x the hash cost of the
+        # xxhash64 path (string digest per perm, no hash-of-hash
+        # shortcut) — use it when the signature itself must be
+        # reproducible outside Spark (oracles, cross-system handoff).
+        aggs = [
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("_item")))).alias(f"_h{i}")
+            for i in range(num_perm)
+        ]
+        return (
+            ex.groupBy(id_col)
+            .agg(*aggs)
+            .select(
+                id_col,
+                F.array(*[F.col(f"_h{i}") for i in range(num_perm)]).alias(sig_col),
+            )
+        )
     ex = ex.select(F.col(id_col), F.xxhash64(F.col("_item")).alias("_h"))
     aggs = [
         F.min(F.xxhash64(F.col("_h"), F.lit(seed + i))).alias(f"_h{i}")

@@ -30,6 +30,7 @@ __all__ = [
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ngram_jaccard_dedup",
+    "cosine_signlsh_dedup",
     "embedding_cosine_dedup",
 ]
 
@@ -56,6 +57,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash banded near-dup candidates.
 
@@ -75,13 +77,15 @@ def minhash_lsh_dedup(
         id_col="doc_id",
         num_perm=num_perm,
         seed=seed,
+        hash_fn=hash_fn,
     )
+    band_hash = F.md5 if hash_fn == "md5" else F.xxhash64
     band_keys = F.array(
         *[
             F.concat_ws(
                 "_",
                 F.lit(b),
-                F.xxhash64(F.concat_ws(",", F.slice(F.col("signature"), b * rows + 1, rows))),
+                band_hash(F.concat_ws(",", F.slice(F.col("signature"), b * rows + 1, rows))),
             )
             for b in range(bands)
         ]
@@ -240,6 +244,88 @@ def ngram_jaccard_dedup(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def cosine_signlsh_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    sign_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup with *axis-aligned* hyperplanes.
+
+    Bucket key = the sign pattern of the first ``sign_bits`` dimensions,
+    banded like MinHash (a pair is a candidate iff some band of sign
+    bits matches exactly); candidates verified with exact cosine.
+    Output: ``(doc_a, doc_b, sim)`` with sim ≥ threshold, sim rounded
+    to 6 dp.
+
+    Two deliberate properties vs ``embedding_cosine_dedup``:
+
+    - fully deterministic (no sampled hyperplanes, no KMeans) — every
+      engine that can read the vectors computes the identical result,
+      so it carries an exact DuckDB oracle;
+    - the self-join is an equi-join on (band, sign-pattern), so at
+      scale the plan is one shuffle on short string keys and the
+      all-pairs product never materializes.  Recall per pair follows
+      the standard SimHash bound ``1-(1-(1-θ/π)^r)^b`` — tune
+      ``sign_bits``/``bands`` per corpus; it is an honest approximate
+      method, not an exact one (``ngram_jaccard_dedup`` is the exact
+      family).
+
+    Hot-bucket skew (many vectors sharing a sign pattern, e.g.
+    all-positive embeddings) is the known hazard — AQE skew-join splits
+    oversized buckets; raising ``sign_bits`` shrinks them.
+    """
+    rows = sign_bits // bands
+    bits = F.concat(
+        *[
+            F.when(F.element_at(F.col("vector"), j + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for j in range(sign_bits)
+        ]
+    )
+    emb = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vector")
+    ).select("doc_id", "vector", bits.alias("bits"))
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", F.lit(c), F.substring(F.col("bits"), c * rows + 1, rows))
+            for c in range(bands)
+        ]
+    )
+    # persist: self-join diamond (same rationale as minhash banding)
+    banded = emb.select("doc_id", "vector", F.explode(band_keys).alias("band_key")).persist()
+    other = banded.select(
+        "band_key", F.col("doc_id").alias("doc_b"), F.col("vector").alias("vec_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("vector", "vec_b", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # Verify *before* the pair-dedup so the distinct shuffles only
+    # scalar (id, id, sim) rows, never the dim-d vectors; a pair hit in
+    # several bands recomputes one dim-d dot — cheaper than shuffling
+    # the vectors.
+    return (
+        banded.join(other, "band_key")
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .withColumn("sim", F.round(dot / (norm("vector") * norm("vec_b")), 6))
+        .where(F.col("sim") >= threshold)
+        .select(F.col("doc_id").alias("doc_a"), "doc_b", "sim")
+        .distinct()
     )
 
 

@@ -888,6 +888,84 @@ def minhash_dedup_q(spark, sf_dir):
     return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), num_perm=32, bands=8)
 
 
+@register(
+    "minhash_dedup_md5",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> length(t) >= 1) tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(generate_series(1, len(tk) - 2),
+                                      i -> array_to_string(tk[i:i+2], ' '))
+             END sg
+      FROM toks),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(sg) shingle FROM sh)),
+    sig AS (
+      SELECT doc_id, p, min(md5(p::varchar || ':' || shingle)) mh
+      FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 31)) p)
+      GROUP BY doc_id, p),
+    bands AS (
+      SELECT doc_id, p // 4 band, md5(string_agg(mh, ',' ORDER BY p)) bsig
+      FROM sig GROUP BY doc_id, p // 4)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_dedup_md5_q(spark, sf_dir):
+    """MinHash banded near-dup, cross-engine-deterministic mode: md5
+    permutations make the signatures (not just the Jaccard estimate)
+    reproducible outside Spark — the full signature→band→bucket-join
+    pipeline under an exact DuckDB oracle.  Same plan shape as the
+    xxhash64 fast path."""
+    return minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), num_perm=32, bands=8, hash_fn="md5"
+    )
+
+
+@register(
+    "embedding_signlsh_dedup",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(embedding[1:16],
+                             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') bits
+      FROM embeddings),
+    banded AS (
+      SELECT vec_id, embedding, c, substr(bits, c * 4 + 1, 4) sig
+      FROM b CROSS JOIN (SELECT unnest(generate_series(0, 3)) c)),
+    cand AS (
+      SELECT DISTINCT a.vec_id doc_a, o.vec_id doc_b,
+             a.embedding ea, o.embedding eb
+      FROM banded a JOIN banded o
+        ON a.c = o.c AND a.sig = o.sig AND a.vec_id < o.vec_id)
+    SELECT doc_a, doc_b, sim FROM (
+      SELECT doc_a, doc_b,
+             round(list_sum(list_transform(list_zip(ea, eb),
+                                           p -> p[1]::DOUBLE * p[2]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))),
+                   6) sim
+      FROM cand)
+    WHERE sim >= 0.35
+    """,
+)
+def embedding_signlsh_dedup_q(spark, sf_dir):
+    """Axis-hyperplane sign-LSH near-dup over embeddings: banded sign
+    patterns → equi-join candidates → exact-cosine verify.  Fully
+    deterministic (unlike the sampled-hyperplane / KMeans ANN paths),
+    so the whole LSH pipeline is exact-oracle-checked."""
+    from .ops.dedup import cosine_signlsh_dedup
+
+    return cosine_signlsh_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, sign_bits=16, bands=4
+    )
+
+
 @register("simhash_dedup")
 def simhash_dedup_q(spark, sf_dir):
     """SimHash near-dup pairs via 16-bit-band pigeonhole (xxhash64 —

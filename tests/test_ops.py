@@ -64,6 +64,40 @@ def test_minhash_dedup_finds_near_dup(dup_docs):
     assert (1, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_dedup_md5_mode(dup_docs):
+    # deterministic md5 permutations: same semantics as the xxhash64
+    # path, and stable across runs (no seed dependence)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(dup_docs, num_perm=32, bands=16, hash_fn="md5").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+    again = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(dup_docs, num_perm=32, bands=16, hash_fn="md5").collect()
+    }
+    assert pairs == again
+
+
+def test_cosine_signlsh_dedup(spark):
+    from klinker_spark.ops.dedup import cosine_signlsh_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5, 0.2, 0.1] * 4),
+            (2, [0.99, 0.51, 0.2, 0.1] * 4),  # near-dup of 1, same signs
+            (3, [-1.0, -0.5, 0.2, 0.1] * 4),  # sign-disjoint in every band
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["sim"]
+        for r in cosine_signlsh_dedup(emb, threshold=0.9, sign_bits=16, bands=4).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] > 0.99
+
+
 def test_simhash_dedup(dup_docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_dedup(dup_docs).collect()}
     assert pairs[(1, 2)] == 0  # identical fingerprints
