@@ -66,6 +66,13 @@ def propagate(
     L2-normalizes per node (LightEA's per-round norm,
     ``light_ea.py:176-248``).
     """
+    # The edge list (plus its degree-normalization joins) appears once
+    # per hop in the lazy plan — persist so the union/distinct/degree
+    # pipeline runs once, not ``depth`` times.  Standard iterative-graph
+    # practice (GraphX does the same); memory is O(|edges|) rows of
+    # (head, tail, w).
+    if depth > 1:
+        edges = edges.persist()
     long = _to_long(features)
     for _ in range(depth):
         long = (
@@ -161,6 +168,8 @@ class RelationAwarePropagationEncoder(GCNFrameEncoder):
         feat0 = initialize_and_fill(ids, attr_vec, self.dim, self.seed)
 
         edges = _gcn_edges(rels)  # (head, rel, tail, w)
+        if self.depth > 1:
+            edges = edges.persist()  # reused every hop, same as propagate()
         rel_dims = (
             edges.select("rel")
             .distinct()
