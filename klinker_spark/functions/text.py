@@ -168,6 +168,7 @@ def simhash(
     id_col: str = "id",
     bits: int = 64,
     fp_col: str = "fp",
+    hash_fn: str = "xxhash64",
 ):
     """Per-row SimHash fingerprint over a token array →
     ``(id_col, fp_col bigint)`` DataFrame.
@@ -189,12 +190,28 @@ def simhash(
       of whole-stage-codegen *compilation* per query; the long form is
       two tiny codegen kernels and partial-aggregates map-side.
     """
-    counted = (
-        df.select(F.col(id_col), F.explode(tokens_col).alias("_t"))
-        .groupBy(id_col, "_t")
-        .agg(F.count("*").alias("_n"))
-        .select(F.col(id_col), F.xxhash64(F.col("_t")).alias("_h"), F.col("_n"))
-    )
+    counted = df.select(F.col(id_col), F.explode(tokens_col).alias("_t")).groupBy(
+        id_col, "_t"
+    ).agg(F.count("*").alias("_n"))
+    if hash_fn == "md5":
+        # Cross-engine-deterministic mode (see minhash_signatures): bit b
+        # of the token hash is bit (b % 4) of hex digit (b div 4) of the
+        # md5 digest — any engine with md5 + substr + shifts reproduces
+        # the exact fingerprint.  bits ≤ 128 (md5 width).
+        if bits > 128:
+            raise ValueError("md5 simhash supports at most 128 bits")
+        counted = counted.select(F.col(id_col), F.md5(F.col("_t")).alias("_h"), F.col("_n"))
+        bit = F.expr(
+            "shiftright(locate(substr(_h, (_b div 4) + 1, 1), '0123456789abcdef') - 1,"
+            " _b % 4) & 1"
+        )
+    else:
+        counted = counted.select(
+            F.col(id_col), F.xxhash64(F.col("_t")).alias("_h"), F.col("_n")
+        )
+        # F.shiftright only takes a literal shift — SQL form for the
+        # column-valued bit index
+        bit = F.expr("shiftright(_h, _b) & 1")
     votes = (
         counted.select(
             F.col(id_col),
@@ -203,18 +220,11 @@ def simhash(
             F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_b"),
         )
         .groupBy(id_col, "_b")
-        .agg(
-            F.sum(
-                # F.shiftright only takes a literal shift — SQL form for
-                # the column-valued bit index
-                F.when(F.expr("shiftright(_h, _b) & 1") == 1, F.col("_n")).otherwise(
-                    -F.col("_n")
-                )
-            ).alias("_v")
-        )
+        .agg(F.sum(F.when(bit == 1, F.col("_n")).otherwise(-F.col("_n"))).alias("_v"))
     )
-    # bit weights as a literal array; index 63 carries the signed wrap
-    weights = [(1 << b) - (1 << 64 if b == bits - 1 else 0) for b in range(bits)]
+    # bit weights as a literal array; index 63 (when present) carries
+    # the signed-bigint wrap — narrower fingerprints stay non-negative
+    weights = [(1 << b) - (1 << 64 if b == 63 else 0) for b in range(bits)]
     w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
     return votes.groupBy(id_col).agg(
         F.sum(

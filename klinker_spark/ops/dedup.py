@@ -107,24 +107,32 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs.
 
     Output: ``(doc_a, doc_b, hamming)`` for pairs with Hamming distance
-    ≤ ``max_hamming``.  Pigeonhole banding: split the 64-bit fingerprint
-    into 4 16-bit chunks — any pair within Hamming 3 matches on at least
-    one chunk exactly, so the join is an equi-join per chunk, verified
-    by ``bit_count(xor)``.
+    ≤ ``max_hamming``.  Pigeonhole banding: split the ``bits``-bit
+    fingerprint into 4 chunks — any pair within Hamming 3 matches on at
+    least one chunk exactly, so the join is an equi-join per chunk,
+    verified by ``bit_count(xor)``.  ``hash_fn="md5"`` makes the
+    fingerprint cross-engine-deterministic (exact-oracle mode).
     """
+    width = bits // 4
     fp = simhash(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         tokenize("text", 1, []),
         id_col="doc_id",
+        bits=bits,
+        hash_fn=hash_fn,
     )
     chunks = F.array(
         *[
             F.concat_ws(
-                "_", F.lit(c), F.shiftright(F.col("fp"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                "_",
+                F.lit(c),
+                F.shiftright(F.col("fp"), c * width).bitwiseAND(F.lit((1 << width) - 1)),
             )
             for c in range(4)
         ]

@@ -974,6 +974,48 @@ def simhash_dedup_q(spark, sf_dir):
 
 
 @register(
+    "simhash_dedup_md5",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> length(t) >= 1) tk
+      FROM documents),
+    cnt AS (SELECT doc_id, token, count(*) n
+            FROM (SELECT doc_id, unnest(tk) token FROM toks) GROUP BY 1, 2),
+    h AS (SELECT doc_id, md5(token) hx, n FROM cnt),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(hx, (b // 4) + 1, 1)) - 1
+                             >> (b % 4)) & 1) = 1
+                      THEN n ELSE -n END) v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) b)
+      GROUP BY 1, 2),
+    fp AS (SELECT doc_id,
+                  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) fp
+           FROM votes GROUP BY 1),
+    chunks AS (SELECT doc_id, fp, c, (fp >> (c * 8)) & 255 sig
+               FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) c))
+    SELECT DISTINCT a.doc_id AS doc_a, o.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, o.fp)) AS BIGINT) AS hamming
+    FROM chunks a JOIN chunks o
+      ON a.c = o.c AND a.sig = o.sig AND a.doc_id < o.doc_id
+    WHERE bit_count(xor(a.fp, o.fp)) <= 3
+    """,
+)
+def simhash_dedup_md5_q(spark, sf_dir):
+    """SimHash near-dup, cross-engine-deterministic mode: 32-bit
+    fingerprints from md5 hex digits (bit b = bit b%4 of digit b/4), so
+    the vote→fingerprint→chunk-join pipeline carries an exact DuckDB
+    oracle.  Same plan shape as the 64-bit xxhash64 fast path."""
+    out = simhash_dedup(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bits=32, hash_fn="md5"
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+@register(
     "ngram_jaccard_dedup",
     """
     WITH toks AS (

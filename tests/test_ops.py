@@ -104,6 +104,24 @@ def test_simhash_dedup(dup_docs):
     assert (1, 4) not in pairs
 
 
+def test_simhash_dedup_md5_mode(dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_dedup(dup_docs, bits=32, hash_fn="md5").collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs, identical fingerprints
+    assert (1, 4) not in pairs
+
+
+def test_simhash_narrow_bits_nonnegative(dup_docs):
+    # regression: the signed-bigint wrap must apply only to bit 63 —
+    # a 16-bit fingerprint is a plain value in [0, 65535]
+    from klinker_spark.functions.text import simhash, tokenize
+
+    fps = simhash(dup_docs, tokenize("text", 1, []), id_col="doc_id", bits=16).collect()
+    assert fps and all(0 <= r["fp"] <= 0xFFFF for r in fps)
+
+
 def test_ngram_jaccard_dedup(dup_docs):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_dedup(dup_docs, threshold=0.3).collect()}
     assert got[(1, 2)] == pytest.approx(1.0)
