@@ -81,6 +81,7 @@ class MinHashLSHBlocker(SchemaAgnosticBlocker):
         seed: int = 42,
         purge: bool = False,
         cc_round: int = 2,
+        hash_fn: str = "xxhash64",
     ):
         super().__init__(purge=purge, cc_round=cc_round)
         self.threshold = threshold
@@ -88,6 +89,7 @@ class MinHashLSHBlocker(SchemaAgnosticBlocker):
         self.weights = weights
         self.min_token_length = min_token_length
         self.seed = seed
+        self.hash_fn = hash_fn  # "md5" = cross-engine-deterministic signatures
         self.bands, self.rows = optimal_band_geometry(threshold, num_perm, weights)
 
     def _band_side(self, frame: DataFrame) -> DataFrame:
@@ -99,14 +101,20 @@ class MinHashLSHBlocker(SchemaAgnosticBlocker):
         over the materialized signature array.
         """
         sigs = minhash_signatures(
-            frame, tokenize("text", self.min_token_length), "id", self.num_perm, self.seed
+            frame,
+            tokenize("text", self.min_token_length),
+            "id",
+            self.num_perm,
+            self.seed,
+            hash_fn=self.hash_fn,
         )
+        band_hash = F.md5 if self.hash_fn == "md5" else F.xxhash64
         band_keys = F.array(
             *[
                 F.concat_ws(
                     "_",
                     F.lit(b),
-                    F.xxhash64(
+                    band_hash(
                         F.concat_ws(
                             ",", F.slice(F.col("signature"), b * self.rows + 1, self.rows)
                         )

@@ -747,6 +747,38 @@ def minhash_lsh_blocking(spark, sf_dir):
 
 
 @register(
+    "minhash_lsh_blocking_md5",
+    _TOKENS_SQL.format(stop=_STOP_SQL)
+    + """
+    , lsig AS (SELECT id, p, min(md5(p::varchar || ':' || tok)) mh
+               FROM lt CROSS JOIN (SELECT unnest(generate_series(0, 23)) p)
+               GROUP BY id, p),
+    lband AS (SELECT id, (p // 2)::varchar || '_'
+                         || md5(string_agg(mh, ',' ORDER BY p)) block_key
+              FROM lsig GROUP BY id, p // 2),
+    rsig AS (SELECT id, p, min(md5(p::varchar || ':' || tok)) mh
+             FROM rt CROSS JOIN (SELECT unnest(generate_series(0, 23)) p)
+             GROUP BY id, p),
+    rband AS (SELECT id, (p // 2)::varchar || '_'
+                         || md5(string_agg(mh, ',' ORDER BY p)) block_key
+              FROM rsig GROUP BY id, p // 2)
+    SELECT l.block_key, l.id AS left_id, r.id AS right_id
+    FROM lband l JOIN rband r USING (block_key)
+    """,
+)
+def minhash_lsh_blocking_md5(spark, sf_dir):
+    """J7 under an exact oracle: MinHash-LSH blocker in md5 mode
+    (deterministic signatures + band digests — threshold 0.3, 32 perms
+    → 12 bands × 2 rows), the full signature→band→equi-join blocking
+    surface hash-checked against DuckDB.  Same plan as the xxhash64
+    fast path in ``minhash_lsh_blocking``."""
+    bm = MinHashLSHBlocker(threshold=0.3, num_perm=32, hash_fn="md5").assign(
+        _cust_frame(spark, sf_dir), _supp_frame(spark, sf_dir)
+    )
+    return _explode_blocks(bm)
+
+
+@register(
     "tfidf_token_blocking",
     """
     WITH lt AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) id, tok FROM (

@@ -32,6 +32,22 @@ def test_lsh_identical_text_always_blocks(frame_a, frame_b, spark):
     assert ("x1", "y1") in pairs
 
 
+def test_lsh_md5_mode_identical_text_blocks(spark):
+    # cross-engine-deterministic mode: same invariants, md5 signatures
+    from klinker_spark.data.frames import EntityFrame
+
+    left = EntityFrame.from_wide(
+        spark.createDataFrame([("x1", "alpha beta gamma delta")], ["id", "val"]), "A"
+    )
+    right = EntityFrame.from_wide(
+        spark.createDataFrame([("y1", "alpha beta gamma delta"), ("y2", "zeta eta theta iota")], ["id", "val"]),
+        "B",
+    )
+    bm = MinHashLSHBlocker(threshold=0.5, num_perm=32, hash_fn="md5").assign(left, right)
+    pairs = {tuple(r) for r in bm.pairs().collect()}
+    assert ("x1", "y1") in pairs and ("x1", "y2") not in pairs
+
+
 def test_lsh_disjoint_text_rarely_blocks(spark):
     from klinker_spark.data.frames import EntityFrame
 
