@@ -34,9 +34,27 @@ __all__ = [
 ]
 
 
-def token_vector_expr(token: Column, dim: int, seed: int = 42) -> Column:
+def token_vector_expr(token: Column, dim: int, seed: int = 42, hash_fn: str = "xxhash64") -> Column:
     """Deterministic pseudo-random unit-scale vector for a token:
-    component d = xxhash64(token, seed*dim + d) mapped into [-1, 1]."""
+    component d = xxhash64(token, seed*dim + d) mapped into [-1, 1].
+
+    ``hash_fn="md5"``: component d = the first 6 hex digits of
+    ``md5(d + ":" + token)`` mapped into [-1, 1) — any engine with md5 +
+    substring reproduces the exact vector (``seed`` is unused; the
+    digest is the randomness).  ~dim md5 digests per token vs dim cheap
+    re-hashes — use for cross-engine-checked paths, not the hot path.
+    """
+    if hash_fn == "md5":
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit(str(d)), token)), 1, 6), 16, 10
+                ).cast("bigint")
+                / F.lit(float(1 << 23))
+                - 1.0
+                for d in range(dim)
+            ]
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: (
@@ -56,10 +74,13 @@ class HashingWordEmbedder:
     """Unweighted mean of token vectors (M3 shape,
     ``pretrained.py:389-424``)."""
 
-    def __init__(self, dim: int = 32, seed: int = 42, min_token_length: int = 3):
+    def __init__(
+        self, dim: int = 32, seed: int = 42, min_token_length: int = 3, hash_fn: str = "xxhash64"
+    ):
         self.dim = dim
         self.seed = seed
         self.min_token_length = min_token_length
+        self.hash_fn = hash_fn
 
     def _token_weights(self, tokens: DataFrame) -> DataFrame:
         """(id, token) → (id, token, weight).  Uniform by default."""
@@ -73,7 +94,7 @@ class HashingWordEmbedder:
         weighted = self._token_weights(tokens).select(
             "id",
             F.transform(
-                token_vector_expr(F.col("token"), self.dim, self.seed),
+                token_vector_expr(F.col("token"), self.dim, self.seed, self.hash_fn),
                 lambda x: x * F.col("weight"),
             ).alias("wvec"),
             "weight",

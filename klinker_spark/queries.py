@@ -1241,6 +1241,66 @@ def knn_topk_sharded_q(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+def _md5_component_sql(d: int) -> str:
+    """DuckDB expression for md5-hash-embedder component ``d`` of column
+    ``tok`` — mirrors ``token_vector_expr(..., hash_fn="md5")``: first 6
+    hex digits of md5("d:tok") as an int, mapped into [-1, 1)."""
+    hx = f"md5({d}::varchar || ':' || tok)"
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({digits}) / 8388608.0 - 1.0)"
+
+
+_EMB_KNN_MD5_SQL = (
+    _TOKENS_SQL
+    + """
+    , lv AS (SELECT id, d, avg(CASE d {lcase} END) v
+             FROM lt CROSS JOIN (SELECT unnest(generate_series(0, {dmax})) d)
+             GROUP BY id, d),
+    rv AS (SELECT id, d, avg(CASE d {lcase} END) v
+           FROM rt CROSS JOIN (SELECT unnest(generate_series(0, {dmax})) d)
+           GROUP BY id, d),
+    ln2 AS (SELECT id, sqrt(sum(v * v)) n FROM lv GROUP BY id),
+    rn2 AS (SELECT id, sqrt(sum(v * v)) n FROM rv GROUP BY id),
+    dots AS (SELECT l.id qid, r.id nid, sum(l.v * r.v) dot
+             FROM lv l JOIN rv r USING (d) GROUP BY 1, 2),
+    sims AS (SELECT qid, nid, dot / (ln2.n * rn2.n) sim
+             FROM dots JOIN ln2 ON ln2.id = qid JOIN rn2 ON rn2.id = nid)
+    SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) rank
+      FROM sims) WHERE rank <= 3
+    """
+)
+
+
+@register(
+    "embedding_knn_blocking_md5",
+    _EMB_KNN_MD5_SQL.format(
+        stop=_STOP_SQL,
+        dmax=7,
+        lcase=" ".join(f"WHEN {d} THEN {_md5_component_sql(d)}" for d in range(8)),
+    ),
+)
+def embedding_knn_blocking_md5(spark, sf_dir):
+    """M1/M3 + J8 under an exact oracle: md5-mode hash embedder (token →
+    deterministic vector, mean pooling) feeding the exact top-3 cosine
+    join — the first M-family pipeline whose *values* (not just shapes)
+    are hash-checked against DuckDB end-to-end."""
+    from .encoders.hashing import HashingWordEmbedder
+    from .functions.vectors import topk_cosine_join
+
+    enc = HashingWordEmbedder(dim=8, hash_fn="md5")
+    left = enc.encode(
+        _cust_frame(spark, sf_dir).concat_values()
+    ).persist()  # encoder outputs feed the pair join — see KNNBlockBuilder
+    right = enc.encode(_supp_frame(spark, sf_dir).concat_values()).persist()
+    out = topk_cosine_join(left, right, k=3, impl="expr")
+    return out.withColumn("sim", F.round("sim", 6))
+
+
 @register("ann_topk_ivf")
 def ann_topk_ivf_q(spark, sf_dir):
     """IVF approximate kNN (KMeans coarse quantizer → probe top-4 of 16

@@ -86,6 +86,20 @@ def test_hashing_embedder_deterministic(spark):
     assert len(vecs["e1"]) == 8
 
 
+def test_hashing_embedder_md5_mode(spark):
+    import hashlib
+
+    conc = spark.createDataFrame([("e1", "hello")], ["id", "text"])
+    emb = HashingWordEmbedder(dim=4, min_token_length=1, hash_fn="md5").encode(conc)
+    vec = emb.collect()[0]["vector"]
+    # component d reproducible outside Spark: first 6 hex digits of md5("d:token")
+    expect = [
+        int(hashlib.md5(f"{d}:hello".encode()).hexdigest()[:6], 16) / (1 << 23) - 1.0
+        for d in range(4)
+    ]
+    assert vec == pytest.approx(expect)
+
+
 def test_sif_embedder_downweights_common_tokens(spark):
     # 'common' appears everywhere; e1/e2 differ only in rare tokens
     rows = [("e1", "common rareone"), ("e2", "common raretwo"), ("e3", "common common common")]
