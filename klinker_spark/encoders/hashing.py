@@ -165,13 +165,14 @@ def remove_first_pc(embeddings: DataFrame, sample_n: int = 10_000, seed: int = 4
 
 
 def initialize_and_fill(
-    all_ids: DataFrame, known: DataFrame, dim: int = 32, seed: int = 42
+    all_ids: DataFrame, known: DataFrame, dim: int = 32, seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic per-id random init, overwritten by known embeddings
     (M10, ``encoders/base.py:168-218``): ``all_ids ⟕ known`` +
     ``coalesce(vector, hash-init(id))`` — no torch xavier, same shape.
     """
-    init = token_vector_expr(F.col("id"), dim, seed)
+    init = token_vector_expr(F.col("id"), dim, seed, hash_fn)
     return all_ids.join(known, "id", "left").select(
         "id", F.coalesce(F.col("vector"), init).alias("vector")
     )

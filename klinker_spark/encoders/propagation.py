@@ -126,11 +126,21 @@ class GCNFrameEncoder:
     gcn-normalized hops.
     """
 
-    def __init__(self, depth: int = 2, dim: int = 32, seed: int = 42, attr_encoder=None):
+    def __init__(
+        self,
+        depth: int = 2,
+        dim: int = 32,
+        seed: int = 42,
+        attr_encoder=None,
+        hash_fn: str = "xxhash64",
+    ):
         self.depth = depth
         self.dim = dim
         self.seed = seed
-        self.attr_encoder = attr_encoder or HashingWordEmbedder(dim=dim, seed=seed)
+        self.hash_fn = hash_fn  # governs the M10 init; "md5" = cross-engine mode
+        self.attr_encoder = attr_encoder or HashingWordEmbedder(
+            dim=dim, seed=seed, hash_fn=hash_fn
+        )
 
     def _edges(self, rels: DataFrame) -> DataFrame:
         return _gcn_edges(rels).select("head", "tail", "w")
@@ -143,7 +153,7 @@ class GCNFrameEncoder:
             .union(rels.select(F.col("tail").alias("id")))
             .distinct()
         )
-        feat0 = initialize_and_fill(ids, attr_vec, self.dim, self.seed)
+        feat0 = initialize_and_fill(ids, attr_vec, self.dim, self.seed, self.hash_fn)
         return propagate(feat0, self._edges(rels), depth=self.depth, normalize=False)
 
 

@@ -1241,11 +1241,11 @@ def knn_topk_sharded_q(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
-def _md5_component_sql(d: int) -> str:
+def _md5_component_sql(d: int, col: str = "tok") -> str:
     """DuckDB expression for md5-hash-embedder component ``d`` of column
-    ``tok`` — mirrors ``token_vector_expr(..., hash_fn="md5")``: first 6
-    hex digits of md5("d:tok") as an int, mapped into [-1, 1)."""
-    hx = f"md5({d}::varchar || ':' || tok)"
+    ``col`` — mirrors ``token_vector_expr(..., hash_fn="md5")``: first 6
+    hex digits of md5("d:value") as an int, mapped into [-1, 1)."""
+    hx = f"md5({d}::varchar || ':' || {col})"
     digits = " + ".join(
         f"(strpos('0123456789abcdef', substr({hx}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
         for i in range(6)
@@ -1747,6 +1747,73 @@ def gcn_embedding_blocking(spark, sf_dir):
     right_emb = side(supp, "s_suppkey", "s_name", "s_nationkey", "s")
     bm = KNNBlockBuilder(k=3).build_blocks(left_emb, right_emb, "customer", "supplier")
     return bm.df.select("block_key", F.explode(F.col("supplier")).alias("right_id"))
+
+
+_GCN_MD5_SQL = """
+    WITH conc AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) id, c_mktsegment AS txt
+                  FROM customer WHERE c_custkey < 500),
+    rels AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) head,
+                    'n' || CAST(c_nationkey AS VARCHAR) tail
+             FROM customer WHERE c_custkey < 500),
+    toks AS (SELECT DISTINCT id, tok FROM (
+               SELECT id, unnest(regexp_split_to_array(lower(txt), '[^a-z0-9]+')) tok
+               FROM conc)
+             WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+    dims AS (SELECT unnest(generate_series(0, 7)) d),
+    att AS (SELECT id, d, avg(CASE d {tok_case} END) v
+            FROM toks CROSS JOIN dims GROUP BY id, d),
+    ids AS (SELECT id FROM conc UNION SELECT head FROM rels UNION SELECT tail FROM rels),
+    nodes AS (SELECT head id FROM rels UNION SELECT tail FROM rels),
+    und AS (SELECT head, tail FROM rels
+            UNION ALL SELECT tail, head FROM rels
+            UNION ALL SELECT id, id FROM nodes),
+    deg AS (SELECT head, count(*) deg FROM und GROUP BY head),
+    e AS (SELECT und.head, und.tail, 1.0 / sqrt(dh.deg * dt.deg) w
+          FROM und JOIN deg dh ON dh.head = und.head
+                   JOIN deg dt ON dt.head = und.tail),
+    f0 AS (SELECT ids.id, dims.d,
+                  coalesce(att.v, CASE dims.d {id_case} END) val
+           FROM ids CROSS JOIN dims
+           LEFT JOIN att ON att.id = ids.id AND att.d = dims.d),
+    h1 AS (SELECT e.head id, f.d, sum(f.val * e.w) val
+           FROM e JOIN f0 f ON f.id = e.tail GROUP BY 1, 2),
+    h2 AS (SELECT e.head id, f.d, sum(f.val * e.w) val
+           FROM e JOIN h1 f ON f.id = e.tail GROUP BY 1, 2)
+    SELECT id, d AS dim, round(val, 6) AS val FROM h2
+"""
+
+
+@register(
+    "gcn_propagation_md5",
+    _GCN_MD5_SQL.format(
+        stop=_STOP_SQL,
+        tok_case=" ".join(f"WHEN {d} THEN {_md5_component_sql(d)}" for d in range(8)),
+        id_case=" ".join(
+            f"WHEN {d} THEN {_md5_component_sql(d, 'ids.id')}" for d in range(8)
+        ),
+    ),
+)
+def gcn_propagation_md5_q(spark, sf_dir):
+    """M9-M11 under an exact oracle: md5-mode GCN — attribute hash
+    embeddings + md5 init fill (M10) + two gcn-normalized hops over the
+    customer→nation edge list, every propagated component value-checked
+    against DuckDB (long output, no array cells)."""
+    from .encoders.propagation import GCNFrameEncoder
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    conc = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("id"),
+        F.col("c_mktsegment").alias("text"),
+    )
+    rels = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("head"),
+        F.lit("in_nation").alias("rel"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("tail"),
+    )
+    emb = GCNFrameEncoder(depth=2, dim=8, hash_fn="md5").encode(conc, rels)
+    return emb.select(
+        "id", F.posexplode("vector").alias("dim", "val")
+    ).withColumn("val", F.round("val", 6))
 
 
 @register("sinkhorn_rerank")

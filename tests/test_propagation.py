@@ -50,6 +50,16 @@ def test_gcn_deterministic(spark, tiny_graph):
         assert v1[i] == pytest.approx(v2[i], abs=1e-9)
 
 
+def test_gcn_md5_mode(spark, tiny_graph):
+    # cross-engine-deterministic mode (exact oracle lives in
+    # queries.gcn_propagation_md5); same coverage invariants here
+    conc, rels = tiny_graph
+    out = GCNFrameEncoder(depth=2, dim=8, hash_fn="md5").encode(conc, rels)
+    rows = {r["id"]: r["vector"] for r in out.collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    assert all(len(v) == 8 for v in rows.values())
+
+
 def test_gcn_neighbors_influence(spark, tiny_graph):
     """A node's vector must differ from its pure init (propagation
     actually mixed neighbor information in)."""
