@@ -175,7 +175,7 @@ class RelationAwarePropagationEncoder(GCNFrameEncoder):
             .union(rels.select(F.col("tail").alias("id")))
             .distinct()
         )
-        feat0 = initialize_and_fill(ids, attr_vec, self.dim, self.seed)
+        feat0 = initialize_and_fill(ids, attr_vec, self.dim, self.seed, self.hash_fn)
 
         edges = _gcn_edges(rels)  # (head, rel, tail, w)
         if self.depth > 1:
@@ -183,7 +183,12 @@ class RelationAwarePropagationEncoder(GCNFrameEncoder):
         rel_dims = (
             edges.select("rel")
             .distinct()
-            .select("rel", F.posexplode(token_vector_expr(F.col("rel"), self.dim, self.seed)).alias("dim", "rv"))
+            .select(
+                "rel",
+                F.posexplode(
+                    token_vector_expr(F.col("rel"), self.dim, self.seed, self.hash_fn)
+                ).alias("dim", "rv"),
+            )
         )
         long = _to_long(feat0)
         for _ in range(self.depth):

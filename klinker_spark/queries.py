@@ -1816,6 +1816,83 @@ def gcn_propagation_md5_q(spark, sf_dir):
     ).withColumn("val", F.round("val", 6))
 
 
+_LIGHTEA_MD5_SQL = """
+    WITH conc AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) id, c_mktsegment AS txt
+                  FROM customer WHERE c_custkey < 500),
+    rels AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) head,
+                    'n' || CAST(c_nationkey AS VARCHAR) tail
+             FROM customer WHERE c_custkey < 500),
+    toks AS (SELECT DISTINCT id, tok FROM (
+               SELECT id, unnest(regexp_split_to_array(lower(txt), '[^a-z0-9]+')) tok
+               FROM conc)
+             WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+    dims AS (SELECT unnest(generate_series(0, 7)) d),
+    att AS (SELECT id, d, avg(CASE d {tok_case} END) v
+            FROM toks CROSS JOIN dims GROUP BY id, d),
+    ids AS (SELECT id FROM conc UNION SELECT head FROM rels UNION SELECT tail FROM rels),
+    nodes AS (SELECT head id FROM rels UNION SELECT tail FROM rels),
+    und AS (SELECT head, 'in_nation' rel, tail FROM rels
+            UNION ALL SELECT tail, '_inv_in_nation', head FROM rels
+            UNION ALL SELECT id, '_self_', id FROM nodes),
+    deg AS (SELECT head, count(*) deg FROM und GROUP BY head),
+    e AS (SELECT und.head, und.rel, und.tail, 1.0 / sqrt(dh.deg * dt.deg) w
+          FROM und JOIN deg dh ON dh.head = und.head
+                   JOIN deg dt ON dt.head = und.tail),
+    f0 AS (SELECT ids.id, dims.d,
+                  coalesce(att.v, CASE dims.d {id_case} END) val
+           FROM ids CROSS JOIN dims
+           LEFT JOIN att ON att.id = ids.id AND att.d = dims.d),
+    m1 AS (SELECT e.head id, f.d,
+                  sum(f.val * e.w * (CASE f.d {rel_case} END)) val
+           FROM e JOIN f0 f ON f.id = e.tail GROUP BY 1, 2),
+    n1 AS (SELECT id, sqrt(sum(val * val)) nn FROM m1 GROUP BY id),
+    h1 AS (SELECT m1.id, d, val / (CASE WHEN nn > 0 THEN nn ELSE 1.0 END) val
+           FROM m1 JOIN n1 USING (id)),
+    m2 AS (SELECT e.head id, f.d,
+                  sum(f.val * e.w * (CASE f.d {rel_case} END)) val
+           FROM e JOIN h1 f ON f.id = e.tail GROUP BY 1, 2),
+    n2 AS (SELECT id, sqrt(sum(val * val)) nn FROM m2 GROUP BY id),
+    h2 AS (SELECT m2.id, d, val / (CASE WHEN nn > 0 THEN nn ELSE 1.0 END) val
+           FROM m2 JOIN n2 USING (id))
+    SELECT id, d AS dim, round(val, 6) AS val FROM h2
+"""
+
+
+@register(
+    "lightea_propagation_md5",
+    _LIGHTEA_MD5_SQL.format(
+        stop=_STOP_SQL,
+        tok_case=" ".join(f"WHEN {d} THEN {_md5_component_sql(d)}" for d in range(8)),
+        id_case=" ".join(
+            f"WHEN {d} THEN {_md5_component_sql(d, 'ids.id')}" for d in range(8)
+        ),
+        rel_case=" ".join(
+            f"WHEN {d} THEN {_md5_component_sql(d, 'e.rel')}" for d in range(8)
+        ),
+    ),
+)
+def lightea_propagation_md5_q(spark, sf_dir):
+    """M12 under an exact oracle: md5-mode relation-aware propagation —
+    messages modulated by per-relation hash vectors, per-hop L2 norm,
+    two hops, every component value-checked against DuckDB."""
+    from .encoders.propagation import RelationAwarePropagationEncoder
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    conc = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("id"),
+        F.col("c_mktsegment").alias("text"),
+    )
+    rels = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("head"),
+        F.lit("in_nation").alias("rel"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("tail"),
+    )
+    emb = RelationAwarePropagationEncoder(depth=2, dim=8, hash_fn="md5").encode(conc, rels)
+    return emb.select(
+        "id", F.posexplode("vector").alias("dim", "val")
+    ).withColumn("val", F.round("val", 6))
+
+
 @register("sinkhorn_rerank")
 def sinkhorn_rerank_q(spark, sf_dir):
     """W5/M17: Sinkhorn re-rank of the brute-force kNN candidates

@@ -60,6 +60,16 @@ def test_gcn_md5_mode(spark, tiny_graph):
     assert all(len(v) == 8 for v in rows.values())
 
 
+def test_lightea_md5_mode_unit_norm(spark, tiny_graph):
+    from klinker_spark.encoders.propagation import RelationAwarePropagationEncoder
+
+    conc, rels = tiny_graph
+    out = RelationAwarePropagationEncoder(depth=2, dim=8, hash_fn="md5").encode(conc, rels)
+    for r in out.collect():
+        n = sum(x * x for x in r["vector"]) ** 0.5
+        assert n == pytest.approx(1.0, abs=1e-9) or n == pytest.approx(0.0, abs=1e-9)
+
+
 def test_gcn_neighbors_influence(spark, tiny_graph):
     """A node's vector must differ from its pure init (propagation
     actually mixed neighbor information in)."""
