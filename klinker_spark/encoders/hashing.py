@@ -118,9 +118,16 @@ class SIFHashingWordEmbedder(HashingWordEmbedder):
     """
 
     def __init__(
-        self, dim: int = 32, sif_a: float = 1e-3, seed: int = 42, min_token_length: int = 3
+        self,
+        dim: int = 32,
+        sif_a: float = 1e-3,
+        seed: int = 42,
+        min_token_length: int = 3,
+        hash_fn: str = "xxhash64",
     ):
-        super().__init__(dim=dim, seed=seed, min_token_length=min_token_length)
+        super().__init__(
+            dim=dim, seed=seed, min_token_length=min_token_length, hash_fn=hash_fn
+        )
         self.sif_a = sif_a
 
     def _token_weights(self, tokens: DataFrame) -> DataFrame:

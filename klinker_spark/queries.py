@@ -1749,6 +1749,44 @@ def gcn_embedding_blocking(spark, sf_dir):
     return bm.df.select("block_key", F.explode(F.col("supplier")).alias("right_id"))
 
 
+_SIF_MD5_SQL = (
+    _TOKENS_SQL
+    + """
+    , freq AS (SELECT tok, count(*) f FROM lt GROUP BY tok),
+    tot AS (SELECT count(*) t FROM lt),
+    w AS (SELECT tok, 0.001 / (0.001 + f / (SELECT t FROM tot)) wt FROM freq),
+    dims AS (SELECT unnest(generate_series(0, 7)) d),
+    emb AS (SELECT id, d,
+                   sum(wt * (CASE d {tok_case} END)) / sum(wt) v
+            FROM lt JOIN w USING (tok) CROSS JOIN dims
+            GROUP BY id, d)
+    SELECT id, d AS dim, round(v, 6) AS val FROM emb
+    """
+)
+
+
+@register(
+    "sif_embedding_md5",
+    _SIF_MD5_SQL.format(
+        stop=_STOP_SQL,
+        tok_case=" ".join(f"WHEN {d} THEN {_md5_component_sql(d)}" for d in range(8)),
+    ),
+)
+def sif_embedding_md5_q(spark, sf_dir):
+    """M2/A6 under an exact oracle: SIF-weighted hash embeddings in md5
+    mode — corpus token frequencies → weights a/(a+freq/total) →
+    weighted mean pooling, every component value-checked (long output,
+    customer side)."""
+    from .encoders.hashing import SIFHashingWordEmbedder
+
+    emb = SIFHashingWordEmbedder(dim=8, hash_fn="md5").encode(
+        _cust_frame(spark, sf_dir).concat_values()
+    )
+    return emb.select("id", F.posexplode("vector").alias("dim", "val")).withColumn(
+        "val", F.round("val", 6)
+    )
+
+
 _GCN_MD5_SQL = """
     WITH conc AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) id, c_mktsegment AS txt
                   FROM customer WHERE c_custkey < 500),
