@@ -1931,11 +1931,38 @@ def lightea_propagation_md5_q(spark, sf_dir):
     ).withColumn("val", F.round("val", 6))
 
 
-@register("sinkhorn_rerank")
+@register(
+    "sinkhorn_rerank",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    sims AS (
+      SELECT q.vec_id query_id, ix.vec_id neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, ix.embedding),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(ix.embedding, x -> x::DOUBLE * x::DOUBLE)))) sim
+      FROM q CROSS JOIN embeddings ix),
+    top AS (SELECT query_id qq, neighbor_id n, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) rank
+      FROM sims) WHERE rank <= 10),
+    t0 AS (SELECT qq, n, exp(sim / 0.05) p FROM top),
+    r1 AS (SELECT qq, n, p / sum(p) OVER (PARTITION BY qq) p FROM t0),
+    c1 AS (SELECT qq, n, p / sum(p) OVER (PARTITION BY n) p FROM r1),
+    r2 AS (SELECT qq, n, p / sum(p) OVER (PARTITION BY qq) p FROM c1),
+    c2 AS (SELECT qq, n, p / sum(p) OVER (PARTITION BY n) p FROM r2),
+    r3 AS (SELECT qq, n, p / sum(p) OVER (PARTITION BY qq) p FROM c2),
+    c3 AS (SELECT qq, n, p / sum(p) OVER (PARTITION BY n) p FROM r3)
+    SELECT qq AS query_id, n AS neighbor_id, round(p, 6) AS score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qq ORDER BY p DESC, n ASC) rank
+      FROM c3) WHERE rank <= 5
+    """,
+)
 def sinkhorn_rerank_q(spark, sf_dir):
-    """W5/M17: Sinkhorn re-rank of the brute-force kNN candidates
-    (distributed sparse row/col normalization; float-iteration output →
-    rows-only check, doubly-stochastic invariants in tests)."""
+    """W5/M17 under an exact oracle: Sinkhorn re-rank of the
+    brute-force kNN candidates — the sparse row/col normalizations are
+    deterministic arithmetic, so three unrolled iterations value-match
+    DuckDB window-sum normalizations exactly."""
     from .ops.rerank import sinkhorn_rerank
 
     emb = _t(spark, sf_dir, "embeddings")
