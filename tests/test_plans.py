@@ -95,9 +95,27 @@ def test_no_python_udfs_in_relational_kernel(spark, sf_dir):
         "ngram_jaccard_dedup",
         "minhash_dedup",
         "quality_score",
+        # md5-twin family: same plan shapes, JVM-side md5 not Python
+        "minhash_dedup_md5",
+        "simhash_dedup_md5",
+        "embedding_signlsh_dedup",
+        "minhash_lsh_blocking_md5",
+        "gcn_propagation_md5",
+        "sinkhorn_rerank",
     ]:
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_signlsh_dedup_single_pair_shuffle(spark, sf_dir):
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["embedding_signlsh_dedup"](spark, sf_dir))
+    # band self-join + pair-distinct only; the distinct shuffles scalar
+    # (id,id,sim) rows — the dim-d vectors never enter an Exchange
+    assert "CartesianProduct" not in plan
+    exch = [seg[:300] for seg in plan.split("Exchange")[1:]]
+    assert all("vector" not in seg.split("\n")[0] for seg in exch)
 
 
 def test_bucketed_pairs_join_skips_shuffle(spark):
