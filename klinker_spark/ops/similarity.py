@@ -26,6 +26,7 @@ from ..functions.vectors import cosine, dot, l2_norm, topk_cosine_join
 __all__ = [
     "brute_force_topk",
     "ann_topk_lsh",
+    "ann_topk_signlsh",
     "ann_topk_ivf",
     "build_ivf_index",
     "ann_topk_ivf_indexed",
@@ -43,6 +44,62 @@ def brute_force_topk(
     q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
     ix = index.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
     return topk_cosine_join(q, ix, k=k, impl=impl)
+
+
+def ann_topk_signlsh(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate kNN via *axis-aligned* random-hyperplane LSH —
+    the deterministic sibling of :func:`ann_topk_lsh` (no sampled
+    hyperplanes, so any engine reproduces the identical candidate set;
+    exact-oracle-checked in ``queries.ann_topk_signlsh``).
+
+    Candidates = query/index rows agreeing on any band of leading-dim
+    sign bits (equi-join on short string keys, one shuffle); exact
+    cosine ranks candidates, top-k per query.  Recall follows the
+    SimHash S-curve in sign_bits/bands; neighbors whose every sign band
+    differs are missed — that is the LSH trade, not a bug.
+    """
+    rows = sign_bits // bands
+
+    def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        bits = F.concat(
+            *[
+                F.when(F.element_at(F.col(out_vec), j + 1) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for j in range(sign_bits)
+            ]
+        )
+        band_keys = F.array(
+            *[
+                F.concat_ws("_", F.lit(c), F.substring(bits, c * rows + 1, rows))
+                for c in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)
+        ).select(out_id, out_vec, F.explode(band_keys).alias("band_key"))
+
+    q = banded(queries, "query_id", "qv")
+    ix = banded(index, "neighbor_id", "iv")
+    sim = dot(F.col("qv"), F.col("iv")) / (l2_norm(F.col("qv")) * l2_norm(F.col("iv")))
+    cand = (
+        q.join(ix, "band_key")
+        # sim computed before the dedup so the distinct shuffles only
+        # scalar rows (a multi-band pair recomputes one dim-d dot)
+        .withColumn("sim", sim)
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def ann_topk_lsh(

@@ -1301,6 +1301,52 @@ def embedding_knn_blocking_md5(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+@register(
+    "ann_topk_signlsh",
+    """
+    WITH qb AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(embedding[1:16],
+                             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') bits
+      FROM embeddings WHERE vec_id % 10 = 0),
+    ib AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(embedding[1:16],
+                             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') bits
+      FROM embeddings),
+    qx AS (SELECT vec_id, embedding, c, substr(bits, c * 4 + 1, 4) sig
+           FROM qb CROSS JOIN (SELECT unnest(generate_series(0, 3)) c)),
+    ix AS (SELECT vec_id, embedding, c, substr(bits, c * 4 + 1, 4) sig
+           FROM ib CROSS JOIN (SELECT unnest(generate_series(0, 3)) c)),
+    cand AS (
+      SELECT DISTINCT q.vec_id query_id, i.vec_id neighbor_id,
+             q.embedding qe, i.embedding ie
+      FROM qx q JOIN ix i ON q.c = i.c AND q.sig = i.sig),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(list_zip(qe, ie),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(ie, x -> x::DOUBLE * x::DOUBLE)))) sim
+      FROM cand)
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) rank
+      FROM sims) WHERE rank <= 5
+    """,
+)
+def ann_topk_signlsh_q(spark, sf_dir):
+    """Deterministic ANN under an exact oracle: axis-hyperplane sign-LSH
+    candidates (banded sign bits, equi-join) ranked by exact cosine,
+    top-5 — the value-checked member of the ANN family (the sampled-
+    hyperplane and KMeans members are rows-only by nature)."""
+    from .ops.similarity import ann_topk_signlsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_topk_signlsh(emb.where(F.col("vec_id") % 10 == 0), emb, k=5)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
 @register("ann_topk_ivf")
 def ann_topk_ivf_q(spark, sf_dir):
     """IVF approximate kNN (KMeans coarse quantizer → probe top-4 of 16

@@ -218,6 +218,19 @@ def test_ann_lsh_recall_vs_exact(embeddings):
     assert len(e & a) / len(e) > 0.5
 
 
+def test_ann_signlsh_recall_and_determinism(embeddings):
+    from klinker_spark.ops.similarity import ann_topk_signlsh
+
+    queries = embeddings.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(queries, embeddings, k=5)
+    approx = ann_topk_signlsh(queries, embeddings, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) > 0.5  # clustered synthetic data
+    again = {(r["query_id"], r["neighbor_id"]) for r in ann_topk_signlsh(queries, embeddings, k=5).collect()}
+    assert a == again  # no sampled hyperplanes -> bit-stable
+
+
 def test_ann_ivf_recall_vs_exact(embeddings):
     queries = embeddings.where(F.col("vec_id") % 100 == 0)
     exact = brute_force_topk(queries, embeddings, k=5)
