@@ -1,10 +1,11 @@
 """Table loaders for the synthetic star schema (TESTDATA.md).
 
-One quirk: ``events.parquet`` stores ``ts`` as parquet
-``TIMESTAMP(NANOS)``, which Spark's vectorized reader rejects
-(`PARQUET_TYPE_ILLEGAL`).  With ``spark.sql.legacy.parquet.nanosAsLong``
-(set in ``session.get_spark`` and here defensively) the column arrives
-as ``bigint`` nanos; ``load_events`` normalizes it to a proper
+One quirk: ``events.parquet`` has stored ``ts`` either as parquet
+``TIMESTAMP(MICROS)`` (current testdata) or ``TIMESTAMP(NANOS)`` —
+the latter Spark's vectorized reader rejects (`PARQUET_TYPE_ILLEGAL`)
+unless ``spark.sql.legacy.parquet.nanosAsLong`` is set (done once in
+``session.get_spark``), in which case the column arrives as ``bigint``
+nanos.  ``load_events`` normalizes either form to a proper
 microsecond timestamp column so downstream window/watermark code is
 storage-agnostic.
 """
@@ -31,12 +32,16 @@ __all__ = ["TABLES", "load_table", "load_tables", "load_events"]
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
         # Integer division: ts ~1.7e18 exceeds double's exact range, so
         # (ts/1000).cast("long") is off by 1µs for ~half the rows.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        # session tz is UTC, so ntz -> timestamp preserves the instant;
+        # downstream watermarks need the instant-typed column
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

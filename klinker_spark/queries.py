@@ -1390,9 +1390,22 @@ def ann_topk_lsh_q(spark, sf_dir):
 
 # ------------------------------------------------------------------ events (batch forms of the streaming ops)
 def _events_ns(spark, sf_dir):
-    """Raw events with exact bigint nanosecond ts (no float round-trip)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    """Raw events normalized to exact bigint nanosecond ``ts``.
+
+    Storage-agnostic: handles both a ``timestamp[us]`` column (current
+    testdata; with ``nanosAsLong`` from session.py a TIMESTAMP(NANOS)
+    file would arrive as bigint instead) by converting through integer
+    micros — never a float round-trip (ts ~1.7e18 exceeds double's
+    exact range).  No session conf is mutated here (the round-1
+    ``spark.conf.set`` made results execution-order dependent in a
+    shared driver session); ``nanosAsLong`` is set once at session
+    construction in ``session.get_spark``.
+    """
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] != "bigint":
+        # session tz is UTC, so ntz -> timestamp preserves the instant
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
 
 
 @register(
@@ -1400,14 +1413,24 @@ def _events_ns(spark, sf_dir):
     """
     SELECT epoch_ms(time_bucket(INTERVAL 15 MINUTE, ts)) AS window_start_ms,
            event_type, count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
     FROM events GROUP BY 1, 2
     """,
 )
 def windowed_event_counts_q(spark, sf_dir):
     """Tumbling-window per-type counts/sums — the batch form of
     streaming.windowed_event_counts (identical plan modulo watermark).
-    Window start from integer ns arithmetic; money as cents."""
+    Window start from integer ns arithmetic; money as cents.
+
+    Cents are computed as ``floor(value*100 + 0.5)`` on BOTH engines:
+    pure IEEE-double arithmetic that Spark and DuckDB evaluate
+    bit-identically, unlike ``round()`` (Spark HALF_UPs the *decimal
+    repr* via BigDecimal; DuckDB rounds the binary double — they
+    disagree on .5-boundary values).  The DuckDB sum is cast back to
+    BIGINT because ``sum(BIGINT)`` returns HUGEINT, which some result
+    hashers stringify differently (driver red row in round 1).
+    """
     ev = _events_ns(spark, sf_dir)
     return (
         ev.groupBy(
@@ -1416,7 +1439,9 @@ def windowed_event_counts_q(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
         )
     )
 

@@ -72,7 +72,38 @@ def test_windowed_counts_partial_aggregation(spark, sf_dir):
     plan = plan_of(QUERIES["windowed_event_counts"](spark, sf_dir))
     # map-side partial + final aggregate around exactly one exchange
     assert plan.count("HashAggregate") >= 2
-    assert "ts:bigint,event_type:string,value:double" in plan.replace(" ", "")
+    # column pruning: only the three needed columns reach the scan
+    # (ts arrives as timestamp_ntz for TIMESTAMP(MICROS) testdata or
+    # bigint for TIMESTAMP(NANOS) under nanosAsLong)
+    flat = plan.replace(" ", "")
+    assert (
+        "ts:timestamp_ntz,event_type:string,value:double" in flat
+        or "ts:bigint,event_type:string,value:double" in flat
+    )
+
+
+def test_sharded_knn_is_driverless(spark, sf_dir):
+    """The two at-scale search paths must not collect the query side:
+    the plan shows the cogrouped pandas search, and the implementation
+    source has no toPandas (regression for the round-1 driver-side
+    broadcast of the full query set)."""
+    import inspect
+
+    from klinker_spark.functions import vectors
+    from klinker_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    out = vectors.topk_cosine_sharded(
+        q.selectExpr("vec_id as id", "embedding as vector"),
+        emb.selectExpr("vec_id as id", "embedding as vector"),
+        k=3,
+        n_query_chunks=2,
+    )
+    plan = plan_of(out)
+    assert "FlatMapCoGroupsInPandas" in plan
+    for fn in (vectors.topk_cosine_sharded, similarity.ann_topk_ivf_indexed):
+        assert "toPandas" not in inspect.getsource(fn), fn.__name__
 
 
 def test_importance_filter_broadcasts(spark):
