@@ -85,12 +85,24 @@ def test_windowed_counts_partial_aggregation(spark, sf_dir):
 def test_sharded_knn_is_driverless(spark, sf_dir):
     """The two at-scale search paths must not collect the query side:
     the plan shows the cogrouped pandas search, and the implementation
-    source has no toPandas (regression for the round-1 driver-side
+    CODE (docstrings excluded — they may mention the round-1 bug) has no
+    toPandas reference (regression for the round-1 driver-side
     broadcast of the full query set)."""
+    import ast
     import inspect
+    import textwrap
 
     from klinker_spark.functions import vectors
     from klinker_spark.ops import similarity
+
+    def code_mentions(fn, name: str) -> bool:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and node.attr == name:
+                return True
+            if isinstance(node, ast.Name) and node.id == name:
+                return True
+        return False
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") % 100 == 0)
@@ -103,7 +115,7 @@ def test_sharded_knn_is_driverless(spark, sf_dir):
     plan = plan_of(out)
     assert "FlatMapCoGroupsInPandas" in plan
     for fn in (vectors.topk_cosine_sharded, similarity.ann_topk_ivf_indexed):
-        assert "toPandas" not in inspect.getsource(fn), fn.__name__
+        assert not code_mentions(fn, "toPandas"), fn.__name__
 
 
 def test_importance_filter_broadcasts(spark):
