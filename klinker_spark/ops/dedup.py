@@ -345,11 +345,28 @@ def embedding_cosine_dedup(
     k: int = 10,
 ) -> DataFrame:
     """Embedding near-dup pairs: reflexive top-k cosine join filtered by
-    similarity threshold.  Output: ``(doc_a, doc_b, sim)``."""
+    similarity threshold.  Output: ``(doc_a, doc_b, sim)`` with
+    ``doc_a < doc_b`` and sim rounded to 6 dp.
+
+    The candidate set is SYMMETRIC (reference behavior,
+    ``blockers/embedding/blockbuilder.py:51-106``): a pair qualifies if
+    it appears in EITHER endpoint's top-k list, so canonicalization is
+    ``least/greatest + distinct`` AFTER the reflexive join — a plain
+    ``query_id < neighbor_id`` filter would drop an above-threshold
+    pair that only shows up in the higher-id row's list (round-2
+    verdict #3).  The distinct shuffles scalar (id, id, sim) rows only.
+    Threshold and distinct both apply to the 6-dp-rounded sim so the
+    two directions of a pair collapse bit-identically."""
     emb = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
     nn = topk_cosine_join(emb, emb, k=k)
     return (
-        nn.where(F.col("query_id") < F.col("neighbor_id"))
+        nn.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round("sim", 6))
         .where(F.col("sim") >= threshold)
-        .select(F.col("query_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b"), "sim")
+        .select(
+            F.least("query_id", "neighbor_id").alias("doc_a"),
+            F.greatest("query_id", "neighbor_id").alias("doc_b"),
+            "sim",
+        )
+        .distinct()
     )

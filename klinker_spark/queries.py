@@ -1081,15 +1081,33 @@ def ngram_jaccard_dedup_q(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@register("embedding_cosine_dedup")
+@register(
+    "embedding_cosine_dedup",
+    """
+    WITH sims AS (
+      SELECT a.vec_id qid, b.vec_id nid,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) sim
+      FROM embeddings a CROSS JOIN embeddings b),
+    topk AS (
+      SELECT qid, nid, round(sim, 6) AS sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid ASC) rank
+        FROM sims) WHERE rank <= 10)
+    SELECT DISTINCT least(qid, nid) AS doc_a, greatest(qid, nid) AS doc_b, sim
+    FROM topk WHERE qid <> nid AND sim >= 0.35
+    """,
+)
 def embedding_cosine_dedup_q(spark, sf_dir):
-    """Embedding near-dup: reflexive top-k cosine ≥ threshold.  Float
-    cosine ordering is oracle-checked by knn_topk; this variant is
-    rows-only."""
+    """Embedding near-dup: SYMMETRIC reflexive top-k cosine ≥ threshold
+    with least/greatest canonicalization (a pair counts if either
+    endpoint lists it).  Exact oracle: brute-force top-k per row in
+    DuckDB, same union-of-directions semantics."""
     from .ops.dedup import embedding_cosine_dedup
 
-    out = embedding_cosine_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.35, k=10)
-    return out.withColumn("sim", F.round("sim", 6))
+    return embedding_cosine_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.35, k=10)
 
 
 # ------------------------------------------------------------------ text analysis (documents)
@@ -2266,7 +2284,7 @@ _GATE_PRIORITY = [
     "embedding_signlsh_dedup",
     "simhash_dedup_md5",
     "ngram_jaccard_dedup",
-    "token_count",
+    "embedding_cosine_dedup",
     "quality_score",
     "token_frequencies",
     "tfidf_top_tokens",

@@ -137,6 +137,27 @@ def test_embedding_cosine_dedup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_cosine_dedup_symmetric_candidates(spark):
+    """A pair that appears ONLY in the higher-id row's top-k list must
+    survive (round-2 verdict #3: the old query_id < neighbor_id filter
+    dropped it).  Angles: a=0°, c=10°, b=-20° → with k=2 (self + one),
+    a's list is {a, c} but b's list is {b, a}; (a, b) exists only via
+    the b→a direction."""
+    import math
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    emb = spark.createDataFrame(
+        [(1, at(0.0)), (2, at(-20.0)), (3, at(10.0))], ["vec_id", "embedding"]
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in embedding_cosine_dedup(emb, threshold=0.8, k=2).collect()}
+    assert (1, 2) in pairs  # only listed by row 2 (cos 20° ≈ 0.94)
+    assert (1, 3) in pairs  # listed by rows 1 and 3 — exactly once
+    rows = embedding_cosine_dedup(emb, threshold=0.8, k=2).collect()
+    assert len(rows) == len(pairs)  # distinct collapsed the two directions
+
+
 def test_brute_force_topk_real_embeddings(embeddings):
     queries = embeddings.where(F.col("vec_id") % 100 == 0)
     nn = brute_force_topk(queries, embeddings, k=3)
