@@ -196,6 +196,23 @@ def test_topk_sharded_matches_expr(embeddings):
     assert a == b
 
 
+def test_topk_sharded_multichunk_spill_matches_expr(embeddings):
+    """n_query_chunks > 1 exercises the spill-and-replay path: every
+    index partition is scanned once, spilled, and replayed per query
+    chunk — results must be identical to the expr oracle path."""
+    from klinker_spark.functions.vectors import topk_cosine_sharded
+
+    queries = embeddings.where(F.col("vec_id") % 50 == 0)
+    sel = lambda df: df.selectExpr("vec_id as id", "embedding as vector")  # noqa: E731
+    sh = topk_cosine_sharded(
+        sel(queries), sel(embeddings.repartition(5)), k=4, n_query_chunks=3
+    )
+    ex = brute_force_topk(queries, embeddings, k=4, impl="expr")
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in sh.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ex.collect()}
+    assert a == b
+
+
 def test_topk_sharded_partition_smaller_than_k(spark):
     from klinker_spark.functions.vectors import topk_cosine_sharded
 

@@ -113,7 +113,13 @@ def test_sharded_knn_is_driverless(spark, sf_dir):
         n_query_chunks=2,
     )
     plan = plan_of(out)
-    assert "FlatMapCoGroupsInPandas" in plan
+    # index streams in place: no cogroup, no Exchange below MapInPandas —
+    # the only shuffle in the whole plan is the final merge window
+    import re
+
+    assert "MapInPandas" in plan
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1
     for fn in (vectors.topk_cosine_sharded, similarity.ann_topk_ivf_indexed):
         assert not code_mentions(fn, "toPandas"), fn.__name__
 
