@@ -98,7 +98,11 @@ def ann_topk_signlsh(
         .select("query_id", "neighbor_id", "sim")
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        # nanvl: zero-norm vectors yield NaN sims, which Spark would
+        # rank FIRST in DESC (NaN > +Inf); numpy/matmul ranks them last
+        F.nanvl(F.col("sim"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()
+    )
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
@@ -200,12 +204,31 @@ def build_ivf_index(
     ).parquet(f"{path}/centroids")
 
 
+#: Above this centroid count the literal-array probe expression is
+#: replaced by the broadcast-matmul kernel: a Catalyst expression tree
+#: of n_centroids × dim literals stops compiling long before the
+#: 10⁵-10⁶ centroids a 100 TB IVF needs (NOTES lesson 7 / ADVICE r2).
+PROBE_LITERAL_MAX_CENTROIDS = 512
+
+
 def _probe_centroids(q: DataFrame, centroids: list, n_probe: int) -> DataFrame:
-    """Per-query probe set as a pure projection: the tiny centroid
-    table becomes a literal array, per-query scoring + top-``n_probe``
-    selection runs inside Catalyst — queries stay distributed.
-    ``q`` must have columns ``(query_id, qv array<double>)``; output
-    adds one exploded ``centroid_id`` row per probe."""
+    """Per-query probe set: top-``n_probe`` centroids by cosine,
+    ties broken centroid-id ASC.  ``q`` must have columns
+    ``(query_id, qv array<double>)``; output adds one exploded
+    ``centroid_id`` row per probe.  Queries stay distributed either
+    way — only the centroid table (bounded by n_centroids) is local.
+
+    Two physical strategies, identical ordering semantics:
+
+    - ≤ ``PROBE_LITERAL_MAX_CENTROIDS``: the centroid table becomes a
+      literal array; scoring + selection is a pure Catalyst projection
+      (bit-reproducible against a SQL oracle — the md5-twin path).
+    - above: the centroid matrix ships as one ``sc.broadcast`` numpy
+      array; queries stream through ``mapInPandas`` doing a BLAS
+      matmul + tie-safe ``_local_topk`` per row.
+    """
+    if len(centroids) > PROBE_LITERAL_MAX_CENTROIDS:
+        return _probe_centroids_matmul(q, centroids, n_probe)
     cent_arr = F.array(
         *[
             F.struct(
@@ -237,6 +260,49 @@ def _probe_centroids(q: DataFrame, centroids: list, n_probe: int) -> DataFrame:
     return scored.select("query_id", "qv", F.explode("probes").alias("centroid_id"))
 
 
+def _probe_centroids_matmul(q: DataFrame, centroids: list, n_probe: int) -> DataFrame:
+    """Broadcast-matmul probe scoring — same (sim DESC, cid ASC)
+    selection as the literal path, for centroid counts where a literal
+    expression tree would dominate plan compilation or fail."""
+    import numpy as np
+
+    from ..functions.vectors import _local_topk
+
+    spark = q.sparkSession
+    cids = np.array([int(c[0]) for c in centroids])
+    cmat = np.array([c[1] for c in centroids], dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cunit = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    bc = spark.sparkContext.broadcast((cids, cunit))
+    q_type = q.schema["query_id"].dataType.simpleString()
+    m = min(int(n_probe), len(centroids))
+
+    def probe(batches):
+        import pandas as pd
+
+        b_cids, b_cunit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf["query_id"].to_numpy()
+            qv = pdf["qv"]
+            qmat = np.stack(qv.to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                qunit = qmat / np.linalg.norm(qmat, axis=1)[:, None]
+            sims = qunit @ b_cunit.T
+            out_q, out_v, out_c = [], [], []
+            for r in range(sims.shape[0]):
+                o = _local_topk(sims[r], b_cids, m)
+                out_q.extend([qids[r]] * len(o))
+                out_v.extend([qv.iloc[r]] * len(o))
+                out_c.extend(b_cids[o].tolist())
+            yield pd.DataFrame({"query_id": out_q, "qv": out_v, "centroid_id": out_c})
+
+    return q.mapInPandas(
+        probe, schema=f"query_id {q_type}, qv array<double>, centroid_id int"
+    )
+
+
 def ann_topk_ivf_indexed(
     queries: DataFrame,
     path: str,
@@ -244,6 +310,7 @@ def ann_topk_ivf_indexed(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Query half of :func:`build_ivf_index`.
 
@@ -266,8 +333,12 @@ def ann_topk_ivf_indexed(
        window — the 90M interpreted expression dots the naive probe
        join evaluates never materialize (NOTES.md lesson 7).
 
-    The probe projection is persisted because it is consumed twice
-    (the distinct-probes aggregate and the search) — |Q|·n_probe rows.
+    The probe projection is consumed twice (the distinct-probes
+    aggregate and the search), so it is materialized ONCE to a parquet
+    scratch (``scratch_dir``, default a fresh tempdir — shared FS on a
+    cluster) instead of ``persist()``: |Q|·n_probe rows on disk, no
+    executor cache held for the session lifetime (the round-2 version
+    leaked its ``probed.persist()`` — ADVICE r2 #3).
     """
     import numpy as np
 
@@ -284,8 +355,13 @@ def ann_topk_ivf_indexed(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    probed = _probe_centroids(q, centroids, n_probe).persist()
-    # bounded collect: ≤ n_centroids ids out of an aggregate
+    if scratch_dir is None:
+        import tempfile
+
+        scratch_dir = tempfile.mkdtemp(prefix="klinker_ivf_probe_")
+    _probe_centroids(q, centroids, n_probe).write.mode("overwrite").parquet(scratch_dir)
+    probed = spark.read.parquet(scratch_dir)
+    # bounded collect: ≤ n_centroids ids out of an aggregate over scratch
     probe_ids = sorted(r[0] for r in probed.select("centroid_id").distinct().collect())
     kk = int(k)
 
@@ -324,7 +400,11 @@ def ann_topk_ivf_indexed(
         .cogroup(lists.groupBy("centroid_id"))
         .applyInPandas(search_list, schema=f"query_id {q_type}, neighbor_id {n_type}, sim double")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        # nanvl: zero-norm vectors yield NaN sims, which Spark would
+        # rank FIRST in DESC (NaN > +Inf); numpy/matmul ranks them last
+        F.nanvl(F.col("sim"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()
+    )
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
@@ -337,31 +417,63 @@ def ann_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """IVF approximate kNN.
 
-    Build: KMeans(n_centroids) over the index; each index vector joins
+    Build: a coarse quantizer over the index; each index vector joins
     its centroid's inverted list (a partition key).  Query: score the
     centroid table (tiny, broadcast as a literal array) per query,
     probe the top ``n_probe`` lists, exact top-k within them.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``quantizer``:
+
+    - ``"kmeans"`` (default): MLlib KMeans centroids — the quality
+      choice, seeded but not reproducible outside Spark.
+    - ``"hash_sample"``: centroids are the ``n_centroids`` index
+      vectors ranked first by ``md5(id)`` — a deterministic quantizer
+      any engine reproduces, so the whole IVF pipeline (assignment →
+      probe → list search) carries an exact SQL oracle
+      (``ann_topk_ivf_md5``).  Same plan shape and cost as kmeans mode;
+      only centroid quality differs (random-sample centroids ≈ the
+      k-means|| init KMeans itself starts from).
+    """
     ix = index.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
     q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
 
-    feat = ix.withColumn("features", array_to_vector("vector"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
-    inv_lists = model.transform(feat).select(
-        F.col("prediction").alias("centroid_id"), "id", "vector"
-    )
+    if quantizer == "hash_sample":
+        # bounded collect: n_centroids rows by construction
+        cent_rows = (
+            ix.withColumn("_h", F.md5(F.col("id").cast("string")))
+            .orderBy("_h", "id")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(cent_rows)]
+        # assignment = probe with n_probe=1: nearest centroid by
+        # cosine, ties cid ASC — pure Catalyst, oracle-reproducible
+        inv_lists = _probe_centroids(
+            ix.select(F.col("id").alias("query_id"), F.col("vector").alias("qv")),
+            centroids,
+            1,
+        ).select("centroid_id", F.col("query_id").alias("id"), F.col("qv").alias("vector"))
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    # Tiny centroid table as literal arrays -> per-query probe scoring
-    # happens in one projection, no join, no collect of data rows.
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+        feat = ix.withColumn("features", array_to_vector("vector"))
+        model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
+        inv_lists = model.transform(feat).select(
+            F.col("prediction").alias("centroid_id"), "id", "vector"
+        )
+        # Tiny centroid table as literal arrays -> per-query probe
+        # scoring happens in one projection, no join, no collect of
+        # data rows.
+        centroids = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+    else:
+        raise ValueError(f"quantizer must be kmeans|hash_sample, got {quantizer!r}")
     probed = _probe_centroids(
         q.select(F.col("id").alias("query_id"), F.col("vector").alias("qv")),
         centroids,
@@ -374,5 +486,9 @@ def ann_topk_ivf(
             "sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        # nanvl: zero-norm vectors yield NaN sims, which Spark would
+        # rank FIRST in DESC (NaN > +Inf); numpy/matmul ranks them last
+        F.nanvl(F.col("sim"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()
+    )
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

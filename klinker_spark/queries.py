@@ -1369,9 +1369,64 @@ def ann_topk_signlsh_q(spark, sf_dir):
 def ann_topk_ivf_q(spark, sf_dir):
     """IVF approximate kNN (KMeans coarse quantizer → probe top-4 of 16
     inverted lists).  KMeans is iterative/stochastic → rows-only check;
-    recall-vs-exact is asserted in tests/test_ops.py."""
+    recall-vs-exact is asserted in tests/test_ops.py; the md5 twin
+    (deterministic quantizer, identical plan) carries the exact
+    oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     out = ann_topk_ivf(emb.where(F.col("vec_id") % 10 == 0), emb, k=10)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
+_IVF_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    "    * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+@register(
+    "ann_topk_ivf_md5",
+    f"""
+    WITH ix AS (SELECT vec_id id, embedding v FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS cv
+      FROM (SELECT id, v, md5(id::VARCHAR) h FROM ix
+            ORDER BY h, id LIMIT 16)),
+    assign AS (
+      SELECT id, v, cid FROM (
+        SELECT ix.id, ix.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY ix.id
+                 ORDER BY {_IVF_COS.format(a="ix.v", b="c.cv")} DESC, c.cid ASC) rn
+        FROM ix CROSS JOIN cents c) WHERE rn = 1),
+    probes AS (
+      SELECT qid, qv, cid FROM (
+        SELECT q.id qid, q.v qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.id
+                 ORDER BY {_IVF_COS.format(a="q.v", b="c.cv")} DESC, c.cid ASC) rn
+        FROM (SELECT id, v FROM ix WHERE id % 10 = 0) q CROSS JOIN cents c)
+      WHERE rn <= 4),
+    cand AS (
+      SELECT p.qid query_id, a.id neighbor_id,
+             {_IVF_COS.format(a="p.qv", b="a.v")} sim
+      FROM probes p JOIN assign a USING (cid))
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) rank
+      FROM cand) WHERE rank <= 10
+    """,
+)
+def ann_topk_ivf_md5_q(spark, sf_dir):
+    """IVF with the deterministic hash-sample quantizer: centroids are
+    the 16 index vectors ranked first by md5(id), assignment and probe
+    are pure-Catalyst cosine scoring — every stage reproducible in SQL,
+    so the full IVF pipeline (quantize → assign → probe → list search →
+    merge) is value-checked end-to-end, not rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ann_topk_ivf(
+        emb.where(F.col("vec_id") % 10 == 0), emb, k=10, quantizer="hash_sample"
+    )
     return out.withColumn("sim", F.round("sim", 6))
 
 
@@ -2263,7 +2318,6 @@ _GATE_PRIORITY = [
     "unique_name_blocking",
     "concat_values",
     "rdf_clean",
-    "sample_dataset",
     "filter_with_unique",
     "count_entities",
     "relation_importance",
@@ -2294,6 +2348,7 @@ _GATE_PRIORITY = [
     "knn_topk_sharded",
     "embedding_knn_blocking_md5",
     "ann_topk_signlsh",
+    "ann_topk_ivf_md5",
     # streaming-semantics (green in r01+r02)
     "windowed_event_counts",
     "events_dedup_earliest",

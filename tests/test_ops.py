@@ -278,6 +278,39 @@ def test_ann_ivf_recall_vs_exact(embeddings):
     assert len(e & a) / len(e) > 0.6
 
 
+def test_ann_ivf_hash_sample_quantizer_deterministic(embeddings):
+    """hash_sample quantizer: fully deterministic IVF — two runs agree
+    bit-for-bit, and recall holds (sample centroids ≈ kmeans init)."""
+    queries = embeddings.where(F.col("vec_id") % 100 == 0)
+    run = lambda: {  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_topk_ivf(
+            queries, embeddings, k=5, n_centroids=8, n_probe=3, quantizer="hash_sample"
+        ).collect()
+    }
+    a = run()
+    assert a == run()
+    exact = brute_force_topk(queries, embeddings, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # sample centroids trail kmeans a little — same bar as the LSH tests
+    assert len({(q, n) for q, n, _ in a} & e) / len(e) > 0.5
+
+
+def test_probe_centroids_matmul_matches_literal(embeddings):
+    """The broadcast-matmul probe kernel (large-centroid-count path)
+    must select the same probes as the literal Catalyst expression."""
+    from klinker_spark.ops.similarity import _probe_centroids, _probe_centroids_matmul
+
+    rows = embeddings.orderBy("vec_id").limit(12).collect()
+    centroids = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)]
+    q = embeddings.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id as query_id", "cast(embedding as array<double>) as qv"
+    )
+    lit = {(r["query_id"], r["centroid_id"]) for r in _probe_centroids(q, centroids, 3).collect()}
+    mat = {(r["query_id"], r["centroid_id"]) for r in _probe_centroids_matmul(q, centroids, 3).collect()}
+    assert lit == mat
+
+
 def test_ivf_indexed_build_query(embeddings, tmp_path):
     from klinker_spark.ops.similarity import ann_topk_ivf_indexed, build_ivf_index
 
