@@ -41,17 +41,30 @@ def tokenize(
     col: Column | str,
     min_token_length: int = 3,
     stopwords: list[str] | None = None,
+    keep_duplicates: bool = False,
 ) -> Column:
     """Lowercase → split on non-alphanumerics → drop short tokens and
     stopwords.  Returns ``array<string>`` (may be empty, never null for
     non-null input).
+
+    Default stopword removal is ``array_except`` — a SET operation that
+    also deduplicates repeated tokens (the blocking-key semantics every
+    oracle is written against, where a key is used once per entity).
+    ``keep_duplicates=True`` filters stopwords with a per-element
+    predicate instead, preserving token OCCURRENCES — required by
+    frequency-weighted pooling (mean/SIF word embedding, reference
+    ``pretrained.py:339-352`` iterates occurrences, not the set).
     """
     c = F.col(col) if isinstance(col, str) else col
     stopwords = STOPWORDS if stopwords is None else stopwords
     toks = F.split(F.lower(c), TOKEN_SPLIT_RE)
     toks = F.filter(toks, lambda t: F.length(t) >= min_token_length)
     if stopwords:
-        toks = F.array_except(toks, F.array(*[F.lit(s) for s in stopwords]))
+        sw = F.array(*[F.lit(s) for s in stopwords])
+        if keep_duplicates:
+            toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+        else:
+            toks = F.array_except(toks, sw)
     return toks
 
 
