@@ -46,10 +46,17 @@ def _nn_to_blocks(nn: DataFrame, left_name: str, right_name: str) -> BlockManage
 
 class KNNBlockBuilder:
     """Exact top-k cosine kNN blocks (reference defaults k=5,
-    ``blockbuilder.py:139-147``)."""
+    ``blockbuilder.py:139-147``), optionally hubness-reduced
+    (``hubness="csls"`` / ``"mutual_rank"`` — the kiez options of
+    ``KiezEmbeddingBlockBuilder``, ``blockbuilder.py:107-207``, with
+    ``n_candidates`` as the over-retrieval width)."""
 
-    def __init__(self, k: int = 5):
+    def __init__(self, k: int = 5, hubness: str | None = None, n_candidates: int = 10):
+        if hubness not in (None, "csls", "mutual_rank"):
+            raise ValueError(f"hubness must be None|csls|mutual_rank, got {hubness!r}")
         self.k = k
+        self.hubness = hubness
+        self.n_candidates = max(n_candidates, k)
 
     def build_blocks(
         self, left_emb: DataFrame, right_emb: DataFrame, left_name: str, right_name: str
@@ -62,7 +69,20 @@ class KNNBlockBuilder:
         # sf0.1 deepblocker query.  Tiny tables: (id, vector) rows.
         left_emb = left_emb.persist()
         right_emb = right_emb.persist()
-        nn = topk_cosine_join(left_emb, right_emb, k=self.k, vec_col="vector")
+        if self.hubness is None:
+            nn = topk_cosine_join(left_emb, right_emb, k=self.k, vec_col="vector")
+        else:
+            from ..ops.similarity import csls_topk, mutual_rank_topk
+
+            fn = csls_topk if self.hubness == "csls" else mutual_rank_topk
+            nn = fn(
+                left_emb,
+                right_emb,
+                k=self.k,
+                n_candidates=self.n_candidates,
+                id_col="id",
+                vec_col="vector",
+            )
         return _nn_to_blocks(nn, left_name, right_name)
 
 

@@ -30,6 +30,8 @@ __all__ = [
     "ann_topk_ivf",
     "build_ivf_index",
     "ann_topk_ivf_indexed",
+    "csls_topk",
+    "mutual_rank_topk",
 ]
 
 
@@ -104,6 +106,104 @@ def ann_topk_signlsh(
         F.nanvl(F.col("sim"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def csls_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    n_candidates: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
+) -> DataFrame:
+    """Hubness-reduced kNN via CSLS (M18 — the reference's kiez
+    ``hubness="csls"`` option, ``blockers/embedding/blockbuilder.py:
+    107-207``; Conneau et al. 2018).
+
+    Hub vectors appear in everyone's neighbor list; CSLS penalizes them
+    by each endpoint's local density:
+    ``csls(q, x) = 2·cos(q, x) − r_fwd(q) − r_rev(x)`` where
+    ``r_fwd(q)`` = mean cosine of q to its ``n_candidates`` nearest
+    index vectors and ``r_rev(x)`` = mean cosine of x to its
+    ``n_candidates`` nearest QUERY vectors.  Final result = per-query
+    top-``k`` of the forward candidate set by csls DESC, id ASC.
+
+    Composition of the exact kernels — two brute-force searches (the
+    symmetric fit kiez performs), two scalar aggregates, two scalar
+    equi-joins, one merge window; every stage deterministic, so the op
+    carries an exact SQL oracle (``csls_topk`` query).
+    """
+    fwd = brute_force_topk(
+        queries, index, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
+    )
+    rev = brute_force_topk(
+        index, queries, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
+    )
+    r_fwd = fwd.groupBy("query_id").agg(F.avg("sim").alias("r_fwd"))
+    r_rev = (
+        rev.groupBy("query_id")
+        .agg(F.avg("sim").alias("r_rev"))
+        .withColumnRenamed("query_id", "neighbor_id")
+    )
+    scored = (
+        fwd.join(r_fwd, "query_id")
+        .join(r_rev, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (2.0 * F.col("sim") - F.col("r_fwd") - F.col("r_rev")).alias("csls"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.nanvl(F.col("csls"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def mutual_rank_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    n_candidates: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
+) -> DataFrame:
+    """Hubness-reduced kNN via mutual rank (M18 — the rank-based
+    reduction family in kiez, e.g. mutual proximity).
+
+    ``score(q, x) = rank of x in q's forward top-n_candidates list +
+    rank of q in x's reverse list`` (missing reverse rank ⇒
+    ``n_candidates + 1``): a hub x is close to everyone, so a given q
+    sits deep in x's reverse list and the pair is demoted.  Lower score
+    = better; ties break neighbor-id ASC.  Integer arithmetic over two
+    deterministic top-k lists — exact SQL oracle
+    (``mutual_rank_topk`` query).
+    """
+    fwd = brute_force_topk(
+        queries, index, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
+    )
+    rev = brute_force_topk(
+        index, queries, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
+    ).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+        F.col("rank").alias("rank_rev"),
+    )
+    scored = fwd.join(rev, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        (
+            F.col("rank")
+            + F.coalesce(F.col("rank_rev"), F.lit(n_candidates + 1))
+        ).alias("mutual_rank"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("mutual_rank").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def ann_topk_lsh(

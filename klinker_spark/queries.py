@@ -1377,6 +1377,78 @@ def ann_topk_ivf_q(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+_HUB_BASE_SQL = """
+    WITH q AS (SELECT vec_id id, embedding v FROM embeddings WHERE vec_id % 10 = 0),
+    ix AS (SELECT vec_id id, embedding v FROM embeddings),
+    sims AS (
+      SELECT q.id qid, ix.id nid,
+             list_sum(list_transform(list_zip(q.v, ix.v),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(q.v, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(ix.v, x -> x::DOUBLE * x::DOUBLE)))) sim
+      FROM q CROSS JOIN ix),
+    fwd AS (
+      SELECT qid, nid, sim, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) rk
+        FROM sims) WHERE rk <= 10),
+    rev AS (
+      SELECT qid, nid, sim, rk2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY nid ORDER BY sim DESC, qid ASC) rk2
+        FROM sims) WHERE rk2 <= 10)
+"""
+
+
+@register(
+    "csls_topk",
+    _HUB_BASE_SQL
+    + """
+    , rf AS (SELECT qid, avg(sim) r FROM fwd GROUP BY qid),
+    rr AS (SELECT nid, avg(sim) r FROM rev GROUP BY nid),
+    scored AS (
+      SELECT f.qid query_id, f.nid neighbor_id, 2*f.sim - rf.r - rr.r csls
+      FROM fwd f JOIN rf ON f.qid = rf.qid JOIN rr ON f.nid = rr.nid)
+    SELECT query_id, neighbor_id, round(csls, 6) AS csls, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY csls DESC, neighbor_id ASC) rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def csls_topk_q(spark, sf_dir):
+    """M18: CSLS hubness-reduced kNN — penalize hub vectors by both
+    endpoints' local densities.  NOTE: the reverse search ranks index
+    vectors against the QUERY SUBSET only (kiez's symmetric fit on the
+    two sides given), so the oracle reuses one sims CTE."""
+    from .ops.similarity import csls_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = csls_topk(emb.where(F.col("vec_id") % 10 == 0), emb, k=5, n_candidates=10)
+    return out.withColumn("csls", F.round("csls", 6))
+
+
+@register(
+    "mutual_rank_topk",
+    _HUB_BASE_SQL
+    + """
+    , scored AS (
+      SELECT f.qid query_id, f.nid neighbor_id, round(f.sim, 6) AS sim,
+             f.rk + coalesce(r.rk2, 11) AS mutual_rank
+      FROM fwd f LEFT JOIN rev r ON f.qid = r.qid AND f.nid = r.nid)
+    SELECT query_id, neighbor_id, sim, mutual_rank, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY mutual_rank ASC, neighbor_id ASC) rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def mutual_rank_topk_q(spark, sf_dir):
+    """M18: mutual-rank hubness reduction — forward rank + reverse rank
+    (missing reverse rank ⇒ n_candidates+1), integer-deterministic."""
+    from .ops.similarity import mutual_rank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = mutual_rank_topk(emb.where(F.col("vec_id") % 10 == 0), emb, k=5, n_candidates=10)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
 _IVF_COS = (
     "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
     " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
@@ -2319,9 +2391,7 @@ _GATE_PRIORITY = [
     "concat_values",
     "rdf_clean",
     "filter_with_unique",
-    "count_entities",
     "relation_importance",
-    "name_importance",
     "top_n_filter",
     "neighbor_concat",
     "blocks_combine",
@@ -2349,6 +2419,8 @@ _GATE_PRIORITY = [
     "embedding_knn_blocking_md5",
     "ann_topk_signlsh",
     "ann_topk_ivf_md5",
+    "csls_topk",
+    "mutual_rank_topk",
     # streaming-semantics (green in r01+r02)
     "windowed_event_counts",
     "events_dedup_earliest",

@@ -4,6 +4,7 @@ embeddings testdata plus hand-built micro fixtures.
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -309,6 +310,116 @@ def test_probe_centroids_matmul_matches_literal(embeddings):
     lit = {(r["query_id"], r["centroid_id"]) for r in _probe_centroids(q, centroids, 3).collect()}
     mat = {(r["query_id"], r["centroid_id"]) for r in _probe_centroids_matmul(q, centroids, 3).collect()}
     assert lit == mat
+
+
+def _np_hubness_fixture():
+    """Deterministic small embedding set with a planted hub (the
+    normalized mean direction is close to everything)."""
+    rng = np.random.RandomState(7)
+    ix = rng.randn(30, 8)
+    ix[0] = ix[1:].mean(axis=0)  # hub
+    q = rng.randn(6, 8)
+    return q, ix
+
+
+def _np_topk(sims, ids, k):
+    out = []
+    for r in range(sims.shape[0]):
+        order = sorted(range(len(ids)), key=lambda j: (-sims[r, j], ids[j]))[:k]
+        out.append(order)
+    return out
+
+
+def test_csls_matches_numpy_reference(spark):
+    """csls_topk == the CSLS definition computed directly in numpy."""
+    from klinker_spark.ops.similarity import csls_topk
+
+    qm, im = _np_hubness_fixture()
+    C, K = 4, 2
+    qu = qm / np.linalg.norm(qm, axis=1)[:, None]
+    iu = im / np.linalg.norm(im, axis=1)[:, None]
+    sims = qu @ iu.T
+    rsims = sims.T  # reverse search: index against the query set
+    fwd = _np_topk(sims, list(range(im.shape[0])), C)
+    rev = _np_topk(rsims, list(range(qm.shape[0])), C)
+    r_fwd = [np.mean([sims[r, j] for j in fwd[r]]) for r in range(qm.shape[0])]
+    r_rev = [np.mean([rsims[x, j] for j in rev[x]]) for x in range(im.shape[0])]
+    expect = {}
+    for r in range(qm.shape[0]):
+        scored = [(2 * sims[r, j] - r_fwd[r] - r_rev[j], j) for j in fwd[r]]
+        top = sorted(scored, key=lambda t: (-t[0], t[1]))[:K]
+        expect[r] = [(j, round(s, 6)) for s, j in top]
+
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in qm[i]]) for i in range(qm.shape[0])],
+        "vec_id int, embedding array<double>",
+    )
+    idf = spark.createDataFrame(
+        [(i, [float(x) for x in im[i]]) for i in range(im.shape[0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {}
+    for row in csls_topk(qdf, idf, k=K, n_candidates=C).collect():
+        got.setdefault(row["query_id"], []).append(
+            (row["neighbor_id"], round(row["csls"], 6))
+        )
+    assert got == expect
+
+
+def test_mutual_rank_matches_numpy_and_demotes_hub(spark):
+    from klinker_spark.ops.similarity import brute_force_topk, mutual_rank_topk
+
+    qm, im = _np_hubness_fixture()
+    C, K = 4, 2
+    qu = qm / np.linalg.norm(qm, axis=1)[:, None]
+    iu = im / np.linalg.norm(im, axis=1)[:, None]
+    sims = qu @ iu.T
+    fwd = _np_topk(sims, list(range(im.shape[0])), C)
+    rev = _np_topk(sims.T, list(range(qm.shape[0])), C)
+    expect = {}
+    for r in range(qm.shape[0]):
+        scored = []
+        for pos, j in enumerate(fwd[r]):
+            rrank = rev[j].index(r) + 1 if r in rev[j] else C + 1
+            scored.append((pos + 1 + rrank, j))
+        expect[r] = [j for _, j in sorted(scored, key=lambda t: (t[0], t[1]))[:K]]
+
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in qm[i]]) for i in range(qm.shape[0])],
+        "vec_id int, embedding array<double>",
+    )
+    idf = spark.createDataFrame(
+        [(i, [float(x) for x in im[i]]) for i in range(im.shape[0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {}
+    for row in mutual_rank_topk(qdf, idf, k=K, n_candidates=C).collect():
+        got.setdefault(row["query_id"], []).append(row["neighbor_id"])
+    assert got == expect
+    # hubness invariant: the planted hub (id 0) never wins MORE often
+    # after the reduction than under plain kNN
+    plain = brute_force_topk(qdf, idf, k=K).collect()
+    hub_plain = sum(1 for r in plain if r["neighbor_id"] == 0)
+    hub_reduced = sum(1 for rows in got.values() for j in rows if j == 0)
+    assert hub_reduced <= hub_plain
+
+
+def test_knn_blockbuilder_hubness_option(spark):
+    from klinker_spark.embedding.blockbuilder import KNNBlockBuilder
+
+    qm, im = _np_hubness_fixture()
+    l = spark.createDataFrame(
+        [(f"l{i}", [float(x) for x in qm[i]]) for i in range(qm.shape[0])],
+        "id string, vector array<double>",
+    )
+    r = spark.createDataFrame(
+        [(f"r{i}", [float(x) for x in im[i]]) for i in range(im.shape[0])],
+        "id string, vector array<double>",
+    )
+    bm = KNNBlockBuilder(k=2, hubness="csls", n_candidates=4).build_blocks(l, r, "L", "R")
+    assert bm.block_pairs().count() == qm.shape[0] * 2
+    with pytest.raises(ValueError, match="hubness"):
+        KNNBlockBuilder(hubness="nope")
 
 
 def test_ivf_indexed_build_query(embeddings, tmp_path):
