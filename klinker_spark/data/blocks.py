@@ -25,7 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["BlockManager"]
+__all__ = ["BlockManager", "CompositeBlockManager"]
 
 
 @dataclass(frozen=True)
@@ -287,9 +287,89 @@ class BlockManager:
     @classmethod
     def read_parquet(
         cls, spark: SparkSession, path: str, left_name: str | None = None, right_name: str | None = None
-    ) -> "BlockManager":
-        """Read blocks (S4, ``blocks.py:345-381``); column names carry
-        the dataset names, sniffed from the schema when not given."""
+    ) -> "BlockManager | CompositeBlockManager":
+        """Read blocks with the reference's layout sniffing (S4,
+        ``blocks.py:345-381``):
+
+        - a ``nn_blocks/`` subdirectory ⇒ the composite layout
+          (``CompositeWithNNBasedKlinkerBlockManager.read_parquet``,
+          ``blocks.py:613-632``) — ``blocks/`` and ``nn_blocks/`` are
+          read recursively into a :class:`CompositeBlockManager`;
+        - two array columns + ``block_key`` ⇒ the native array layout;
+        - otherwise the NN-WIDE layout (``blocks.py:374-381``): one row
+          per left entity, one SCALAR column per neighbor slot (dask
+          writes the left id as the parquet index column).  Converted to
+          block form keyed by the left id, null neighbor slots dropped
+          (``NNBased…all_pairs`` skips None, ``blocks.py:494-505``).
+        """
+        if _dir_exists(spark, f"{path}/nn_blocks"):
+            return CompositeBlockManager(
+                cls.read_parquet(spark, f"{path}/blocks", left_name, right_name),
+                cls.read_parquet(spark, f"{path}/nn_blocks", left_name, right_name),
+            )
         df = spark.read.parquet(path)
-        names = [c for c in df.columns if c != "block_key"]
-        return cls(df, left_name or names[0], right_name or names[1])
+        data_cols = [c for c in df.columns if c != "block_key"]
+        array_cols = [
+            c for c in data_cols if df.schema[c].dataType.typeName() == "array"
+        ]
+        if "block_key" in df.columns and len(data_cols) == 2 and len(array_cols) == 2:
+            return cls(df, left_name or data_cols[0], right_name or data_cols[1])
+        # NN-wide: find the left-id column — pandas/dask index metadata
+        # names first, else the single non-numeric column
+        id_col = next(
+            (c for c in df.columns if c in ("__index_level_0__", "__null_dask_index__")),
+            None,
+        )
+        if id_col is None:
+            non_numeric = [c for c in df.columns if not c.isdigit()]
+            if len(non_numeric) != 1:
+                raise ValueError(
+                    f"cannot sniff block layout at {path!r}: columns {df.columns}"
+                )
+            id_col = non_numeric[0]
+        neigh_cols = [c for c in df.columns if c != id_col]
+        out = df.select(
+            F.col(id_col).cast("string").alias("block_key"),
+            F.array(F.col(id_col).cast("string")).alias(left_name or "left"),
+            F.array_compact(
+                F.array(*[F.col(c).cast("string") for c in neigh_cols])
+            ).alias(right_name or "right"),
+        )
+        return cls(out, left_name or "left", right_name or "right")
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API so it works on
+    any configured storage (local, HDFS, S3A), not just the driver's
+    local disk."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+@dataclass(frozen=True)
+class CompositeBlockManager:
+    """Key-based blocks + NN blocks kept side by side — the reference's
+    ``CompositeWithNNBasedKlinkerBlockManager`` (``blocks.py:560-652``):
+    pair consumers chain both parts; persistence is the two-subdir
+    parquet layout (``blocks/`` + ``nn_blocks/``) the reference writes
+    and sniffs on read."""
+
+    blocks: "BlockManager"
+    nn_blocks: "BlockManager"
+
+    def block_pairs(self) -> DataFrame:
+        """Union of both parts' per-block pairs (``all_pairs`` chains
+        the two generators, ``blocks.py:579-584``)."""
+        return self.blocks.block_pairs().unionByName(self.nn_blocks.block_pairs())
+
+    def pairs(self, distinct: bool = True) -> DataFrame:
+        out = self.blocks.pairs(distinct=False).unionByName(
+            self.nn_blocks.pairs(distinct=False)
+        )
+        return out.distinct() if distinct else out
+
+    def to_parquet(self, path: str) -> None:
+        self.blocks.to_parquet(f"{path}/blocks")
+        self.nn_blocks.to_parquet(f"{path}/nn_blocks")

@@ -91,3 +91,50 @@ def test_purge_keeps_small_blocks(spark):
     purged = blocks_as_dict(bm.purge(cc_round=0))
     assert "giant" not in purged
     assert len(purged) == 30
+
+
+def test_read_nn_wide_reference_layout(spark, tmp_path):
+    """The reference's NN parquet (dask wide frame: index = left id,
+    one scalar column per neighbor slot, None padding — blocks.py:
+    374-381, 466-527) must sniff into block form with nulls dropped."""
+    import pandas as pd
+
+    from klinker_spark.data.blocks import BlockManager
+
+    path = str(tmp_path / "nn")
+    pdf = pd.DataFrame(
+        {"0": ["b1", "b2", "b9"], "1": ["b7", None, "b3"]},
+        index=pd.Index(["a1", "a2", "a3"]),
+    )
+    pdf.to_parquet(path)  # pandas stores the index like dask does
+    bm = BlockManager.read_parquet(spark, path, "L", "R")
+    got = {
+        r["block_key"]: (list(r["L"]), sorted(r["R"])) for r in bm.df.collect()
+    }
+    assert got == {
+        "a1": (["a1"], ["b1", "b7"]),
+        "a2": (["a2"], ["b2"]),  # None slot dropped
+        "a3": (["a3"], ["b3", "b9"]),
+    }
+
+
+def test_composite_parquet_roundtrip(spark, tmp_path, blocks):
+    """blocks/ + nn_blocks/ two-subdir layout (reference
+    CompositeWithNNBasedKlinkerBlockManager, blocks.py:560-652):
+    written by CompositeBlockManager, sniffed back on read, pairs
+    chain both parts."""
+    import pandas as pd
+
+    from klinker_spark.data.blocks import BlockManager, CompositeBlockManager
+
+    root = str(tmp_path / "composite")
+    nn_src = str(tmp_path / "nn_src")
+    pd.DataFrame({"0": ["b8"]}, index=pd.Index(["a9"])).to_parquet(nn_src)
+    nn = BlockManager.read_parquet(spark, nn_src, "A", "B")
+    comp = CompositeBlockManager(blocks, nn)
+    comp.to_parquet(root)
+    back = BlockManager.read_parquet(spark, root, "A", "B")
+    assert isinstance(back, CompositeBlockManager)
+    base_pairs = {tuple(r) for r in blocks.pairs().collect()}
+    got = {tuple(r) for r in back.pairs().collect()}
+    assert got == base_pairs | {("a9", "b8")}
