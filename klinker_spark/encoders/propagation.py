@@ -8,13 +8,15 @@ Reference parity:
   reference runs torch sparse matmuls on a single node; sparse matmul
   IS a join + sum aggregate, so the Spark form distributes the same
   math with no collect.
-- ``RelationAwarePropagationEncoder`` ↔ the LightEA-style relation-
-  conditioned propagation (``encoders/light_ea.py:55-294``, M12),
-  simplified: instead of the three-view label-propagation tensors,
+- ``LightEAEncoder`` ↔ the faithful three-view LightEA propagation
+  (``encoders/light_ea.py:117-248``, M12): forward/reverse relation
+  split, ent-ent adjacency with degree diagonal, rel←heads and
+  ent←rels views, per-hop eps-norms, depth-concat + final normalize.
+- ``RelationAwarePropagationEncoder`` ↔ the same design point,
+  simplified variant kept for cheap relation-conditioned blocking:
   messages are modulated component-wise by a hash-derived unit vector
   per relation name — relation semantics influence the embedding
-  without any trained parameters, matching the reference's
-  training-free design point.
+  without any trained parameters.
 
 Scale design (the reason for the *long* layout): features are held as
 ``(id, dim, val)`` rows, NOT ``array<float>`` cells, during
@@ -36,7 +38,12 @@ from pyspark.sql import functions as F
 from ..data.frames import reverse_rel
 from .hashing import HashingWordEmbedder, initialize_and_fill
 
-__all__ = ["propagate", "GCNFrameEncoder", "RelationAwarePropagationEncoder"]
+__all__ = [
+    "propagate",
+    "GCNFrameEncoder",
+    "RelationAwarePropagationEncoder",
+    "LightEAEncoder",
+]
 
 
 def _to_long(features: DataFrame) -> DataFrame:
@@ -207,3 +214,127 @@ class RelationAwarePropagationEncoder(GCNFrameEncoder):
                 (F.col("val") / F.when(F.col("_n") > 0, F.col("_n")).otherwise(1.0)).alias("val"),
             )
         return _to_array(long)
+
+
+class LightEAEncoder(GCNFrameEncoder):
+    """Faithful LightEA three-view propagation (M12,
+    ``encoders/light_ea.py:117-248``), training-free.
+
+    Graph transform (``_transform_graph``): every triple becomes a
+    forward edge under relation ``rel>`` and a reverse edge under
+    ``rel<`` (the reference's ``2r`` / ``2r+1`` split), deduplicated.
+    Three sparse views are built from the unique directed triples:
+
+    - ``ent_ent``: adjacency with multiplicity — (h,t) weighted by the
+      number of directed relations between them, diagonal (i,i)
+      weighted by i's total degree;
+    - ``rel_ent``: relation → its distinct head entities;
+    - ``ent_rel``: entity → the distinct relations it receives.
+
+    Per hop (``_get_features``):
+
+        rel'  = norm(rel_ent @ ent)              # relation from heads
+        ent'  = norm(ent_ent @ ent + ent_rel @ rel)   # rel is the hop-
+                                                      # PREVIOUS one
+                                                      # (zeros at hop 1)
+
+    with ``norm(x) = x / (||x||₂ + 1e-8)`` (``_my_norm``).  The output
+    concatenates [initial, hop 1, …, hop depth] per entity —
+    ``(depth+1)·dim`` components — and final-normalizes by
+    ``max(||x||₂, 1e-12)`` (torch ``F.normalize``).
+
+    Spark shape: the three views are plain DataFrames; every sparse
+    matmul is a join + HashAggregate over the long ``(id, dim, val)``
+    layout (module docstring), so hub rows spread over ``dim`` keys and
+    nothing is collected.
+    """
+
+    def encode(self, conc: DataFrame, rels: DataFrame) -> DataFrame:
+        attr_vec = self.attr_encoder.encode(conc)
+        ids = (
+            conc.select("id")
+            .union(rels.select(F.col("head").alias("id")))
+            .union(rels.select(F.col("tail").alias("id")))
+            .distinct()
+        )
+        feat0 = initialize_and_fill(ids, attr_vec, self.dim, self.seed, self.hash_fn)
+
+        trip = (
+            rels.select(
+                "head", "tail", F.concat(F.col("rel"), F.lit(">")).alias("r")
+            )
+            .unionByName(
+                rels.select(
+                    F.col("tail").alias("head"),
+                    F.col("head").alias("tail"),
+                    F.concat(F.col("rel"), F.lit("<")).alias("r"),
+                )
+            )
+            .distinct()
+        )
+        ee = (
+            trip.select(F.col("head").alias("src"), F.col("tail").alias("dst"))
+            .unionAll(trip.select(F.col("head").alias("src"), F.col("head").alias("dst")))
+            .unionAll(trip.select(F.col("tail").alias("src"), F.col("tail").alias("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("double").alias("w"))
+        )
+        rel_ent = trip.select("r", F.col("head").alias("id")).distinct()
+        ent_rel = trip.select(F.col("tail").alias("id"), "r").distinct()
+        if self.depth > 1:
+            ee = ee.persist()
+            rel_ent = rel_ent.persist()
+            ent_rel = ent_rel.persist()
+
+        def l2(df: DataFrame, key: str) -> DataFrame:
+            n = df.groupBy(key).agg(
+                (F.sqrt(F.sum(F.col("val") * F.col("val"))) + F.lit(1e-8)).alias("_n")
+            )
+            return df.join(n, key).select(
+                key, "dim", (F.col("val") / F.col("_n")).alias("val")
+            )
+
+        ent = _to_long(feat0)
+        rel_feat: DataFrame | None = None
+        parts = [ent]
+        for hop in range(self.depth):
+            new_rel = l2(
+                rel_ent.join(ent, "id")
+                .groupBy("r", "dim")
+                .agg(F.sum("val").alias("val")),
+                "r",
+            )
+            msgs = (
+                ee.join(ent.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"), "dim")
+                .agg(F.sum(F.col("w") * F.col("val")).alias("val"))
+            )
+            if rel_feat is not None:
+                from_rel = (
+                    ent_rel.join(rel_feat, "r")
+                    .groupBy("id", "dim")
+                    .agg(F.sum("val").alias("val"))
+                )
+                msgs = (
+                    msgs.unionByName(from_rel)
+                    .groupBy("id", "dim")
+                    .agg(F.sum("val").alias("val"))
+                )
+            ent = l2(msgs, "id")
+            rel_feat = new_rel
+            parts.append(
+                ent.select("id", (F.col("dim") + (hop + 1) * self.dim).alias("dim"), "val")
+            )
+
+        cat = parts[0]
+        for p in parts[1:]:
+            cat = cat.unionByName(p)
+        fn = cat.groupBy("id").agg(
+            F.greatest(
+                F.sqrt(F.sum(F.col("val") * F.col("val"))), F.lit(1e-12)
+            ).alias("_n")
+        )
+        out = cat.join(fn, "id").select(
+            "id", "dim", (F.col("val") / F.col("_n")).alias("val")
+        )
+        return _to_array(out)

@@ -2084,31 +2084,41 @@ _LIGHTEA_MD5_SQL = """
     att AS (SELECT id, d, avg(CASE d {tok_case} END) v
             FROM toks CROSS JOIN dims GROUP BY id, d),
     ids AS (SELECT id FROM conc UNION SELECT head FROM rels UNION SELECT tail FROM rels),
-    nodes AS (SELECT head id FROM rels UNION SELECT tail FROM rels),
-    und AS (SELECT head, 'in_nation' rel, tail FROM rels
-            UNION ALL SELECT tail, '_inv_in_nation', head FROM rels
-            UNION ALL SELECT id, '_self_', id FROM nodes),
-    deg AS (SELECT head, count(*) deg FROM und GROUP BY head),
-    e AS (SELECT und.head, und.rel, und.tail, 1.0 / sqrt(dh.deg * dt.deg) w
-          FROM und JOIN deg dh ON dh.head = und.head
-                   JOIN deg dt ON dt.head = und.tail),
+    trip AS (SELECT DISTINCT head h, tail t, 'in_nation>' r FROM rels
+             UNION SELECT DISTINCT tail h, head t, 'in_nation<' r FROM rels),
+    ee AS (SELECT src, dst, CAST(count(*) AS DOUBLE) w FROM (
+             SELECT h src, t dst FROM trip
+             UNION ALL SELECT h, h FROM trip
+             UNION ALL SELECT t, t FROM trip) GROUP BY src, dst),
+    rel_ent AS (SELECT DISTINCT r, h id FROM trip),
+    ent_rel AS (SELECT DISTINCT t id, r FROM trip),
     f0 AS (SELECT ids.id, dims.d,
                   coalesce(att.v, CASE dims.d {id_case} END) val
            FROM ids CROSS JOIN dims
            LEFT JOIN att ON att.id = ids.id AND att.d = dims.d),
-    m1 AS (SELECT e.head id, f.d,
-                  sum(f.val * e.w * (CASE f.d {rel_case} END)) val
-           FROM e JOIN f0 f ON f.id = e.tail GROUP BY 1, 2),
-    n1 AS (SELECT id, sqrt(sum(val * val)) nn FROM m1 GROUP BY id),
-    h1 AS (SELECT m1.id, d, val / (CASE WHEN nn > 0 THEN nn ELSE 1.0 END) val
-           FROM m1 JOIN n1 USING (id)),
-    m2 AS (SELECT e.head id, f.d,
-                  sum(f.val * e.w * (CASE f.d {rel_case} END)) val
-           FROM e JOIN h1 f ON f.id = e.tail GROUP BY 1, 2),
-    n2 AS (SELECT id, sqrt(sum(val * val)) nn FROM m2 GROUP BY id),
-    h2 AS (SELECT m2.id, d, val / (CASE WHEN nn > 0 THEN nn ELSE 1.0 END) val
-           FROM m2 JOIN n2 USING (id))
-    SELECT id, d AS dim, round(val, 6) AS val FROM h2
+    r1u AS (SELECT re.r, f.d, sum(f.val) val
+            FROM rel_ent re JOIN f0 f ON f.id = re.id GROUP BY re.r, f.d),
+    r1n AS (SELECT r, sqrt(sum(val * val)) + 1e-8 nn FROM r1u GROUP BY r),
+    r1 AS (SELECT r1u.r, d, val / nn val FROM r1u JOIN r1n USING (r)),
+    e1u AS (SELECT ee.src id, f.d, sum(ee.w * f.val) val
+            FROM ee JOIN f0 f ON f.id = ee.dst GROUP BY ee.src, f.d),
+    e1n AS (SELECT id, sqrt(sum(val * val)) + 1e-8 nn FROM e1u GROUP BY id),
+    h1 AS (SELECT e1u.id, d, val / nn val FROM e1u JOIN e1n USING (id)),
+    e2a AS (SELECT ee.src id, f.d, sum(ee.w * f.val) val
+            FROM ee JOIN h1 f ON f.id = ee.dst GROUP BY ee.src, f.d),
+    e2b AS (SELECT er.id, r1.d, sum(r1.val) val
+            FROM ent_rel er JOIN r1 ON r1.r = er.r GROUP BY er.id, r1.d),
+    e2u AS (SELECT id, d, sum(val) val FROM (
+              SELECT * FROM e2a UNION ALL SELECT * FROM e2b) GROUP BY id, d),
+    e2n AS (SELECT id, sqrt(sum(val * val)) + 1e-8 nn FROM e2u GROUP BY id),
+    h2 AS (SELECT e2u.id, d, val / nn val FROM e2u JOIN e2n USING (id)),
+    cat AS (SELECT id, d, val FROM f0
+            UNION ALL SELECT id, d + 8 AS d, val FROM h1
+            UNION ALL SELECT id, d + 16 AS d, val FROM h2),
+    fn AS (SELECT id, greatest(sqrt(sum(val * val)), 1e-12) nn
+           FROM cat GROUP BY id)
+    SELECT cat.id, cat.d AS dim, round(val / nn, 6) AS val
+    FROM cat JOIN fn ON fn.id = cat.id
 """
 
 
@@ -2120,16 +2130,16 @@ _LIGHTEA_MD5_SQL = """
         id_case=" ".join(
             f"WHEN {d} THEN {_md5_component_sql(d, 'ids.id')}" for d in range(8)
         ),
-        rel_case=" ".join(
-            f"WHEN {d} THEN {_md5_component_sql(d, 'e.rel')}" for d in range(8)
-        ),
     ),
 )
 def lightea_propagation_md5_q(spark, sf_dir):
-    """M12 under an exact oracle: md5-mode relation-aware propagation —
-    messages modulated by per-relation hash vectors, per-hop L2 norm,
-    two hops, every component value-checked against DuckDB."""
-    from .encoders.propagation import RelationAwarePropagationEncoder
+    """M12 under an exact oracle, upgraded to the FAITHFUL three-view
+    LightEA propagation (``light_ea.py:117-248``): forward/reverse
+    relation split, ent-ent adjacency with degree diagonal, rel←heads
+    and ent←rels views, per-hop ``x/(||x||+1e-8)`` norms, concat of
+    [initial, hop1, hop2] then final normalize — every stage a SQL
+    aggregate, value-checked against DuckDB."""
+    from .encoders.propagation import LightEAEncoder
 
     cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
     conc = cust.select(
@@ -2141,7 +2151,7 @@ def lightea_propagation_md5_q(spark, sf_dir):
         F.lit("in_nation").alias("rel"),
         F.concat(F.lit("n"), F.col("c_nationkey")).alias("tail"),
     )
-    emb = RelationAwarePropagationEncoder(depth=2, dim=8, hash_fn="md5").encode(conc, rels)
+    emb = LightEAEncoder(depth=2, dim=8, hash_fn="md5").encode(conc, rels)
     return emb.select(
         "id", F.posexplode("vector").alias("dim", "val")
     ).withColumn("val", F.round("val", 6))

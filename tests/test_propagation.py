@@ -179,3 +179,69 @@ def test_sessionize_streaming_plan(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("select * from sess_test").collect()
     assert len(rows) == 1 and rows[0]["n_events"] == 1
+
+
+def test_lightea_threeview_matches_numpy_reference(spark, tiny_graph):
+    """LightEAEncoder == a direct numpy transcription of the reference
+    algorithm (light_ea.py:117-248): forward/reverse relation split,
+    ent-ent multiplicity + degree diagonal, rel<-heads / ent<-rels
+    views, x/(||x||+1e-8) per hop, concat + final normalize."""
+    import numpy as np
+
+    from klinker_spark.encoders.hashing import initialize_and_fill
+    from klinker_spark.encoders.propagation import LightEAEncoder
+
+    conc, rels = tiny_graph
+    dim, depth = 4, 2
+    enc = LightEAEncoder(depth=depth, dim=dim)
+    got = {r["id"]: np.array(r["vector"]) for r in enc.encode(conc, rels).collect()}
+
+    # --- numpy reference ---
+    ids_df = (
+        conc.select("id")
+        .union(rels.select(F.col("head").alias("id")))
+        .union(rels.select(F.col("tail").alias("id")))
+        .distinct()
+    )
+    feat0_rows = initialize_and_fill(
+        ids_df, enc.attr_encoder.encode(conc), dim, enc.seed
+    ).collect()
+    ids = sorted(r["id"] for r in feat0_rows)
+    idx = {e: i for i, e in enumerate(ids)}
+    feat0 = np.zeros((len(ids), dim))
+    for r in feat0_rows:
+        feat0[idx[r["id"]]] = r["vector"]
+
+    trips = set()
+    for r in rels.collect():
+        trips.add((r["head"], r["tail"], r["rel"] + ">"))
+        trips.add((r["tail"], r["head"], r["rel"] + "<"))
+    rel_ids = sorted({t[2] for t in trips})
+    ridx = {r: i for i, r in enumerate(rel_ids)}
+    n, m = len(ids), len(rel_ids)
+    ee = np.zeros((n, n))
+    rel_ent = np.zeros((m, n))
+    ent_rel = np.zeros((n, m))
+    for h, t, r in trips:
+        ee[idx[h], idx[t]] += 1
+        ee[idx[h], idx[h]] += 1
+        ee[idx[t], idx[t]] += 1
+        rel_ent[ridx[r], idx[h]] = 1
+        ent_rel[idx[t], ridx[r]] = 1
+
+    def mynorm(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
+
+    ent, rel = feat0, np.zeros((m, dim))
+    ent_list = [feat0]
+    for _ in range(depth):
+        new_rel = mynorm(rel_ent @ ent)
+        new_ent = mynorm(ee @ ent + ent_rel @ rel)
+        ent, rel = new_ent, new_rel
+        ent_list.append(ent)
+    cat = np.concatenate(ent_list, axis=1)
+    expect = cat / np.maximum(np.linalg.norm(cat, axis=1, keepdims=True), 1e-12)
+
+    assert set(got) == set(ids)
+    for e in ids:
+        np.testing.assert_allclose(got[e], expect[idx[e]], atol=1e-9)
