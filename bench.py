@@ -68,14 +68,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # bench hygiene (round-2 verdict): record machine load and a second
+    # warm iteration per query so round-over-round comparisons can be
+    # adjudicated — a contended sandbox shows up as load_avg >> n_cpus
+    # and as cold/warm divergence on unchanged code.
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        spark.catalog.clearCache()  # library persists must not leak across queries
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        for out, label in ((timings, "cold"), (warm, "warm")):
+            spark.catalog.clearCache()  # library persists must not leak
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+        print(f"# {name}: cold {timings[name]}s warm {warm[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +92,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
+                "load_avg": [round(x, 2) for x in load_start],
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
