@@ -9,15 +9,19 @@ labels; concrete classes ``:154-393``).
 Spark-first differences:
 - embedding = the engine's hash-derived token pooling (deterministic,
   JVM-side) instead of gensim vectors — same dataflow, no model file;
-- clustering = MLlib ``KMeans`` (no hdbscan in MLlib; the reference
-  itself falls back between cuml/sklearn).  KMeans `fit` runs on the
-  *distinct values* table which is orders of magnitude smaller than the
-  data — the scalable part, the label join, is a broadcastable
-  dimension table exactly like the reference's merge
+- clustering: ``method="kmeans"`` (MLlib, no noise concept) or
+  ``method="dbscan"`` (``ops.clustering.dbscan_labels`` — distributed
+  density clustering with hdbscan's ``-1`` noise convention).  Either
+  fit runs on the *distinct values* table, orders of magnitude smaller
+  than the data — the scalable part, the label join, is a
+  broadcastable dimension table exactly like the reference's merge
   (``attribute_clustering.py:62-78``);
-- noise handling: KMeans has no noise cluster, so ``keep`` semantics
-  (every value gets a label) — the reference's default "remove noise"
-  applies only to HDBSCAN's -1 labels.
+- noise handling (``attribute_clustering.py:88-99``,
+  ``_handle_noise_cluster``): ``keep`` (noise stays one shared -1
+  block), ``remove`` (noise values produce no block), ``token`` (each
+  noise value becomes its own block keyed by the value — the
+  token-blocking fallback).  Only meaningful with dbscan; kmeans
+  labels everything.
 """
 
 from __future__ import annotations
@@ -34,19 +38,61 @@ __all__ = ["AttributeClusteringBlocker"]
 
 
 class AttributeClusteringBlocker(Blocker):
-    def __init__(self, n_clusters: int = 10, dim: int = 32, seed: int = 42):
+    def __init__(
+        self,
+        n_clusters: int = 10,
+        dim: int = 32,
+        seed: int = 42,
+        method: str = "kmeans",
+        min_sim: float = 0.9,
+        min_pts: int = 3,
+        noise_handling: str = "keep",
+    ):
+        if method not in ("kmeans", "dbscan"):
+            raise ValueError(f"method must be kmeans|dbscan, got {method!r}")
+        if noise_handling not in ("keep", "remove", "token"):
+            raise ValueError(
+                f"noise_handling must be keep|remove|token, got {noise_handling!r}"
+            )
         self.n_clusters = n_clusters
         self.dim = dim
         self.seed = seed
+        self.method = method
+        self.min_sim = min_sim
+        self.min_pts = min_pts
+        self.noise_handling = noise_handling
+
+    def _embed_values(self, values: DataFrame) -> DataFrame:
+        return HashingWordEmbedder(dim=self.dim, seed=self.seed).encode(
+            values.select(F.col("value").alias("id"), F.col("value").alias("text"))
+        )
 
     def _value_labels(self, values: DataFrame) -> DataFrame:
         """Distinct values → ``(value, block_key='clustering_label_<k>')``."""
+        emb = self._embed_values(values)
+        if self.method == "dbscan":
+            from ..ops.clustering import dbscan_labels
+
+            labeled = dbscan_labels(
+                emb, min_sim=self.min_sim, min_pts=self.min_pts
+            ).withColumnRenamed("id", "value")
+            if self.noise_handling == "remove":
+                labeled = labeled.where(F.col("label") != "-1")
+            elif self.noise_handling == "token":
+                # noise value becomes its own label (ref :93-98)
+                labeled = labeled.withColumn(
+                    "label",
+                    F.when(F.col("label") == "-1", F.col("value")).otherwise(
+                        F.col("label")
+                    ),
+                )
+            return labeled.select(
+                "value",
+                F.concat(F.lit("clustering_label_"), F.col("label")).alias("block_key"),
+            )
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        emb = HashingWordEmbedder(dim=self.dim, seed=self.seed).encode(
-            values.select(F.col("value").alias("id"), F.col("value").alias("text"))
-        )
         feat = emb.select(
             F.col("id").alias("value"), array_to_vector(F.col("vector").cast("array<double>")).alias("features")
         )

@@ -1377,6 +1377,57 @@ def ann_topk_ivf_q(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+_DBSCAN_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    "    * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+@register(
+    "dbscan_labels",
+    f"""
+    WITH RECURSIVE pts AS (SELECT vec_id::VARCHAR id, embedding v FROM embeddings),
+    edges AS (
+      SELECT a.id, b.id nid FROM pts a JOIN pts b ON a.id <> b.id
+      WHERE {_DBSCAN_COS.format(a="a.v", b="b.v")} >= 0.9),
+    deg AS (SELECT id, count(*) + 1 deg FROM edges GROUP BY id),
+    core AS (SELECT p.id FROM pts p LEFT JOIN deg USING (id)
+             WHERE coalesce(deg, 1) >= 4),
+    core_edges AS (SELECT e.id, e.nid FROM edges e
+                   JOIN core c1 ON e.id = c1.id JOIN core c2 ON e.nid = c2.id),
+    reach AS (
+      SELECT id, id AS label FROM core
+      UNION
+      SELECT ce.id, r.label FROM core_edges ce JOIN reach r ON r.id = ce.nid),
+    core_label AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+    border AS (
+      SELECT e.id, min(cl.label) AS label
+      FROM edges e JOIN core_label cl ON cl.id = e.nid
+      WHERE e.id NOT IN (SELECT id FROM core)
+      GROUP BY e.id)
+    SELECT id, label FROM core_label
+    UNION ALL SELECT id, label FROM border
+    UNION ALL
+    SELECT p.id, '-1' AS label FROM pts p
+    WHERE p.id NOT IN (SELECT id FROM core_label)
+      AND p.id NOT IN (SELECT id FROM border)
+    """,
+)
+def dbscan_labels_q(spark, sf_dir):
+    """M14 density clustering with real noise semantics: distributed
+    DBSCAN over the embeddings table (ε-join → core points → min-label
+    propagation to fixpoint → border attach → '-1' noise).  The oracle
+    reproduces the fixpoint with a recursive CTE, so the whole
+    iterative pipeline is value-checked."""
+    from .ops.clustering import dbscan_labels
+
+    emb = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as id", "embedding as vector"
+    )
+    return dbscan_labels(emb, min_sim=0.9, min_pts=4)
+
+
 _HUB_BASE_SQL = """
     WITH q AS (SELECT vec_id id, embedding v FROM embeddings WHERE vec_id % 10 = 0),
     ix AS (SELECT vec_id id, embedding v FROM embeddings),
@@ -2395,7 +2446,6 @@ def token_blocking_capped(spark, sf_dir):
 _GATE_PRIORITY = [
     # core blocking / prep / eval (green in r01+r02)
     "standard_blocking",
-    "standard_blocking_stats",
     "token_blocking",
     "unique_name_blocking",
     "concat_values",
@@ -2431,6 +2481,7 @@ _GATE_PRIORITY = [
     "ann_topk_ivf_md5",
     "csls_topk",
     "mutual_rank_topk",
+    "dbscan_labels",
     # streaming-semantics (green in r01+r02)
     "windowed_event_counts",
     "events_dedup_earliest",

@@ -118,3 +118,73 @@ def test_hybrid_composite_with_embedding_rel_blocker(spark):
     pairs = {(r["left_id"], r["right_id"]) for r in bm.pairs().collect()}
     # unique-name pass must link a1-b1; embedding/attr branches add more
     assert ("a1", "b1") in pairs
+
+
+def test_dbscan_labels_clusters_border_noise(spark):
+    """Hand-built ε-graph: two dense clusters, one isolated noise
+    point.  Labels are the smallest member id; noise is '-1'."""
+    import math
+
+    from klinker_spark.ops.clustering import dbscan_labels
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [
+        # cluster A: 3 mutually-close points around 0°
+        ("a1", at(0)), ("a2", at(5)), ("a3", at(10)),
+        # cluster B: 3 mutually-close points around 120°
+        ("b1", at(120)), ("b2", at(125)), ("b3", at(130)),
+        # noise: alone at 240°
+        ("z1", at(240)),
+    ]
+    emb = spark.createDataFrame(rows, "id string, vector array<double>")
+    # min_sim=cos(12°)≈0.978: within-cluster pairs connect, nothing else
+    got = {r["id"]: r["label"] for r in dbscan_labels(emb, min_sim=0.978, min_pts=3).collect()}
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1",
+        "z1": "-1",
+    }
+
+
+def test_dbscan_border_attaches_noise_isolated(spark):
+    """min_pts=3 with a chain a-b-c-d: b,c are core (3 neighbors incl
+    self... a,d have 2) -> a,d are border, attach to the core cluster."""
+    import math
+
+    from klinker_spark.ops.clustering import dbscan_labels
+
+    def at(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # chain: consecutive points 8° apart; ε=cos(10°) links only neighbors
+    emb = spark.createDataFrame(
+        [("a", at(0)), ("b", at(8)), ("c", at(16)), ("d", at(24)), ("z", at(200))],
+        "id string, vector array<double>",
+    )
+    got = {r["id"]: r["label"] for r in dbscan_labels(emb, min_sim=0.985, min_pts=3).collect()}
+    # b and c are core (2 neighbors + self); a and d are border via b/c
+    assert got["b"] == "b" and got["c"] == "b"
+    assert got["a"] == "b" and got["d"] == "b"
+    assert got["z"] == "-1"
+
+
+def test_attribute_clustering_dbscan_noise_handling(spark, frame_a, frame_b):
+    from klinker_spark.blockers.attribute_clustering import AttributeClusteringBlocker
+
+    kw = dict(dim=16, method="dbscan", min_sim=0.5, min_pts=2)
+    keep = AttributeClusteringBlocker(noise_handling="keep", **kw).assign(frame_a, frame_b)
+    remove = AttributeClusteringBlocker(noise_handling="remove", **kw).assign(frame_a, frame_b)
+    token = AttributeClusteringBlocker(noise_handling="token", **kw).assign(frame_a, frame_b)
+    keep_keys = {r["block_key"] for r in keep.block_pairs().select("block_key").distinct().collect()}
+    remove_keys = {r["block_key"] for r in remove.block_pairs().select("block_key").distinct().collect()}
+    token_keys = {r["block_key"] for r in token.block_pairs().select("block_key").distinct().collect()}
+    # remove drops the -1 block; token renames noise per-value
+    assert "clustering_label_-1" not in remove_keys
+    assert "clustering_label_-1" not in token_keys
+    assert remove_keys <= keep_keys
+    with pytest.raises(ValueError, match="noise_handling"):
+        AttributeClusteringBlocker(noise_handling="bogus")
+    with pytest.raises(ValueError, match="method"):
+        AttributeClusteringBlocker(method="hdbscan")
