@@ -14,6 +14,11 @@ __all__ = [
 ]
 
 from .composite import CompositeRelationalTokenBlocker, CompositeUniqueNameBlocker
+from .hybrid import (
+    CompositeEmbeddingBlocker,
+    CompositeLightEABlocker,
+    CompositeRelationalDeepBlocker,
+)
 from .lsh import MinHashLSHBlocker
 from .relation_aware import (
     RelationalBlocker,
@@ -26,6 +31,9 @@ from .relation_aware import (
 from .tfidf import TfIdfFilteredTokenBlocker
 
 __all__ += [
+    "CompositeEmbeddingBlocker",
+    "CompositeLightEABlocker",
+    "CompositeRelationalDeepBlocker",
     "CompositeRelationalTokenBlocker",
     "CompositeUniqueNameBlocker",
     "MinHashLSHBlocker",

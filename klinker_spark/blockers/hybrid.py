@@ -1,0 +1,202 @@
+"""Named hybrid composite blockers — unique-name + token attr pass with
+an EMBEDDING relation branch (E6).
+
+Reference: ``/root/reference/src/klinker/blockers/hybrid.py:15-178``
+(``CompositeRelationalDeepBlocker``, ``CompositeEmbeddingBlocker``,
+``CompositeLightEABlocker``).  Round 2 covered these "by composition";
+this module provides the dedicated classes so a reference user can
+instantiate them by name with the same knobs.
+
+All three parameterize the :class:`~.composite.CompositeUniqueNameBlocker`
+flow — unique pass → anti-join covered → token blocking on attributes →
+relation branch on the remainder → combine — swapping the relation
+branch:
+
+- ``CompositeEmbeddingBlocker``: any frame encoder over the
+  neighbor-concatenated text, kNN block builder;
+- ``CompositeRelationalDeepBlocker``: the DeepBlocker autoencoder
+  encoder in the same slot;
+- ``CompositeLightEABlocker``: the graph path — LightEA three-view
+  propagation over the FULL relation graph (propagation needs every
+  edge), embeddings of unique-covered entities dropped *after*
+  encoding (``hybrid.py:154-168`` ``_filter_emb``), then kNN blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..data.blocks import BlockManager
+from ..data.frames import EntityFrame
+from ..embedding.blockbuilder import KNNBlockBuilder
+from ..embedding.blocker import EmbeddingBlocker
+from .composite import CompositeUniqueNameBlocker
+from .token import TokenBlocker
+from .unique_name import UniqueNameBlocker
+
+__all__ = [
+    "CompositeEmbeddingBlocker",
+    "CompositeRelationalDeepBlocker",
+    "CompositeLightEABlocker",
+]
+
+
+class CompositeEmbeddingBlocker(CompositeUniqueNameBlocker):
+    """E6: embedding relation branch (``hybrid.py:87-115``)."""
+
+    def __init__(
+        self,
+        frame_encoder=None,
+        block_builder=None,
+        attr_min_token_length: int = 3,
+        top_n_a: int | None = None,
+        top_n_r: int | None = None,
+        use_unique_name: bool = True,
+    ):
+        super().__init__(
+            TokenBlocker(min_token_length=attr_min_token_length),
+            EmbeddingBlocker(
+                frame_encoder=frame_encoder, block_builder=block_builder
+            ),
+            top_n_a,
+            top_n_r,
+            use_unique_name,
+        )
+
+
+class _TwoSidedEncoderRelBranch:
+    """Adapter slotting a two-sided ``fit_encode(left, right)`` encoder
+    (the DeepBlocker family trains on both sides jointly,
+    ``encoders/deepblocker.py:112-178``) into the composite's relation
+    branch contract (``_assign`` over pre-concatenated frames)."""
+
+    def __init__(self, frame_encoder, block_builder):
+        self.frame_encoder = frame_encoder
+        self.block_builder = block_builder
+
+    def _assign(
+        self,
+        left_conc: DataFrame,
+        right_conc: DataFrame,
+        left_name: str,
+        right_name: str,
+    ) -> BlockManager:
+        l_emb, r_emb = self.frame_encoder.fit_encode(left_conc, right_conc)
+        return self.block_builder.build_blocks(l_emb, r_emb, left_name, right_name)
+
+
+class CompositeRelationalDeepBlocker(CompositeUniqueNameBlocker):
+    """E6: DeepBlocker autoencoder in the relation branch
+    (``hybrid.py:15-84``)."""
+
+    def __init__(
+        self,
+        out_dim: int = 8,
+        in_dim: int = 32,
+        k: int = 5,
+        attr_min_token_length: int = 3,
+        top_n_a: int | None = None,
+        top_n_r: int | None = None,
+        use_unique_name: bool = True,
+    ):
+        from ..encoders.deepblocker import AutoencoderFrameEncoder
+
+        super().__init__(
+            TokenBlocker(min_token_length=attr_min_token_length),
+            _TwoSidedEncoderRelBranch(
+                AutoencoderFrameEncoder(out_dim=out_dim, in_dim=in_dim),
+                KNNBlockBuilder(k=k),
+            ),
+            top_n_a,
+            top_n_r,
+            use_unique_name,
+        )
+
+
+class CompositeLightEABlocker(CompositeUniqueNameBlocker):
+    """E6 graph variant (``hybrid.py:117-178``): the relation branch
+    encodes with LightEA three-view propagation over the full relation
+    graph (``only_use_neighbor_info=True`` — hops only, no hop-0
+    attribute features), drops unique-covered entities AFTER encoding,
+    and kNN-blocks the remainder."""
+
+    def __init__(
+        self,
+        depth: int = 2,
+        dim: int = 16,
+        k: int = 5,
+        attr_min_token_length: int = 3,
+        top_n_a: int | None = None,
+        top_n_r: int | None = None,
+        use_unique_name: bool = True,
+        seed: int = 42,
+    ):
+        from ..encoders.propagation import LightEAEncoder
+
+        super().__init__(
+            TokenBlocker(min_token_length=attr_min_token_length),
+            # placeholder: the rel branch is overridden in assign()
+            TokenBlocker(min_token_length=attr_min_token_length),
+            top_n_a,
+            top_n_r,
+            use_unique_name,
+        )
+        self._encoder = LightEAEncoder(
+            depth=depth, dim=dim, seed=seed, include_initial=False
+        )
+        self._builder = KNNBlockBuilder(k=k)
+
+    def _rel_blocks(
+        self,
+        left: EntityFrame,
+        right: EntityFrame,
+        left_rel: DataFrame,
+        right_rel: DataFrame,
+        unique: BlockManager | None,
+    ) -> BlockManager:
+        def side_emb(frame: EntityFrame, rels: DataFrame) -> DataFrame:
+            emb = self._encoder.encode(frame.concat_values(), rels)
+            if unique is not None:
+                covered = unique.df.select(
+                    F.explode(F.col(frame.name)).alias("id")
+                ).distinct()
+                emb = emb.join(covered, "id", "left_anti")
+            return emb
+
+        return self._builder.build_blocks(
+            side_emb(left, left_rel),
+            side_emb(right, right_rel),
+            left.name,
+            right.name,
+        )
+
+    def assign(
+        self,
+        left: EntityFrame,
+        right: EntityFrame,
+        left_rel: DataFrame | None = None,
+        right_rel: DataFrame | None = None,
+    ) -> BlockManager:
+        assert left_rel is not None and right_rel is not None
+        if not self.use_unique_name:
+            attr_blocks = self._attribute_blocker.assign(left, right)
+            return attr_blocks.combine(
+                self._rel_blocks(left, right, left_rel, right_rel, None)
+            )
+        unique = UniqueNameBlocker().assign(left, right)
+        unique = BlockManager(unique.df.persist(), unique.left_name, unique.right_name)
+        unique.df.count()  # eager cache — see CompositeUniqueNameBlocker
+
+        from .composite import filter_with_unique
+
+        left_rest = left.with_attrs(filter_with_unique(left.attrs, unique, left.name))
+        right_rest = right.with_attrs(
+            filter_with_unique(right.attrs, unique, right.name)
+        )
+        attr_blocks = unique.combine(
+            self._attribute_blocker.assign(left_rest, right_rest)
+        )
+        return attr_blocks.combine(
+            self._rel_blocks(left, right, left_rel, right_rel, unique)
+        )

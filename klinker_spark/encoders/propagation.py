@@ -247,7 +247,16 @@ class LightEAEncoder(GCNFrameEncoder):
     matmul is a join + HashAggregate over the long ``(id, dim, val)``
     layout (module docstring), so hub rows spread over ``dim`` keys and
     nothing is collected.
+
+    ``include_initial=False`` is the reference's
+    ``only_use_neighbor_info=True`` (the composite hybrid setting,
+    ``hybrid.py:117-168``): the concat skips the hop-0 attribute
+    features and keeps only propagated hops.
     """
+
+    def __init__(self, *args, include_initial: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.include_initial = include_initial
 
     def encode(self, conc: DataFrame, rels: DataFrame) -> DataFrame:
         attr_vec = self.attr_encoder.encode(conc)
@@ -296,7 +305,7 @@ class LightEAEncoder(GCNFrameEncoder):
 
         ent = _to_long(feat0)
         rel_feat: DataFrame | None = None
-        parts = [ent]
+        stages = [ent] if self.include_initial else []
         for hop in range(self.depth):
             new_rel = l2(
                 rel_ent.join(ent, "id")
@@ -322,10 +331,12 @@ class LightEAEncoder(GCNFrameEncoder):
                 )
             ent = l2(msgs, "id")
             rel_feat = new_rel
-            parts.append(
-                ent.select("id", (F.col("dim") + (hop + 1) * self.dim).alias("dim"), "val")
-            )
+            stages.append(ent)
 
+        parts = [
+            s.select("id", (F.col("dim") + i * self.dim).alias("dim"), "val")
+            for i, s in enumerate(stages)
+        ]
         cat = parts[0]
         for p in parts[1:]:
             cat = cat.unionByName(p)

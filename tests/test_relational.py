@@ -137,3 +137,41 @@ def test_composite_blocker_runs(frame_a, frame_b, rels_a, rels_b):
     # overall recall: pairs must include the obvious matches
     pairs = {tuple(r) for r in bm.pairs().collect()}
     assert ("a1", "b1") in pairs and ("a3", "b3") in pairs
+
+
+def test_hybrid_composite_embedding_blocker(frame_a, frame_b, rels_a, rels_b):
+    """Named E6 class: unique pass + token attrs + hash-embedding kNN
+    relation branch — every left entity ends up in some block."""
+    from klinker_spark.blockers import CompositeEmbeddingBlocker
+
+    bm = CompositeEmbeddingBlocker().assign(frame_a, frame_b, rels_a, rels_b)
+    pairs = bm.block_pairs()
+    assert pairs.count() > 0
+    lids = {r["left_id"] for r in pairs.select("left_id").distinct().collect()}
+    assert lids  # non-degenerate
+
+
+def test_hybrid_composite_deepblocker(frame_a, frame_b, rels_a, rels_b):
+    from klinker_spark.blockers import CompositeRelationalDeepBlocker
+
+    bm = CompositeRelationalDeepBlocker(out_dim=4, in_dim=16, k=2).assign(
+        frame_a, frame_b, rels_a, rels_b
+    )
+    assert bm.block_pairs().count() > 0
+
+
+def test_hybrid_composite_lightea(frame_a, frame_b, rels_a, rels_b):
+    """Graph variant: LightEA hops-only embeddings, unique-covered
+    entities filtered AFTER encoding, kNN blocks on the rest."""
+    from klinker_spark.blockers import CompositeLightEABlocker
+    from klinker_spark.blockers.unique_name import UniqueNameBlocker
+
+    bm = CompositeLightEABlocker(depth=1, dim=8, k=2).assign(
+        frame_a, frame_b, rels_a, rels_b
+    )
+    pairs = {(r["left_id"], r["right_id"]) for r in bm.pairs().collect()}
+    assert pairs
+    # unique-name pairs are preserved by the combine
+    uniq = {(r["left_id"], r["right_id"])
+            for r in UniqueNameBlocker().assign(frame_a, frame_b).pairs().collect()}
+    assert uniq <= pairs
