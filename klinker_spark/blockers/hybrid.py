@@ -29,11 +29,13 @@ from pyspark.sql import functions as F
 
 from ..data.blocks import BlockManager
 from ..data.frames import EntityFrame
-from ..embedding.blockbuilder import KNNBlockBuilder
-from ..embedding.blocker import EmbeddingBlocker
 from .composite import CompositeUniqueNameBlocker
 from .token import TokenBlocker
 from .unique_name import UniqueNameBlocker
+
+# NOTE: ..embedding.* is imported lazily inside the constructors —
+# embedding.blocker itself imports blockers.base, so a module-level
+# import here would be circular via blockers/__init__.
 
 __all__ = [
     "CompositeEmbeddingBlocker",
@@ -54,6 +56,8 @@ class CompositeEmbeddingBlocker(CompositeUniqueNameBlocker):
         top_n_r: int | None = None,
         use_unique_name: bool = True,
     ):
+        from ..embedding.blocker import EmbeddingBlocker
+
         super().__init__(
             TokenBlocker(min_token_length=attr_min_token_length),
             EmbeddingBlocker(
@@ -100,6 +104,7 @@ class CompositeRelationalDeepBlocker(CompositeUniqueNameBlocker):
         top_n_r: int | None = None,
         use_unique_name: bool = True,
     ):
+        from ..embedding.blockbuilder import KNNBlockBuilder
         from ..encoders.deepblocker import AutoencoderFrameEncoder
 
         super().__init__(
@@ -132,6 +137,7 @@ class CompositeLightEABlocker(CompositeUniqueNameBlocker):
         use_unique_name: bool = True,
         seed: int = 42,
     ):
+        from ..embedding.blockbuilder import KNNBlockBuilder
         from ..encoders.propagation import LightEAEncoder
 
         super().__init__(

@@ -1,4 +1,10 @@
-from .hashing import HashingWordEmbedder, SIFHashingWordEmbedder, initialize_and_fill, remove_first_pc
+from .hashing import (
+    HashingWordEmbedder,
+    SIFHashingWordEmbedder,
+    initialize_and_fill,
+    reduce_dim,
+    remove_first_pc,
+)
 from .deepblocker import AutoencoderFrameEncoder, CrossTupleTrainingEncoder, HybridDeepBlockerEncoder
 from .pretrained import KeyedVectorsEncoder, load_keyed_vectors
 from .propagation import GCNFrameEncoder, RelationAwarePropagationEncoder, propagate
@@ -9,6 +15,7 @@ __all__ = [
     "HashingWordEmbedder",
     "SIFHashingWordEmbedder",
     "initialize_and_fill",
+    "reduce_dim",
     "remove_first_pc",
     "AutoencoderFrameEncoder",
     "CrossTupleTrainingEncoder",

@@ -183,3 +183,112 @@ def initialize_and_fill(
     return all_ids.join(known, "id", "left").select(
         "id", F.coalesce(F.col("vector"), init).alias("vector")
     )
+
+
+def _project_matrix_expr(vec_col: str, components) -> "Column":
+    """Project ``vec_col`` (array<double>, dim d) onto each row of
+    ``components`` (out_dim × d literals) — a pure Catalyst expression,
+    applied distributively like ``remove_first_pc``."""
+    outs = []
+    for comp in components:
+        row = F.array(*[F.lit(float(x)) for x in comp])
+        outs.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), row, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*outs)
+
+
+def reduce_dim(
+    left_emb: DataFrame,
+    right_emb: DataFrame,
+    out_dim: int,
+    method: str = "pca",
+    sample_n: int = 10_000,
+    seed: int = 42,
+    umap_kwargs: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Joint dimensionality reduction of two embedding frames
+    (``reduce_dim_to``, reference ``pretrained.py:533-561``): fit on
+    the CONCATENATION of both sides, transform each, return the pair.
+
+    Methods:
+
+    - ``"pca"`` (default): components from a numpy SVD of a
+      driver-collected joint sample (the reference's TruncatedSVD is
+      equally driver-side); the projection applies distributively as a
+      literal-matrix Catalyst expression — scales to any row count.
+    - ``"random_projection"``: seeded Gaussian projection (the
+      Johnson-Lindenstrauss route the reference itself uses inside
+      LightEA, ``light_ea.py:23-32``); no fit at all, fully
+      deterministic, distributed apply.
+    - ``"umap"``: the reference's exact choice, behind an optional
+      import (umap-learn is not in this environment).  UMAP has no
+      out-of-sample transform worth trusting at scale, so like the
+      reference it fit_transforms the COLLECTED union — a driver-side
+      boundary; prefer pca/random_projection on big frames.
+
+    Same guards as the reference: reducing to the current dim returns
+    the inputs unchanged; reducing UP raises ``ValueError``.
+    """
+    import numpy as np
+
+    row = left_emb.select(F.size("vector").alias("d")).first()
+    in_dim = int(row["d"]) if row else 0
+    if out_dim == in_dim or in_dim == 0:
+        return left_emb, right_emb
+    if out_dim > in_dim:
+        raise ValueError(
+            f"Cannot reduce embeddings of dimensionality {in_dim} to higher "
+            f"dimensionality of {out_dim}!"
+        )
+    if method == "pca":
+        both = left_emb.select("vector").unionByName(right_emb.select("vector"))
+        sample = both.orderBy(
+            F.pmod(F.xxhash64(F.to_json("vector"), F.lit(seed)), F.lit(1 << 31))
+        ).limit(sample_n)
+        mat = np.array([r["vector"] for r in sample.collect()])
+        mean = mat.mean(axis=0)
+        _, _, vt = np.linalg.svd(mat - mean, full_matrices=False)
+        comps = vt[:out_dim]
+        proj = lambda df: df.select(  # noqa: E731
+            "id", _project_matrix_expr("vector", comps).alias("vector")
+        )
+        return proj(left_emb), proj(right_emb)
+    if method == "random_projection":
+        rng = np.random.RandomState(seed)
+        r = rng.randn(out_dim, in_dim)
+        r /= np.linalg.norm(r, axis=1)[:, None]
+        proj = lambda df: df.select(  # noqa: E731
+            "id", _project_matrix_expr("vector", r).alias("vector")
+        )
+        return proj(left_emb), proj(right_emb)
+    if method == "umap":
+        try:
+            from umap import UMAP  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "umap-learn is not installed; use method='pca' or "
+                "'random_projection' for a model-free reduction"
+            ) from e
+        kw = {"n_neighbors": 15, "min_dist": 0.1, **(umap_kwargs or {})}
+        l_rows = left_emb.select("id", "vector").collect()
+        r_rows = right_emb.select("id", "vector").collect()
+        all_vec = np.array([r["vector"] for r in l_rows + r_rows])
+        reduced = UMAP(n_components=out_dim, **kw).fit_transform(all_vec)
+        from ..session import local_df
+
+        spark = left_emb.sparkSession
+        mk = lambda rows, lo: local_df(  # noqa: E731
+            spark,
+            [
+                (rows[i]["id"], [float(x) for x in reduced[lo + i]])
+                for i in range(len(rows))
+            ],
+            "id string, vector array<double>",
+        )
+        return mk(l_rows, 0), mk(r_rows, len(l_rows))
+    raise ValueError(f"method must be pca|random_projection|umap, got {method!r}")

@@ -146,3 +146,75 @@ def test_embedding_blocker_end_to_end(frame_a, frame_b, tmp_path):
     assert os.path.exists(str(tmp_path / "A_encoded.parquet"))
     bm2 = blocker.assign(frame_a, frame_b)
     assert bm2.df.count() == 5
+
+
+def test_reduce_dim_pca_and_random_projection(spark):
+    import numpy as np
+
+    from klinker_spark.encoders.hashing import reduce_dim
+
+    rng = np.random.RandomState(3)
+    mk = lambda pref, n: spark.createDataFrame(  # noqa: E731
+        [(f"{pref}{i}", [float(x) for x in rng.randn(8)]) for i in range(n)],
+        "id string, vector array<double>",
+    )
+    l, r = mk("l", 12), mk("r", 9)
+    for method in ("pca", "random_projection"):
+        lo, ro = reduce_dim(l, r, 3, method=method)
+        lrows = {x["id"]: x["vector"] for x in lo.collect()}
+        rrows = {x["id"]: x["vector"] for x in ro.collect()}
+        assert len(lrows) == 12 and len(rrows) == 9
+        assert all(len(v) == 3 for v in lrows.values())
+        # deterministic: second call identical
+        lo2, _ = reduce_dim(l, r, 3, method=method)
+        assert {x["id"]: x["vector"] for x in lo2.collect()} == lrows
+    # guards (ref pretrained.py:538-546)
+    same_l, same_r = reduce_dim(l, r, 8)
+    assert same_l is l and same_r is r
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="higher"):
+        reduce_dim(l, r, 16)
+    with _pytest.raises(ValueError, match="method"):
+        reduce_dim(l, r, 3, method="tsne")
+
+
+def test_reduce_dim_umap_requires_library(spark):
+    import pytest as _pytest
+
+    try:
+        import umap  # noqa: F401
+
+        _pytest.skip("umap unexpectedly installed")
+    except ImportError:
+        pass
+    from klinker_spark.encoders.hashing import reduce_dim
+
+    l = spark.createDataFrame([("a", [1.0, 2.0])], "id string, vector array<double>")
+    with _pytest.raises(ImportError, match="umap-learn"):
+        reduce_dim(l, l, 1, method="umap")
+
+
+def test_reduce_dim_pca_preserves_separation(spark):
+    """Two well-separated groups stay separated after PCA to 2 dims."""
+    import numpy as np
+
+    from klinker_spark.encoders.hashing import reduce_dim
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(10, 8) * 0.1
+    b = rng.randn(10, 8) * 0.1 + 5.0
+    df = spark.createDataFrame(
+        [(f"a{i}", [float(x) for x in a[i]]) for i in range(10)]
+        + [(f"b{i}", [float(x) for x in b[i]]) for i in range(10)],
+        "id string, vector array<double>",
+    )
+    lo, _ = reduce_dim(df, df, 2, method="pca")
+    got = {r["id"]: np.array(r["vector"]) for r in lo.collect()}
+    amean = np.mean([got[f"a{i}"] for i in range(10)], axis=0)
+    bmean = np.mean([got[f"b{i}"] for i in range(10)], axis=0)
+    within = max(
+        max(np.linalg.norm(got[f"a{i}"] - amean) for i in range(10)),
+        max(np.linalg.norm(got[f"b{i}"] - bmean) for i in range(10)),
+    )
+    assert np.linalg.norm(amean - bmean) > 3 * within
