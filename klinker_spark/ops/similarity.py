@@ -255,9 +255,15 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_fraction: float = 0.25,
+    quantizer: str = "kmeans",
 ) -> None:
     """Persist an IVF index: inverted lists as parquet PARTITIONED BY
     centroid id, centroids as a tiny sibling table.
+
+    ``quantizer="hash_sample"`` uses the deterministic md5-ranked
+    sample quantizer (see :func:`ann_topk_ivf`) — the persisted index
+    then reproduces in any engine, giving the indexed query path an
+    exact oracle (``ann_topk_ivf_indexed_md5``).
 
     This is the build half of the at-scale ANN design: build once,
     query many.  Because the lists live in ``centroid_id=N/``
@@ -272,25 +278,44 @@ def build_ivf_index(
     directory gets one file per shuffle partition that holds its key,
     not one per upstream partition (measured 2x on the write).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     ix = index.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector"))
-    feat = ix.withColumn("features", array_to_vector("vector"))
-    fit_on = feat.sample(fit_fraction, seed=seed) if fit_fraction < 1.0 else feat
-    # KMeans is iterative: an uncached input re-runs the sample scan +
-    # array_to_vector projection every iteration (maxIter=20 default)
-    fit_on = fit_on.persist()
-    try:
-        # maxIter=10 == Faiss's IVF training default; a coarse
-        # quantizer needs balanced cells, not converged centroids
-        model = KMeans(k=n_centroids, seed=seed, featuresCol="features", maxIter=10).fit(fit_on)
-    finally:
-        fit_on.unpersist()
+    if quantizer == "hash_sample":
+        cent_rows = (
+            ix.withColumn("_h", F.md5(F.col("id").cast("string")))
+            .orderBy("_h", "id")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(cent_rows)]
+        assigned = _probe_centroids(
+            ix.select(F.col("id").alias("query_id"), F.col("vector").alias("qv")),
+            centroids,
+            1,
+        ).select("centroid_id", F.col("query_id").alias("id"), F.col("qv").alias("vector"))
+        cents = centroids
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = ix.withColumn("features", array_to_vector("vector"))
+        fit_on = feat.sample(fit_fraction, seed=seed) if fit_fraction < 1.0 else feat
+        # KMeans is iterative: an uncached input re-runs the sample scan +
+        # array_to_vector projection every iteration (maxIter=20 default)
+        fit_on = fit_on.persist()
+        try:
+            # maxIter=10 == Faiss's IVF training default; a coarse
+            # quantizer needs balanced cells, not converged centroids
+            model = KMeans(k=n_centroids, seed=seed, featuresCol="features", maxIter=10).fit(fit_on)
+        finally:
+            fit_on.unpersist()
+        assigned = model.transform(feat).select(
+            F.col("prediction").alias("centroid_id"), "id", "vector"
+        )
+        cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    else:
+        raise ValueError(f"quantizer must be kmeans|hash_sample, got {quantizer!r}")
     (
-        model.transform(feat)
-        .select(F.col("prediction").alias("centroid_id"), "id", "vector")
-        .repartition("centroid_id")
+        assigned.repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(f"{path}/lists")
@@ -298,7 +323,6 @@ def build_ivf_index(
     from ..session import local_df
 
     spark = index.sparkSession
-    cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     local_df(spark, cents, "cid int, cv array<double>").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/centroids")

@@ -1507,9 +1507,7 @@ _IVF_COS = (
 )
 
 
-@register(
-    "ann_topk_ivf_md5",
-    f"""
+_IVF_MD5_ORACLE = f"""
     WITH ix AS (SELECT vec_id id, embedding v FROM embeddings),
     cents AS (
       SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS cv
@@ -1538,8 +1536,10 @@ _IVF_COS = (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id ASC) rank
       FROM cand) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@register("ann_topk_ivf_md5", _IVF_MD5_ORACLE)
 def ann_topk_ivf_md5_q(spark, sf_dir):
     """IVF with the deterministic hash-sample quantizer: centroids are
     the 16 index vectors ranked first by md5(id), assignment and probe
@@ -1569,6 +1569,30 @@ def ann_topk_ivf_indexed_q(spark, sf_dir):
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "spark-warehouse", f"ivf_{sf_tag}")
     build_ivf_index(emb, path, n_centroids=16)
     out = ann_topk_ivf_indexed(emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4)
+    return out.withColumn("sim", F.round("sim", 6))
+
+
+# The persisted index is a materialization of the same pipeline
+# (identical quantizer / assignment / probe / search), so this query
+# shares ann_topk_ivf_md5's oracle.
+@register("ann_topk_ivf_indexed_md5", _IVF_MD5_ORACLE)
+def ann_topk_ivf_indexed_md5_q(spark, sf_dir):
+    """Persisted-IVF ANN under an exact oracle: build the
+    partitioned-parquet index with the deterministic hash-sample
+    quantizer, then probe it — partition pruning, cogroup list
+    search, and merge all value-checked."""
+    import os
+    import tempfile
+
+    from .ops.similarity import ann_topk_ivf_indexed, build_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"klinker_ivf_md5_{sf_tag}")
+    build_ivf_index(emb, path, n_centroids=16, quantizer="hash_sample")
+    out = ann_topk_ivf_indexed(
+        emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4
+    )
     return out.withColumn("sim", F.round("sim", 6))
 
 
