@@ -1741,11 +1741,25 @@ def embedding_knn_blocking(spark, sf_dir):
     return bm.df.select("block_key", F.explode(F.col(bm.right_name)).alias("right_id"))
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           round((("""
+    + " + ".join(
+        f"ord(substr(text, {j + 1}, 1))::HUGEINT * {256 ** j}" for j in range(8)
+    )
+    + """) % 1000) / 1000.0, 6) AS f0
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: documents' text bytes as opaque payloads →
-    Arrow-batched mapInPandas feature extraction (decode kernel is the
-    deterministic stub; plan shape is the real product)."""
+    Arrow-batched mapInPandas feature extraction.  The decode kernel is
+    the deterministic hash stub (first 8 payload bytes, little-endian),
+    which IS expressible in SQL — so the Arrow batch path, schema, and
+    kernel contract are value-checked, not just row-counted (the
+    payloads here are ASCII text, so ord(char) == byte)."""
     from .ops.multimodal import extract_features, pack_media
 
     docs = _t(spark, sf_dir, "documents")
@@ -2474,7 +2488,6 @@ _GATE_PRIORITY = [
     "unique_name_blocking",
     "concat_values",
     "rdf_clean",
-    "filter_with_unique",
     "relation_importance",
     "top_n_filter",
     "neighbor_concat",
@@ -2506,6 +2519,7 @@ _GATE_PRIORITY = [
     "csls_topk",
     "mutual_rank_topk",
     "dbscan_labels",
+    "multimodal_features",
     # streaming-semantics (green in r01+r02)
     "windowed_event_counts",
     "events_dedup_earliest",
