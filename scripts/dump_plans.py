@@ -16,8 +16,12 @@ NOTES = {
     "knn_topk": "Index broadcast, deliberate BroadcastNestedLoopJoin cross product, single window for top-k; vec_id filter pushed to the scan.",
     "windowed_event_counts": "Scan pruned to 3 columns; map-side partial aggregate; one exchange on (window, type).",
     "eval_metrics": "Join-count evaluation: pairs left-join broadcast gold, one aggregate for comparisons+TPs.",
-    "knn_topk_sharded": "Unbroadcastable-index exact kNN: query matrix broadcast, index partitions stream through MapInPandas with a running Q×k buffer; only per-partition winners reach the merge window's exchange.",
-    "ann_topk_ivf_indexed": "Persisted IVF probe: scan shows PartitionFilters on centroid_id (unprobed list directories never open); per-list matmul via FlatMapGroupsInPandas; tiny final window.",
+    "knn_topk_sharded": "Unbroadcastable-index exact kNN: index scanned IN PLACE through MapInPandas (zero index shuffle — queries arrive via a parquet side-channel read inside the task); WindowGroupLimit prunes partial top-k before the single exchange of the merge window.",
+    "ann_topk_ivf_indexed": "Persisted IVF probe: scan shows PartitionFilters on centroid_id (unprobed list directories never open); per-list matmul via FlatMapCoGroupsInPandas; probe projection read from parquet scratch (no session-lifetime cache); tiny final window.",
+    "csls_topk": "Hubness-reduced kNN: two MapInPandas exact searches, scalar avg aggregates, two scalar equi-joins, one merge window — the dim-d vectors never enter an exchange after the searches.",
+    "mutual_rank_topk": "Rank-based hubness reduction: forward/reverse top-k lists meet in one scalar join; integer scoring; single window.",
+    "dbscan_labels": "Density clustering: broadcast epsilon self-join, degree aggregate, min-label propagation rounds (localCheckpoint truncates lineage), border attach, noise union.",
+    "multimodal_features": "Binary payloads move Arrow-batched through one MapInPandas; metadata columns stay prunable; no Python row-at-a-time.",
 }
 
 
