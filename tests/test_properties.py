@@ -77,3 +77,18 @@ def test_shingles_match_python(run_expr, s):
 def test_qgrams_null_and_short(run_expr):
     assert run_expr(None, qgrams("s", 3)) is None
     assert run_expr("ab", qgrams("s", 3)) == []
+
+
+def py_tokenize_keep_dups(s, min_len=3, stopwords=STOPWORDS):
+    toks = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if len(t) >= min_len]
+    # per-element stopword filter: occurrences preserved, order kept
+    return [t for t in toks if t not in stopwords]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(s=TEXT)
+def test_tokenize_keep_duplicates_matches_python(run_expr, s):
+    """keep_duplicates=True preserves token occurrences (the pooling
+    semantics KeyedVectorsEncoder weights by) while still dropping
+    stopwords — vs the default array_except set semantics."""
+    assert run_expr(s, tokenize("s", keep_duplicates=True)) == py_tokenize_keep_dups(s)
