@@ -491,3 +491,26 @@ def test_langid_covers_all_docs(docs):
     langs = {r["pred_lang"] for r in pred.select("pred_lang").distinct().collect()}
     real = {r["lang"] for r in docs.select("lang").distinct().collect()}
     assert langs <= real
+
+
+def test_topk_sharded_empty_sides(spark):
+    from klinker_spark.functions.vectors import topk_cosine_sharded
+
+    emb = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("y", [0.0, 1.0])], ["id", "vector"]
+    )
+    empty = emb.where(F.lit(False))
+    assert topk_cosine_sharded(empty, emb, k=3).count() == 0
+    assert topk_cosine_sharded(emb, empty, k=3).count() == 0
+
+
+def test_dbscan_degenerate_inputs(spark):
+    from klinker_spark.ops.clustering import dbscan_labels
+
+    one = spark.createDataFrame([("a", [1.0, 0.0])], "id string, vector array<double>")
+    got = {r["id"]: r["label"] for r in dbscan_labels(one, min_pts=2).collect()}
+    assert got == {"a": "-1"}  # alone -> noise
+    got1 = {r["id"]: r["label"] for r in dbscan_labels(one, min_pts=1).collect()}
+    assert got1 == {"a": "a"}  # min_pts=1: every point is its own core
+    empty = one.where(F.lit(False))
+    assert dbscan_labels(empty).count() == 0
