@@ -59,11 +59,22 @@ def _to_array(long: DataFrame) -> DataFrame:
     )
 
 
+#: Above this dimension the per-hop aggregate uses the long
+#: (id, dim, val) layout.  Measured (sf0.1 gcn_embedding_blocking,
+#: dim 32, warm): wide 5.8 s vs long 4.3 s — the positional
+#: ``vector[i]`` chains leave whole-stage codegen past ~16 dims, the
+#: same crossover as POSITIONAL_DOT_MAX_DIM (functions/vectors.py), so
+#: wide only wins at low dimension where its |E|-row (vs |E|·dim-row)
+#: aggregate keys dominate.
+PROPAGATE_WIDE_MAX_DIM = 16
+
+
 def propagate(
     features: DataFrame,
     edges: DataFrame,
     depth: int = 2,
     normalize: bool = True,
+    layout: str = "auto",
 ) -> DataFrame:
     """``depth`` hops of weighted message passing.
 
@@ -72,6 +83,15 @@ def propagate(
     wanted).  Messages flow tail → head.  With ``normalize`` each hop
     L2-normalizes per node (LightEA's per-round norm,
     ``light_ea.py:176-248``).
+
+    ``layout``: ``"wide"`` keeps vectors as array cells — each hop is
+    one |E|-row join + ONE HashAggregate computing ``dim`` positional
+    sums (per-key agg buffer = dim doubles, map-side partials intact,
+    no collect_list cells).  ``"long"`` spreads dims over aggregation
+    keys — the unbounded-dim / hub-skew shape (module docstring).
+    ``"auto"`` picks wide only up to ``PROPAGATE_WIDE_MAX_DIM`` dims:
+    measured at dim 32 the positional array accesses leave codegen and
+    wide LOSES (see the constant's note), so the crossover is low.
     """
     # The edge list (plus its degree-normalization joins) appears once
     # per hop in the lazy plan — persist so the union/distinct/degree
@@ -80,6 +100,38 @@ def propagate(
     # (head, tail, w).
     if depth > 1:
         edges = edges.persist()
+    if layout == "auto":
+        row = features.select(F.size("vector").alias("d")).first()
+        dim = int(row["d"]) if row and row["d"] is not None else 0
+        layout = "wide" if 0 < dim <= PROPAGATE_WIDE_MAX_DIM else "long"
+    elif layout == "wide":
+        row = features.select(F.size("vector").alias("d")).first()
+        dim = int(row["d"]) if row and row["d"] is not None else 0
+    if layout == "wide" and dim > 0:
+        feat = features
+        for _ in range(depth):
+            msgs = edges.join(feat.withColumnRenamed("id", "tail"), "tail").groupBy(
+                F.col("head").alias("id")
+            ).agg(
+                F.array(
+                    *[F.sum(F.col("vector")[i] * F.col("w")) for i in range(dim)]
+                ).alias("vector")
+            )
+            if normalize:
+                n = F.sqrt(
+                    F.aggregate(
+                        F.col("vector"), F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                )
+                msgs = msgs.select(
+                    "id",
+                    F.transform(
+                        F.col("vector"),
+                        lambda x: x / F.when(n > 0, n).otherwise(1.0),
+                    ).alias("vector"),
+                )
+            feat = msgs
+        return feat
     long = _to_long(features)
     for _ in range(depth):
         long = (
