@@ -6,12 +6,19 @@ from .hashing import (
     remove_first_pc,
 )
 from .deepblocker import AutoencoderFrameEncoder, CrossTupleTrainingEncoder, HybridDeepBlockerEncoder
-from .pretrained import KeyedVectorsEncoder, load_keyed_vectors
+from .pretrained import (
+    KeyedVectorsEncoder,
+    TransformerFrameEncoder,
+    load_keyed_vectors,
+    load_sentence_encoder,
+)
 from .propagation import GCNFrameEncoder, RelationAwarePropagationEncoder, propagate
 
 __all__ = [
     "KeyedVectorsEncoder",
+    "TransformerFrameEncoder",
     "load_keyed_vectors",
+    "load_sentence_encoder",
     "HashingWordEmbedder",
     "SIFHashingWordEmbedder",
     "initialize_and_fill",

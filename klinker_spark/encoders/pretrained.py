@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
-__all__ = ["KeyedVectorsEncoder", "load_keyed_vectors"]
+__all__ = [
+    "KeyedVectorsEncoder",
+    "load_keyed_vectors",
+    "TransformerFrameEncoder",
+    "load_sentence_encoder",
+]
 
 #: per-executor-process model cache (a worker reuse survives tasks)
 _KV_CACHE: dict = {}
@@ -171,4 +176,88 @@ class KeyedVectorsEncoder:
 
         return self._weighted_tokens(conc).groupBy("id").applyInPandas(
             pool, schema=f"id {id_type}, vector array<double>"
+        )
+
+
+def load_sentence_encoder(source: str | Callable[[], object]):
+    """Resolve ``source`` to a sentence-encoder object, memoized per
+    executor process (same cache as :func:`load_keyed_vectors`).
+
+    - ``str`` → ``sentence_transformers.SentenceTransformer(name)``
+      (optional import — torch is not in this environment);
+    - zero-arg callable → called once (test/mocking hook).
+
+    The object needs ``encode(list[str]) -> 2-d array-like`` — the
+    sentence-transformers API the reference consumes
+    (``pretrained.py:129-256``, ``SentenceTransformerTokenizedFrameEncoder``).
+    """
+    key = (
+        f"st::{source}"
+        if isinstance(source, str)
+        else f"st::{source.__module__}.{source.__qualname__}"
+    )
+    model = _KV_CACHE.get(key)
+    if model is None:
+        if callable(source):
+            model = source()
+        else:
+            try:
+                from sentence_transformers import SentenceTransformer
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "sentence-transformers/torch are not installed; pass a "
+                    "zero-arg factory returning an object with "
+                    "encode(list[str]) -> ndarray"
+                ) from e
+            model = SentenceTransformer(source)  # pragma: no cover
+        _KV_CACHE[key] = model
+    return model
+
+
+class TransformerFrameEncoder:
+    """M4/M5: transformer / sentence-transformer frame encoder —
+    ``(id, text)`` → ``(id, vector)`` through Arrow-batched
+    ``mapInPandas``.
+
+    Reference: ``pretrained.py:55-256`` (``TransformerTokenizedFrame
+    Encoder`` / ``SentenceTransformerTokenizedFrameEncoder``) runs the
+    forward pass on the driver over pandas batches; here each EXECUTOR
+    loads the model once (memoized per process, never shipped through
+    the closure — a GPU cluster points ``spark.task.resource.gpu`` at
+    the same stage) and forwards one Arrow batch at a time, so a 100 TB
+    corpus encodes as an embarrassingly parallel scan.
+
+    ``batch_size`` sub-batches each Arrow batch before the forward pass
+    (the reference's ``batch_size``); ``max_length`` truncation belongs
+    to the model/factory config.  The environment here has no torch —
+    string sources raise ImportError with guidance; tests inject a
+    deterministic factory, which exercises every line of the Spark
+    plumbing (the stub boundary is the model object, never the plan).
+    """
+
+    def __init__(self, source: str | Callable[[], object], batch_size: int = 512):
+        self.source = source
+        self.batch_size = batch_size
+
+    def encode(self, conc: DataFrame) -> DataFrame:
+        source, bs = self.source, self.batch_size
+        id_type = conc.schema["id"].dataType.simpleString()
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+
+            model = load_sentence_encoder(source)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = []
+                texts = pdf["text"].fillna("").tolist()
+                for lo in range(0, len(texts), bs):
+                    out = np.asarray(model.encode(texts[lo : lo + bs]), dtype=np.float64)
+                    vecs.extend(v.tolist() for v in out)
+                yield pd.DataFrame({"id": pdf["id"], "vector": vecs})
+
+        return conc.select("id", "text").mapInPandas(
+            run, schema=f"id {id_type}, vector array<double>"
         )

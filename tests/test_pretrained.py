@@ -125,3 +125,79 @@ def test_string_source_without_gensim_raises():
 def test_invalid_pooling_rejected():
     with pytest.raises(ValueError, match="pooling"):
         KeyedVectorsEncoder(mock_kv_factory, pooling="max")
+
+
+def _make_st_factory():
+    """Sentence-encoder mock shipped by value (closure) — deterministic
+    md5-derived sentence vectors, sentence-transformers encode() API."""
+
+    def factory():
+        import hashlib as _hashlib
+
+        import numpy as _np
+
+        class _MockST:
+            def encode(self, texts):
+                out = []
+                for t in texts:
+                    h = _hashlib.md5(t.encode()).digest()
+                    out.append(
+                        _np.frombuffer(h[:8], dtype=_np.uint16).astype(_np.float64)
+                        / 65535.0
+                    )
+                return _np.stack(out)
+
+        return _MockST()
+
+    return factory
+
+
+mock_st_factory = _make_st_factory()
+
+
+def test_transformer_frame_encoder(spark):
+    from klinker_spark.encoders.pretrained import TransformerFrameEncoder
+
+    df = spark.createDataFrame(
+        [("e1", "John Doe"), ("e2", "Jane Doe"), ("e3", None)], ["id", "text"]
+    )
+    out = {
+        r["id"]: np.array(r["vector"])
+        for r in TransformerFrameEncoder(mock_st_factory, batch_size=2)
+        .encode(df)
+        .collect()
+    }
+    assert set(out) == {"e1", "e2", "e3"}
+
+    def vec(t):
+        h = hashlib.md5(t.encode()).digest()
+        return np.frombuffer(h[:8], dtype=np.uint16).astype(np.float64) / 65535.0
+
+    np.testing.assert_allclose(out["e1"], vec("John Doe"), rtol=1e-12)
+    np.testing.assert_allclose(out["e3"], vec(""), rtol=1e-12)  # null -> ""
+
+
+def test_transformer_encoder_feeds_knn_builder(spark):
+    """End-to-end M4/M5 shape: transformer embeddings -> kNN blocks."""
+    from klinker_spark.embedding.blockbuilder import KNNBlockBuilder
+    from klinker_spark.encoders.pretrained import TransformerFrameEncoder
+
+    enc = TransformerFrameEncoder(mock_st_factory)
+    l = enc.encode(spark.createDataFrame([("l1", "alpha"), ("l2", "beta")], ["id", "text"]))
+    r = enc.encode(spark.createDataFrame([("r1", "alpha"), ("r2", "gamma")], ["id", "text"]))
+    bm = KNNBlockBuilder(k=1).build_blocks(l, r, "L", "R")
+    pairs = {(p["left_id"], p["right_id"]) for p in bm.block_pairs().collect()}
+    assert ("l1", "r1") in pairs  # identical text -> identical vector
+
+
+def test_transformer_string_source_without_library():
+    try:
+        import sentence_transformers  # noqa: F401
+
+        pytest.skip("sentence-transformers unexpectedly installed")
+    except ImportError:
+        pass
+    from klinker_spark.encoders.pretrained import load_sentence_encoder
+
+    with pytest.raises(ImportError, match="factory"):
+        load_sentence_encoder("all-MiniLM-L6-v2")
