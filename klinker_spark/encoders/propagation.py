@@ -75,6 +75,7 @@ def propagate(
     depth: int = 2,
     normalize: bool = True,
     layout: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """``depth`` hops of weighted message passing.
 
@@ -100,14 +101,18 @@ def propagate(
     # (head, tail, w).
     if depth > 1:
         edges = edges.persist()
+    # dim comes from the caller (encoders know it) — probing it with a
+    # .first() action would re-execute the whole upstream encoder
+    # pipeline once per encode (measured +20 s cold on the sf0.1 gcn
+    # blocking query)
     if layout == "auto":
+        layout = (
+            "wide" if dim is not None and 0 < dim <= PROPAGATE_WIDE_MAX_DIM else "long"
+        )
+    if layout == "wide" and not dim:
         row = features.select(F.size("vector").alias("d")).first()
         dim = int(row["d"]) if row and row["d"] is not None else 0
-        layout = "wide" if 0 < dim <= PROPAGATE_WIDE_MAX_DIM else "long"
-    elif layout == "wide":
-        row = features.select(F.size("vector").alias("d")).first()
-        dim = int(row["d"]) if row and row["d"] is not None else 0
-    if layout == "wide" and dim > 0:
+    if layout == "wide" and dim:
         feat = features
         for _ in range(depth):
             msgs = edges.join(feat.withColumnRenamed("id", "tail"), "tail").groupBy(
@@ -213,7 +218,9 @@ class GCNFrameEncoder:
             .distinct()
         )
         feat0 = initialize_and_fill(ids, attr_vec, self.dim, self.seed, self.hash_fn)
-        return propagate(feat0, self._edges(rels), depth=self.depth, normalize=False)
+        return propagate(
+            feat0, self._edges(rels), depth=self.depth, normalize=False, dim=self.dim
+        )
 
 
 class RelationAwarePropagationEncoder(GCNFrameEncoder):
