@@ -53,6 +53,13 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--blocker", default="token")
     ap.add_argument("--out", default="/tmp/klinker_spark_blocks")
+    ap.add_argument(
+        "--tracker",
+        default="console",
+        choices=["console", "jsonl", "none"],
+        help="result tracker (E13): console logging or a JSONL artifact",
+    )
+    ap.add_argument("--tracker-out", default="/tmp/klinker_spark_runs.jsonl")
     args = ap.parse_args()
 
     from klinker_spark.data.blocks import BlockManager
@@ -69,6 +76,16 @@ def main() -> None:
     left = left.with_attrs(left.attrs.withColumn("prop", F.lit("name")))
     right = right.with_attrs(right.attrs.withColumn("prop", F.lit("name")))
 
+    from klinker_spark.trackers import ConsoleResultTracker, JsonlResultTracker, ResultTracker
+
+    tracker: ResultTracker = {
+        "console": lambda: ConsoleResultTracker(writer="builtin"),
+        "jsonl": lambda: JsonlResultTracker(args.tracker_out),
+        "none": ResultTracker,
+    }[args.tracker]()
+    tracker.start_run(f"experiment:{args.blocker}")
+    tracker.log_params({"blocker": args.blocker, "sf_dir": args.sf_dir})
+
     t0 = time.time()
     blocks = build_blocker(args.blocker).assign(left, right)
     blocks.to_parquet(args.out)  # execution boundary, like experiment.py:568
@@ -81,7 +98,10 @@ def main() -> None:
     ev = Evaluation.from_blocks(
         blocks, gold, left_count=cust.count(), right_count=supp.count()
     )
-    print(json.dumps({"blocker": args.blocker, "time_in_s": round(assign_s, 3), **ev.to_dict()}))
+    metrics = {"time_in_s": round(assign_s, 3), **ev.to_dict()}
+    tracker.log_metrics(metrics)
+    tracker.end_run(success=True)
+    print(json.dumps({"blocker": args.blocker, **metrics}))
 
 
 if __name__ == "__main__":
