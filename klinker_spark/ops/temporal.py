@@ -1,0 +1,154 @@
+"""Temporal joins — as-of and range joins over event streams, two
+operators Spark's built-ins lack (the brief's "custom operators"
+family; the reference has no temporal surface at all, so these are
+net-new LLM-pipeline operators like `ops.dedup`).
+
+Both are expressed so the heavy lifting is ONE equi-join or ONE
+sort — never a per-key cross product:
+
+- :func:`asof_join` — the union-merge plan: tag both sides, one
+  shuffle+sort per key, ``last(ignorenulls)`` over an unbounded-
+  preceding window carries the most recent right row forward into each
+  left row.  No candidate explosion regardless of how many right rows
+  precede a left row (the join+filter formulation explodes by the
+  tolerance width).  This is the classic distributed as-of shape
+  (pandas ``merge_asof`` semantics, one-pass merge).
+- :func:`range_join` — banded bucket join: right rows bucket by
+  ``floor(ts / width)`` with ``width ≥ upper - lower``, so every left
+  row's window ``[ts+lower, ts+upper]`` spans AT MOST two buckets; the
+  left side explodes to those (≤2, distinct) bucket keys and the rest
+  is a plain equi-join on (key, bucket) + an exact range filter.
+  Shuffle volume ≤ 2·|L| + |R| rows — the bucketed rewrite engines
+  apply to inequality joins, done manually since Catalyst has no range
+  join optimizer rule.
+
+Timestamps are caller-provided NUMERICS (epoch ms recommended): the
+arithmetic (tolerance, buckets) stays exact integer math and
+cross-engine reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    right_value_col: str,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """For every left row, the LATEST right row with
+    ``right.ts <= left.ts`` per ``by`` key (backward as-of, DuckDB
+    ``ASOF LEFT JOIN`` / pandas ``merge_asof`` semantics).
+
+    Output: all left columns + ``matched_ts`` / ``matched_value``
+    (null when no right row qualifies, or when the match is older than
+    ``tolerance`` ts-units).  Multiple right rows sharing (key, ts)
+    collapse deterministically to ``max(right_value_col)``.
+    """
+    lcols = left.columns
+    r = (
+        right.groupBy(by, ts_col)
+        .agg(F.max(right_value_col).alias("_rv"))
+        .select(
+            by,
+            ts_col,
+            F.lit(0).alias("_side"),
+            F.col(ts_col).alias("_rts"),
+            F.col("_rv"),
+            F.lit(None).cast(_row_type(left)).alias("_lrow"),
+        )
+    )
+    l = left.select(
+        by,
+        ts_col,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(dict(right.dtypes)[ts_col]).alias("_rts"),
+        F.lit(None).cast(dict(right.dtypes)[right_value_col]).alias("_rv"),
+        F.struct(*lcols).alias("_lrow"),
+    )
+    u = l.unionByName(r.select(*l.columns))
+    # right rows (side 0) sort before left rows at equal ts — equality
+    # matches, as in ASOF's ts >= condition
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "_side",
+        "_lrow",
+        F.col(ts_col).alias("_lts"),
+        F.last("_rts", ignorenulls=True).over(w).alias("matched_ts"),
+        F.last("_rv", ignorenulls=True).over(w).alias("matched_value"),
+    ).where(F.col("_side") == 1)
+    if tolerance is not None:
+        in_tol = (F.col("_lts") - F.col("matched_ts")) <= F.lit(tolerance)
+        filled = filled.select(
+            "_lrow",
+            F.when(in_tol, F.col("matched_ts")).alias("matched_ts"),
+            F.when(in_tol, F.col("matched_value")).alias("matched_value"),
+        )
+    else:
+        filled = filled.select("_lrow", "matched_ts", "matched_value")
+    return filled.select(
+        *[F.col("_lrow")[c].alias(c) for c in lcols], "matched_ts", "matched_value"
+    )
+
+
+def _row_type(df: DataFrame) -> str:
+    return f"struct<{', '.join(f'{c}: {t}' for c, t in df.dtypes)}>"
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    lower: int,
+    upper: int,
+) -> DataFrame:
+    """All (left, right) pairs per ``by`` key with
+    ``right.ts - left.ts ∈ [lower, upper]`` — via the banded bucket
+    equi-join (module docstring), never a per-key cross product.
+
+    Output: left columns prefixed ``l_``, right columns prefixed
+    ``r_`` (``by`` once, unprefixed).
+    """
+    if upper < lower:
+        raise ValueError(f"upper ({upper}) < lower ({lower})")
+    width = max(upper - lower, 1)
+    lb = left.select(
+        by,
+        F.struct(*left.columns).alias("_lrow"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col(ts_col) + lower) / width),
+                    F.floor((F.col(ts_col) + upper) / width),
+                )
+            )
+        ).alias("_b"),
+    )
+    rb = right.select(
+        by,
+        F.struct(*right.columns).alias("_rrow"),
+        F.floor(F.col(ts_col) / width).alias("_b"),
+    )
+    delta = F.col("_rrow")[ts_col] - F.col("_lrow")[ts_col]
+    joined = lb.join(rb, [by, "_b"]).where(
+        (delta >= F.lit(lower)) & (delta <= F.lit(upper))
+    )
+    lcols = [c for c in left.columns if c != by]
+    rcols = [c for c in right.columns if c != by]
+    return joined.select(
+        by,
+        *[F.col("_lrow")[c].alias(f"l_{c}") for c in lcols],
+        *[F.col("_rrow")[c].alias(f"r_{c}") for c in rcols],
+    )

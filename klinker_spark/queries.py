@@ -1728,6 +1728,72 @@ def events_json_extract(spark, sf_dir):
     )
 
 
+@register(
+    "events_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, epoch_ms(ts) ts_ms FROM events
+               WHERE event_type = 'click'),
+    r AS (SELECT user_id, epoch_ms(ts) ts_ms, max(value) v FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, epoch_ms(ts)),
+    j AS (SELECT l.event_id, l.user_id, l.ts_ms,
+                 r.ts_ms AS m_ts, r.v AS m_v
+          FROM l ASOF LEFT JOIN r
+               ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms)
+    SELECT event_id, user_id, ts_ms,
+           CASE WHEN ts_ms - m_ts <= 86400000 THEN m_ts END AS matched_ts,
+           CASE WHEN ts_ms - m_ts <= 86400000
+                THEN round(m_v, 6) END AS matched_value
+    FROM j
+    """,
+)
+def events_asof_join_q(spark, sf_dir):
+    """As-of join (net-new temporal operator): for every click, the
+    latest purchase value by the same user within 24 h.  Union-merge
+    plan — one sort per key, no candidate explosion; oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN, so the semantics are checked against an
+    independent first-class implementation."""
+    from .data.io import load_events
+    from .ops.temporal import asof_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts_ms", F.unix_millis("ts"))
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts_ms")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts_ms", "value")
+    out = asof_join(
+        clicks, purchases, by="user_id", ts_col="ts_ms",
+        right_value_col="value", tolerance=86_400_000,
+    )
+    return out.withColumn("matched_value", F.round("matched_value", 6))
+
+
+@register(
+    "events_range_join",
+    """
+    WITH l AS (SELECT event_id, user_id, epoch_ms(ts) ts_ms FROM events
+               WHERE event_type = 'click'),
+    r AS (SELECT event_id, user_id, epoch_ms(ts) ts_ms FROM events
+          WHERE event_type = 'purchase')
+    SELECT l.user_id, l.event_id AS l_event_id, l.ts_ms AS l_ts_ms,
+           r.event_id AS r_event_id, r.ts_ms AS r_ts_ms
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND r.ts_ms - l.ts_ms BETWEEN 1 AND 1800000
+    """,
+)
+def events_range_join_q(spark, sf_dir):
+    """Range join (net-new temporal operator): click → purchase pairs
+    by the same user within the following 30 min.  Banded bucket
+    equi-join — ≤ 2·|L| + |R| shuffled rows, no per-key cross product;
+    oracle is the plain BETWEEN join."""
+    from .data.io import load_events
+    from .ops.temporal import range_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts_ms", F.unix_millis("ts"))
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts_ms")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_ms")
+    return range_join(
+        clicks, purchases, by="user_id", ts_col="ts_ms", lower=1, upper=1_800_000
+    )
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):
@@ -2486,8 +2552,6 @@ _GATE_PRIORITY = [
     "standard_blocking",
     "token_blocking",
     "unique_name_blocking",
-    "concat_values",
-    "rdf_clean",
     "relation_importance",
     "top_n_filter",
     "neighbor_concat",
@@ -2525,6 +2589,8 @@ _GATE_PRIORITY = [
     "events_dedup_earliest",
     "running_user_stats",
     "events_json_extract",
+    "events_asof_join",
+    "events_range_join",
     # exact-oracled queries the r02 gate omitted (judge-local MATCH)
     "graph_statistics",
     "sessionize_events",

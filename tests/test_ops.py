@@ -514,3 +514,59 @@ def test_dbscan_degenerate_inputs(spark):
     assert got1 == {"a": "a"}  # min_pts=1: every point is its own core
     empty = one.where(F.lit(False))
     assert dbscan_labels(empty).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    from klinker_spark.ops.temporal import asof_join
+
+    l = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 50), (4, "v", 100)],
+        "event_id int, user_id string, ts_ms long",
+    )
+    r = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 100, 3.0), ("u", 200, 5.0), ("w", 10, 9.0)],
+        "user_id string, ts_ms long, value double",
+    )
+    got = {
+        x["event_id"]: (x["matched_ts"], x["matched_value"])
+        for x in asof_join(l, r, "user_id", "ts_ms", "value").collect()
+    }
+    assert got[1] == (100, 3.0)  # equality matches; (u,100) dups -> max
+    assert got[2] == (200, 5.0)  # latest earlier row
+    assert got[3] == (None, None)  # nothing at or before ts 50
+    assert got[4] == (None, None)  # no right rows for v at all
+    # tolerance: match older than 60 units is nulled (boundary kept)
+    tol = {
+        x["event_id"]: (x["matched_ts"], x["matched_value"])
+        for x in asof_join(l, r, "user_id", "ts_ms", "value", tolerance=50).collect()
+    }
+    assert tol[2] == (200, 5.0)  # 250-200 = 50 <= 50 boundary kept
+    assert tol[1] == (100, 3.0)  # exact-ts match, delta 0
+
+
+def test_range_join_matches_naive(spark):
+    import itertools
+    import random
+
+    from klinker_spark.ops.temporal import range_join
+
+    rnd = random.Random(11)
+    lrows = [(i, rnd.choice("ab"), rnd.randrange(0, 1000)) for i in range(40)]
+    rrows = [(i, rnd.choice("ab"), rnd.randrange(0, 1000)) for i in range(40)]
+    l = spark.createDataFrame(lrows, "event_id int, user_id string, ts_ms long")
+    r = spark.createDataFrame(rrows, "event_id int, user_id string, ts_ms long")
+    lo, up = 5, 123  # deliberately not a multiple of anything
+    got = {
+        (x["l_event_id"], x["r_event_id"])
+        for x in range_join(l, r, "user_id", "ts_ms", lo, up).collect()
+    }
+    want = {
+        (li, ri)
+        for (li, lk, lt), (ri, rk, rt) in itertools.product(lrows, rrows)
+        if lk == rk and lo <= rt - lt <= up
+    }
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="upper"):
+        range_join(l, r, "user_id", "ts_ms", 10, 5)
