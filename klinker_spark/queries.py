@@ -1794,6 +1794,73 @@ def events_range_join_q(spark, sf_dir):
     )
 
 
+@register(
+    "events_hypertable_rollup",
+    """
+    WITH e AS (SELECT epoch_ms(ts) ts_ms, user_id, value FROM events),
+    grains AS (SELECT unnest([60000, 3600000, 86400000]) g)
+    SELECT g AS granularity, (ts_ms // g) * g AS bucket, user_id,
+           count(value) AS n, round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+    FROM e CROSS JOIN grains
+    GROUP BY g, (ts_ms // g) * g, user_id
+    """,
+)
+def events_hypertable_rollup_q(spark, sf_dir):
+    """Hypertable rollup (net-new): minute/hour/day per-user buckets
+    where each coarser grain aggregates the finer grain's PARTIALS —
+    one raw scan total.  The oracle aggregates every grain directly
+    from raw, so the hash-match proves the partial-aggregation
+    composition is exact."""
+    from .data.io import load_events
+    from .ops.rollup import hypertable_rollup
+
+    ev = load_events(spark, sf_dir).withColumn("ts_ms", F.unix_millis("ts"))
+    out = hypertable_rollup(
+        ev, "ts_ms", ["user_id"], "value",
+        granularities=[60_000, 3_600_000, 86_400_000],
+    )
+    return out.select(
+        "granularity", "bucket", "user_id", "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+@register(
+    "kmv_distinct_sketch",
+    f"""
+    WITH toks AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) tok
+                  FROM documents),
+    h AS (SELECT DISTINCT
+            CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+            / 1152921504606846976.0 AS hf
+          FROM toks),
+    mins AS (SELECT hf FROM h ORDER BY hf LIMIT 256)
+    SELECT count(*) AS k_used,
+           CASE WHEN count(*) >= 256 THEN max(hf) END AS kth_fraction,
+           round(CASE WHEN count(*) >= 256 THEN 255.0 / max(hf)
+                      ELSE count(*)::DOUBLE END, 6) AS estimate
+    FROM mins
+    """,
+)
+def kmv_distinct_sketch_q(spark, sf_dir):
+    """KMV distinct-count sketch (net-new): estimate the distinct
+    whitespace tokens of the corpus from the 256 smallest md5
+    fractions.  Deterministic md5 hashing ⇒ an APPROXIMATE operator
+    with an EXACT oracle (sketch contents and estimate both
+    hash-checked)."""
+    from .ops.sketches import kmv_distinct
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .distinct()
+    )
+    return kmv_distinct(toks, "tok", k=256)
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):
@@ -2552,9 +2619,7 @@ _GATE_PRIORITY = [
     "standard_blocking",
     "token_blocking",
     "unique_name_blocking",
-    "relation_importance",
     "top_n_filter",
-    "neighbor_concat",
     "blocks_combine",
     "all_pairs_multiplicity",
     "purge_blocks",
@@ -2591,6 +2656,8 @@ _GATE_PRIORITY = [
     "events_json_extract",
     "events_asof_join",
     "events_range_join",
+    "events_hypertable_rollup",
+    "kmv_distinct_sketch",
     # exact-oracled queries the r02 gate omitted (judge-local MATCH)
     "graph_statistics",
     "sessionize_events",

@@ -570,3 +570,47 @@ def test_range_join_matches_naive(spark):
 
     with _pytest.raises(ValueError, match="upper"):
         range_join(l, r, "user_id", "ts_ms", 10, 5)
+
+
+def test_hypertable_rollup_partials_compose(spark):
+    from klinker_spark.ops.rollup import hypertable_rollup
+
+    rows = [(i, "u" if i % 3 else "v", float(i % 7), i * 17 % 1000) for i in range(200)]
+    ev = spark.createDataFrame(rows, "event_id int, user_id string, value double, ts_ms long")
+    out = hypertable_rollup(ev, "ts_ms", ["user_id"], "value", [10, 100, 1000]).collect()
+    got = {(r["granularity"], r["bucket"], r["user_id"]): (r["n"], r["sum_value"], r["min_value"], r["max_value"]) for r in out}
+    # naive recomputation per granularity directly from raw
+    import collections
+
+    for g in (10, 100, 1000):
+        agg = collections.defaultdict(list)
+        for _, u, v, t in rows:
+            agg[(g, (t // g) * g, u)].append(v)
+        for key, vals in agg.items():
+            n, s, mn, mx = got[key]
+            assert n == len(vals) and abs(s - sum(vals)) < 1e-9
+            assert mn == min(vals) and mx == max(vals)
+    assert len(got) == sum(1 for _ in got)  # no duplicate keys
+    with pytest.raises(ValueError, match="multiple"):
+        hypertable_rollup(ev, "ts_ms", ["user_id"], "value", [10, 25])
+
+
+def test_kmv_distinct_sketch(spark):
+    import hashlib
+
+    from klinker_spark.ops.sketches import kmv_distinct
+
+    vals = [f"tok{i}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    row = kmv_distinct(df, "tok", k=128).first()
+    assert row["k_used"] == 128
+    # python replication of the sketch
+    fracs = sorted(int(hashlib.md5(v.encode()).hexdigest()[:15], 16) / float(1 << 60) for v in vals)
+    assert abs(row["kth_fraction"] - fracs[127]) < 1e-15
+    assert abs(row["estimate"] - round(127 / fracs[127], 6)) < 1e-9
+    # estimate within 25% of truth at k=128
+    assert 0.75 * 3000 < row["estimate"] < 1.25 * 3000
+    # exact below k
+    small = spark.createDataFrame([(f"x{i}",) for i in range(50)], "tok string")
+    srow = kmv_distinct(small, "tok", k=128).first()
+    assert srow["k_used"] == 50 and srow["estimate"] == 50.0 and srow["kth_fraction"] is None
