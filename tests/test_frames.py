@@ -99,3 +99,20 @@ def test_dataset_read_csv(spark, tmp_path):
     ds = Dataset.read(spark, str(left), str(right), fmt="csv")
     assert {r["id"] for r in ds.left.ids().collect()} == {"a1", "a2"}
     assert ds.right.attrs.collect()[0]["value"] == "rebecca"
+
+
+def test_dataset_read_orc(spark, tmp_path):
+    # ORC is Spark-native: same Dataset loader, columnar pushdown intact
+    from klinker_spark.data.dataset import Dataset
+
+    left = tmp_path / "left_orc"
+    right = tmp_path / "right_orc"
+    spark.createDataFrame(
+        [("a1", "name", "rebecca"), ("a2", "name", "max")], ["head", "rel", "tail"]
+    ).write.orc(str(left))
+    spark.createDataFrame(
+        [("b1", "name", "rebecca")], ["head", "rel", "tail"]
+    ).write.orc(str(right))
+    ds = Dataset.read(spark, str(left), str(right), fmt="orc")
+    assert {r["id"] for r in ds.left.ids().collect()} == {"a1", "a2"}
+    assert ds.right.attrs.collect()[0]["value"] == "rebecca"
