@@ -208,3 +208,27 @@ def test_bucketed_pairs_join_skips_shuffle(spark):
         assert joined.count() == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_join_is_union_merge_not_join(spark, sf_dir):
+    """The as-of plan must be the union-merge shape: NO join operator
+    at all (a join+filter formulation explodes candidates), one window
+    over the per-key sort."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["events_asof_join"](spark, sf_dir))
+    assert "Window" in plan and "Union" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The banded range join must plan as a hash equi-join on
+    (key, band) — never a cross product or nested loop."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["events_range_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad
