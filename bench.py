@@ -77,7 +77,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        for out, label in ((timings, "cold"), (warm, "warm")):
+        for out in (timings, warm):
             spark.catalog.clearCache()  # library persists must not leak
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -132,20 +132,24 @@ class CompositeLightEABlocker(CompositeUniqueNameBlocker):
         dim: int = 16,
         k: int = 5,
         attr_min_token_length: int = 3,
-        top_n_a: int | None = None,
-        top_n_r: int | None = None,
         use_unique_name: bool = True,
         seed: int = 42,
     ):
+        """No ``top_n_a``/``top_n_r`` knobs: those cap NEIGHBOR-TEXT
+        concatenation, and this blocker's relation branch is graph
+        propagation, not neighbor text — accepting them as silent
+        no-ops would mislead (the reference's importance caps apply to
+        its token branches only)."""
         from ..embedding.blockbuilder import KNNBlockBuilder
         from ..encoders.propagation import LightEAEncoder
 
         super().__init__(
             TokenBlocker(min_token_length=attr_min_token_length),
-            # placeholder: the rel branch is overridden in assign()
-            TokenBlocker(min_token_length=attr_min_token_length),
-            top_n_a,
-            top_n_r,
+            # unused: assign() below replaces the relation branch with
+            # the graph encoder + kNN build
+            None,
+            None,
+            None,
             use_unique_name,
         )
         self._encoder = LightEAEncoder(

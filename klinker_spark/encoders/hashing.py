@@ -185,21 +185,68 @@ def initialize_and_fill(
     )
 
 
-def _project_matrix_expr(vec_col: str, components) -> "Column":
+#: Above this many literals (out_dim × in_dim) the projection switches
+#: from a Catalyst literal expression to a broadcast numpy matmul —
+#: the same guard as PROBE_LITERAL_MAX_CENTROIDS / positional_dot:
+#: interpreted zip_with trees stop being a win as they grow.
+PROJECT_LITERAL_MAX_CELLS = 4096
+
+
+def _project_matrix_expr(vec_col: str, components, offsets=None) -> "Column":
     """Project ``vec_col`` (array<double>, dim d) onto each row of
-    ``components`` (out_dim × d literals) — a pure Catalyst expression,
-    applied distributively like ``remove_first_pc``."""
+    ``components`` (out_dim × d literals), minus per-component scalar
+    ``offsets`` — a pure Catalyst expression, applied distributively
+    like ``remove_first_pc``."""
     outs = []
-    for comp in components:
+    for j, comp in enumerate(components):
         row = F.array(*[F.lit(float(x)) for x in comp])
-        outs.append(
-            F.aggregate(
-                F.zip_with(F.col(vec_col), row, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+        dotp = F.aggregate(
+            F.zip_with(F.col(vec_col), row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+        if offsets is not None:
+            dotp = dotp - F.lit(float(offsets[j]))
+        outs.append(dotp)
     return F.array(*outs)
+
+
+def _project_matmul(df: DataFrame, components, offsets=None) -> DataFrame:
+    """Broadcast-matmul twin of :func:`_project_matrix_expr` for large
+    projection matrices: one Arrow batch → one BLAS matmul."""
+    import numpy as np
+
+    comps = np.asarray(components, dtype=np.float64)
+    offs = None if offsets is None else np.asarray(offsets, dtype=np.float64)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((comps, offs))
+    id_type = df.schema["id"].dataType.simpleString()
+
+    def run(batches):
+        import pandas as pd
+
+        b_comps, b_offs = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+            out = mat @ b_comps.T
+            if b_offs is not None:
+                out = out - b_offs
+            yield pd.DataFrame(
+                {"id": pdf["id"], "vector": [v.tolist() for v in out]}
+            )
+
+    return df.select("id", "vector").mapInPandas(
+        run, schema=f"id {id_type}, vector array<double>"
+    )
+
+
+def _project(df: DataFrame, components, offsets=None) -> DataFrame:
+    comps = list(components)
+    if comps and len(comps) * len(comps[0]) > PROJECT_LITERAL_MAX_CELLS:
+        return _project_matmul(df, comps, offsets)
+    return df.select("id", _project_matrix_expr("vector", comps, offsets).alias("vector"))
 
 
 def reduce_dim(
@@ -254,18 +301,17 @@ def reduce_dim(
         mean = mat.mean(axis=0)
         _, _, vt = np.linalg.svd(mat - mean, full_matrices=False)
         comps = vt[:out_dim]
-        proj = lambda df: df.select(  # noqa: E731
-            "id", _project_matrix_expr("vector", comps).alias("vector")
-        )
-        return proj(left_emb), proj(right_emb)
+        # center the TRANSFORM too: project (v - mean), i.e. subtract
+        # the constant mean·compⱼ per component — projecting raw
+        # vectors with centered components adds a constant offset that
+        # distorts downstream cosine ordering
+        offsets = comps @ mean
+        return _project(left_emb, comps, offsets), _project(right_emb, comps, offsets)
     if method == "random_projection":
         rng = np.random.RandomState(seed)
         r = rng.randn(out_dim, in_dim)
         r /= np.linalg.norm(r, axis=1)[:, None]
-        proj = lambda df: df.select(  # noqa: E731
-            "id", _project_matrix_expr("vector", r).alias("vector")
-        )
-        return proj(left_emb), proj(right_emb)
+        return _project(left_emb, r), _project(right_emb, r)
     if method == "umap":
         try:
             from umap import UMAP  # type: ignore

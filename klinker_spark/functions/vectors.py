@@ -258,9 +258,9 @@ def topk_cosine_sharded(
     kk = int(k)
 
     if scratch_dir is None:
-        import tempfile
+        from ..data.scratch import session_scratch_dir
 
-        scratch_dir = tempfile.mkdtemp(prefix="klinker_sharded_q_")
+        scratch_dir = session_scratch_dir("sharded_q_")
     # one job: chunk the query side where every scan task can read it.
     # hash-chunking (not spark_partition_id): deterministic under AQE.
     (
@@ -291,6 +291,10 @@ def topk_cosine_sharded(
 
         import pandas as pd
         import pyarrow.parquet as pq
+
+        from ..data.scratch import require_visible
+
+        require_visible(scratch_dir, "sharded-kNN query")
 
         def load_chunk(c):
             path = os.path.join(scratch_dir, f"qc={c}")

@@ -77,6 +77,7 @@ def dbscan_labels(
     )
 
     labels = core.select("id", F.col("id").alias("label"))
+    converged = False
     for _ in range(max_iter):
         # Pregel step: everyone adopts the min label in its closed
         # neighborhood; localCheckpoint truncates the growing lineage
@@ -99,7 +100,17 @@ def dbscan_labels(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent non-convergence would split a cluster into several
+        # labels and diverge from the documented smallest-member-id
+        # semantics (and the recursive-CTE oracle's true fixpoint)
+        raise RuntimeError(
+            f"dbscan_labels: min-label propagation did not converge within "
+            f"max_iter={max_iter} rounds — the core graph has a component "
+            f"with larger eccentricity; raise max_iter"
+        )
 
     border = (
         edges.join(core.withColumnRenamed("id", "nid"), "nid", "left_semi")

@@ -480,9 +480,9 @@ def ann_topk_ivf_indexed(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
     if scratch_dir is None:
-        import tempfile
+        from ..data.scratch import session_scratch_dir
 
-        scratch_dir = tempfile.mkdtemp(prefix="klinker_ivf_probe_")
+        scratch_dir = session_scratch_dir("ivf_probe_")
     _probe_centroids(q, centroids, n_probe).write.mode("overwrite").parquet(scratch_dir)
     probed = spark.read.parquet(scratch_dir)
     # bounded collect: ≤ n_centroids ids out of an aggregate over scratch

@@ -1377,7 +1377,9 @@ def ann_topk_ivf_q(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
-_DBSCAN_COS = (
+#: Shared DuckDB cosine-similarity template (dedup/dbscan/ivf/hubness
+#: oracles all format this with their column names).
+_COS_SQL = (
     "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
     " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
     "    * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
@@ -1390,7 +1392,7 @@ _DBSCAN_COS = (
     WITH RECURSIVE pts AS (SELECT vec_id::VARCHAR id, embedding v FROM embeddings),
     edges AS (
       SELECT a.id, b.id nid FROM pts a JOIN pts b ON a.id <> b.id
-      WHERE {_DBSCAN_COS.format(a="a.v", b="b.v")} >= 0.9),
+      WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= 0.9),
     deg AS (SELECT id, count(*) + 1 deg FROM edges GROUP BY id),
     core AS (SELECT p.id FROM pts p LEFT JOIN deg USING (id)
              WHERE coalesce(deg, 1) >= 4),
@@ -1500,11 +1502,7 @@ def mutual_rank_topk_q(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
-_IVF_COS = (
-    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
-    " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
-    "    * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
-)
+
 
 
 _IVF_MD5_ORACLE = f"""
@@ -1518,19 +1516,19 @@ _IVF_MD5_ORACLE = f"""
         SELECT ix.id, ix.v, c.cid,
                row_number() OVER (
                  PARTITION BY ix.id
-                 ORDER BY {_IVF_COS.format(a="ix.v", b="c.cv")} DESC, c.cid ASC) rn
+                 ORDER BY {_COS_SQL.format(a="ix.v", b="c.cv")} DESC, c.cid ASC) rn
         FROM ix CROSS JOIN cents c) WHERE rn = 1),
     probes AS (
       SELECT qid, qv, cid FROM (
         SELECT q.id qid, q.v qv, c.cid,
                row_number() OVER (
                  PARTITION BY q.id
-                 ORDER BY {_IVF_COS.format(a="q.v", b="c.cv")} DESC, c.cid ASC) rn
+                 ORDER BY {_COS_SQL.format(a="q.v", b="c.cv")} DESC, c.cid ASC) rn
         FROM (SELECT id, v FROM ix WHERE id % 10 = 0) q CROSS JOIN cents c)
       WHERE rn <= 4),
     cand AS (
       SELECT p.qid query_id, a.id neighbor_id,
-             {_IVF_COS.format(a="p.qv", b="a.v")} sim
+             {_COS_SQL.format(a="p.qv", b="a.v")} sim
       FROM probes p JOIN assign a USING (cid))
     SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1880,22 +1878,28 @@ def embedding_knn_blocking(spark, sf_dir):
     SELECT doc_id AS media_id, 'image' AS media_type,
            round((("""
     + " + ".join(
-        f"ord(substr(text, {j + 1}, 1))::HUGEINT * {256 ** j}" for j in range(8)
+        f"(CASE WHEN length(text) >= {j + 1} "
+        f"THEN ord(substr(text, {j + 1}, 1)) ELSE 0 END)::HUGEINT * {256 ** j}"
+        for j in range(8)
     )
     + """) % 1000) / 1000.0, 6) AS f0
-    FROM documents
+    FROM documents WHERE octet_length(encode(text)) = length(text)
     """,
 )
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing: documents' text bytes as opaque payloads →
     Arrow-batched mapInPandas feature extraction.  The decode kernel is
-    the deterministic hash stub (first 8 payload bytes, little-endian),
-    which IS expressible in SQL — so the Arrow batch path, schema, and
-    kernel contract are value-checked, not just row-counted (the
-    payloads here are ASCII text, so ord(char) == byte)."""
+    the deterministic hash stub (first 8 payload bytes, little-endian,
+    zero-padded), which IS expressible in SQL.  Both sides restrict to
+    ASCII docs (octet_length == char length — currently all of them)
+    because SQL's ord() sees code points, not bytes; the oracle
+    zero-pads short strings exactly like the kernel, so the check stays
+    exact if future testdata gains short or non-ASCII rows."""
     from .ops.multimodal import extract_features, pack_media
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").where(
+        F.octet_length(F.col("text")) == F.length(F.col("text"))  # ASCII-only
+    )
     media = pack_media(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
         "doc_id",

@@ -195,6 +195,38 @@ def test_reduce_dim_umap_requires_library(spark):
         reduce_dim(l, l, 1, method="umap")
 
 
+def test_reduce_dim_pca_is_centered(spark):
+    """PCA must project (v - mean), not raw v: the reduced vectors
+    match numpy's centered projection exactly (fit AND transform
+    centered — an uncentered transform adds a constant offset)."""
+    import numpy as np
+
+    from klinker_spark.encoders.hashing import reduce_dim
+
+    rng = np.random.RandomState(9)
+    mat = rng.randn(20, 6) + 7.0  # strongly non-zero mean
+    df = spark.createDataFrame(
+        [(f"v{i}", [float(x) for x in mat[i]]) for i in range(20)],
+        "id string, vector array<double>",
+    )
+    lo, _ = reduce_dim(df, df, 2, method="pca", sample_n=100)
+    got = {r["id"]: np.array(r["vector"]) for r in lo.collect()}
+    # replicate: sample = union(df, df) rows (each row twice) — the
+    # mean/components are unaffected by duplication
+    mean = mat.mean(axis=0)
+    _, _, vt = np.linalg.svd(mat - mean, full_matrices=False)
+    comps = vt[:2]
+    expect = (mat - mean) @ comps.T
+    actual = np.stack([got[f"v{i}"] for i in range(20)])
+    # SVD component signs are arbitrary (the engine's sample row order
+    # differs) — align each component's sign before comparing
+    signs = np.sign(np.sum(expect * actual, axis=0))
+    np.testing.assert_allclose(actual * signs, expect, atol=1e-9)
+    # the centering itself is sign-free: an uncentered transform would
+    # shift every projection by the constant mean·comp ≈ 18 here
+    assert abs(actual.mean()) < 1.0
+
+
 def test_reduce_dim_pca_preserves_separation(spark):
     """Two well-separated groups stay separated after PCA to 2 dims."""
     import numpy as np
