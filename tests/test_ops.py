@@ -614,3 +614,38 @@ def test_kmv_distinct_sketch(spark):
     small = spark.createDataFrame([(f"x{i}",) for i in range(50)], "tok string")
     srow = kmv_distinct(small, "tok", k=128).first()
     assert srow["k_used"] == 50 and srow["estimate"] == 50.0 and srow["kth_fraction"] is None
+
+
+def test_asof_join_matches_naive_randomized(spark):
+    """Randomized as-of vs a naive per-row scan, with duplicate
+    timestamps, equal-ts left/right collisions, and tolerance."""
+    import random
+
+    from klinker_spark.ops.temporal import asof_join
+
+    rnd = random.Random(23)
+    lrows = [(i, rnd.choice("pq"), rnd.randrange(0, 300)) for i in range(60)]
+    rrows = [(rnd.choice("pq"), rnd.randrange(0, 300), round(rnd.random(), 3)) for _ in range(60)]
+    l = spark.createDataFrame(lrows, "event_id int, user_id string, ts_ms long")
+    r = spark.createDataFrame(rrows, "user_id string, ts_ms long, value double")
+    tol = 40
+
+    # naive model: collapse right duplicates by max, then scan
+    collapsed = {}
+    for k, t, v in rrows:
+        collapsed[(k, t)] = max(collapsed.get((k, t), float("-inf")), v)
+
+    def naive(eid, k, t):
+        cands = [(rt, v) for (rk, rt), v in collapsed.items() if rk == k and rt <= t]
+        if not cands:
+            return (None, None)
+        rt, v = max(cands)  # latest ts; ties impossible after collapse
+        return (rt, v) if t - rt <= tol else (None, None)
+
+    got = {
+        x["event_id"]: (x["matched_ts"], x["matched_value"])
+        for x in asof_join(l, r, "user_id", "ts_ms", "value", tolerance=tol).collect()
+    }
+    assert len(got) == len(lrows)
+    for eid, k, t in lrows:
+        assert got[eid] == naive(eid, k, t), (eid, k, t)
