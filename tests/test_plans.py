@@ -232,3 +232,17 @@ def test_range_join_is_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_gate_prefix_is_fully_oracled():
+    """The driver's correctness gate records a fixed-size prefix of the
+    registry; every one of those slots must carry an exact DuckDB
+    oracle, and the curated priority list must stay consistent."""
+    from klinker_spark.queries import ORACLES, QUERIES, _GATE_PRIORITY
+
+    names = list(QUERIES)
+    missing = [n for n in names[:50] if n not in ORACLES]
+    assert not missing, f"gate-prefix queries without oracle: {missing}"
+    unknown = [n for n in _GATE_PRIORITY if n not in QUERIES]
+    assert not unknown, f"_GATE_PRIORITY names not registered: {unknown}"
+    assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) == 50
