@@ -649,3 +649,19 @@ def test_asof_join_matches_naive_randomized(spark):
     assert len(got) == len(lrows)
     for eid, k, t in lrows:
         assert got[eid] == naive(eid, k, t), (eid, k, t)
+
+
+def test_hypertable_rollup_negative_timestamps(spark):
+    """Floor-division bucketing must be consistent for pre-epoch ts:
+    bucket(-5, width 10) = -10, not 0 (truncation would misbin)."""
+    from klinker_spark.ops.rollup import hypertable_rollup
+
+    ev = spark.createDataFrame(
+        [(1, "u", 1.0, -5), (2, "u", 2.0, -15), (3, "u", 3.0, 5)],
+        "event_id int, user_id string, value double, ts_ms long",
+    )
+    out = {
+        (r["bucket"]): (r["n"], r["sum_value"])
+        for r in hypertable_rollup(ev, "ts_ms", ["user_id"], "value", [10]).collect()
+    }
+    assert out == {-10: (1, 1.0), -20: (1, 2.0), 0: (1, 3.0)}
