@@ -1,0 +1,306 @@
+"""Corpus-curation operators for training-data pipelines — repetition
+filters, connected-component canonical dedup, stratified sampling,
+benchmark-contamination checks, and PII scrubbing.
+
+These extend the dedup/text-stats family (``ops/dedup.py``,
+``ops/textstats.py``) with the remaining steps a large-scale pretraining
+pipeline runs between "raw crawl" and "training shards".  Everything is
+pure DataFrame algebra with deterministic semantics so a DuckDB oracle
+reproduces each result exactly.
+
+Scale design (100 TB corpus):
+
+- ``repetition_stats``: per-row expressions + one groupBy on
+  ``(doc_id, bigram)`` — partial aggregation makes the shuffle carry
+  only per-doc distinct bigrams; no joins besides the final per-doc
+  left join which co-partitions on ``doc_id``.
+- ``connected_components``: iterated min-label propagation (the
+  GraphX/Pregel shape, same kernel as ``ops/clustering.dbscan_labels``);
+  rounds bounded by component diameter — near-dup graphs are
+  shallow (dup clusters are dense), so a handful of rounds.  Each round
+  is one shuffle join + one aggregate on the edge list, never the
+  corpus.  For adversarially deep graphs swap in the
+  large-star/small-star contraction (Kiveris et al., "Connected
+  Components in MapReduce"), which converges in O(log n) rounds on the
+  same join-agg primitive.
+- ``canonical_dedup``: components are computed on the *pair list*
+  (orders of magnitude smaller than the corpus); the corpus is touched
+  once by a left join on ``doc_id``.
+- ``stratified_sample``: one window per stratum — a single hash
+  shuffle on the strata columns; no global sort, no driver state.
+  Deterministic (md5-ordered) so re-runs and engines agree.
+- ``contamination_check``: the benchmark n-gram set is tiny (eval
+  suites, not corpora) — broadcast semi-join against it; the corpus
+  side streams map-side with no shuffle beyond the per-doc count.
+- ``pii_scrub``: pure per-row regex expressions — whole-stage codegen,
+  zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize, word_shingles
+
+__all__ = [
+    "repetition_stats",
+    "connected_components",
+    "canonical_dedup",
+    "stratified_sample",
+    "contamination_check",
+    "pii_scrub",
+]
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_token_frac: float = 0.55,
+    max_top_bigram_frac: float = 0.10,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    table A1 — duplicate-token and repeated-n-gram fractions, adapted to
+    single-line docs: token-level instead of line-level).
+
+    Output: ``(doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+    dup_bigram_frac, keep)`` where
+
+    - ``dup_token_frac`` = 1 − distinct/total tokens,
+    - ``top_bigram_frac`` = occurrences of the most frequent bigram /
+      total bigrams (0 for docs with <2 tokens),
+    - ``dup_bigram_frac`` = occurrences belonging to bigrams seen more
+      than once / total bigrams,
+    - ``keep`` = 1 iff both thresholds pass — the filter decision a
+      pipeline would apply.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("tk")
+    )
+    n = F.size("tk")
+    base = toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct("tk")) / n, 6).alias("dup_token_frac"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.expr("transform(sequence(0, size(tk)-2), i -> concat(tk[i], ' ', tk[i+1]))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+    top_frac = F.coalesce(F.col("top") / F.col("total"), F.lit(0.0))
+    dup_frac = F.coalesce(F.col("dup") / F.col("total"), F.lit(0.0))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        (
+            (F.col("dup_token_frac") <= max_dup_token_frac)
+            & (top_frac <= max_top_bigram_frac)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of an undirected graph given as an edge
+    list.  Output: ``(id, label)`` for every vertex incident to an
+    edge, ``label`` = smallest vertex id in the component
+    (deterministic, engine-independent).
+
+    Min-label propagation to fixpoint: each round every vertex adopts
+    the minimum label in its closed neighborhood (one join + one
+    aggregate, ``localCheckpoint`` truncates lineage).  Rounds are
+    bounded by the component diameter; raises if ``max_iter`` rounds
+    don't converge rather than silently splitting a component.
+    """
+    und = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("nid"))
+        .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nid")))
+        .where(F.col("id") != F.col("nid"))
+        .distinct()
+        .persist()
+    )
+    labels = und.select("id").distinct().withColumn("label", F.col("id"))
+    converged = False
+    for _ in range(max_iter):
+        neigh = und.join(labels.withColumnRenamed("id", "nid"), "nid").select("id", "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"within max_iter={max_iter} rounds; raise max_iter (component "
+            f"diameter exceeds the bound)"
+        )
+    return labels
+
+
+def canonical_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Resolve near-duplicate *pairs* into per-document canonical
+    assignments: the transitive closure of the pair graph, each doc
+    mapped to the smallest id in its duplicate cluster.
+
+    Output: ``(doc_id, canonical_id, is_duplicate)`` over the FULL
+    corpus — docs in no pair map to themselves; ``is_duplicate`` = 1
+    marks rows a dedup pipeline would drop (keep rows where
+    ``doc_id = canonical_id``).
+    """
+    comp = connected_components(pairs, *pair_cols).withColumnRenamed("id", id_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed(id_col, "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", (F.col("canonical_id") != F.col("doc_id")).cast("int"))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: up to ``n_per_stratum`` rows
+    per distinct combination of ``strata``, chosen by md5-hash order of
+    the id (uniform, seedless, reproducible on any engine).
+
+    Output: ``(doc_id, *strata, rk)`` with ``rk`` the 1-based rank
+    within the stratum.  One shuffle on the strata columns; no global
+    sort.  The md5 tie-breaks on the raw id so equal-hash collisions
+    (practically impossible) stay deterministic.
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_per_stratum)
+        .select(F.col(id_col).alias("doc_id"), *strata, "rk")
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every non-benchmark document,
+    the fraction of its distinct ``shingle_k``-gram set that appears
+    anywhere in the benchmark partition (the standard n-gram-overlap
+    decontamination test run before training).
+
+    ``benchmark_filter`` is a boolean Column selecting benchmark rows
+    inside ``docs`` (e.g. ``F.col("source") == "eval_suite"``).
+
+    Output: ``(doc_id, n_ngrams, n_contaminated, contamination)``.
+
+    The benchmark n-gram set is tiny relative to the corpus, so it is
+    broadcast and the corpus-side semi-join is map-side — the only
+    shuffle is the per-doc hit count on ``doc_id``.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        benchmark_filter.alias("is_bench"),
+        tokenize(text_col, 1, []).alias("tk"),
+    ).select(
+        "doc_id",
+        "is_bench",
+        F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh"),
+    )
+    bench = (
+        sh.where("is_bench")
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    ev = sh.where(~F.col("is_bench")).select(
+        "doc_id", F.size("sh").alias("n_ngrams"), F.explode("sh").alias("shingle")
+    )
+    hits = (
+        ev.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    sizes = sh.where(~F.col("is_bench")).select("doc_id", F.size("sh").alias("n_ngrams"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_ngrams"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_NUMBER_RE = r"[0-9]{4,}"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction: emails → ``<EMAIL>``, long digit runs (phone /
+    SSN / card shaped, ≥4 digits) → ``<NUM>``, with per-doc redaction
+    counts for pipeline auditing.
+
+    Output: ``(doc_id, clean_text, n_emails, n_numbers)``.  Emails are
+    redacted first so their digit substrings aren't double-counted;
+    ``n_numbers`` counts matches in the email-redacted text.  Pure
+    regex expressions — codegen'd, shuffle-free, trivially scalable.
+    The patterns are RE2-compatible (no backrefs/lookaround) so any
+    engine's regex dialect reproduces them.
+    """
+    no_email = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(no_email, PII_NUMBER_RE, "<NUM>").alias("clean_text"),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PII_NUMBER_RE)).alias("n_numbers"),
+    )

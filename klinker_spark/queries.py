@@ -2608,6 +2608,183 @@ def token_blocking_capped(spark, sf_dir):
     return _explode_blocks(bm)
 
 
+# ------------------------------------------------------------------ corpus curation (training-data pipeline)
+@register(
+    "repetition_stats",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+    base AS (SELECT doc_id, len(tk) n,
+                    round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 6) dtf
+             FROM toks),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk)),
+                                         i -> tk[i] || ' ' || tk[i+1])) bigram
+            FROM toks),
+    bc AS (SELECT doc_id, bigram, count(*) c FROM big GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(c) total, max(c) top,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) dup
+            FROM bc GROUP BY 1)
+    SELECT b.doc_id, n AS n_tokens, dtf AS dup_token_frac,
+           round(coalesce(top * 1.0 / total, 0), 6) AS top_bigram_frac,
+           round(coalesce(dup * 1.0 / total, 0), 6) AS dup_bigram_frac,
+           CASE WHEN dtf <= 0.55 AND coalesce(top * 1.0 / total, 0) <= 0.10
+                THEN 1 ELSE 0 END AS keep
+    FROM base b LEFT JOIN agg USING (doc_id)
+    """,
+)
+def repetition_stats_q(spark, sf_dir):
+    """Gopher-style repetition filter signals per document (duplicate
+    tokens, top/duplicated bigram fractions) + the keep decision."""
+    from .ops.curation import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_NGRAM_PAIRS_SQL = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> length(t) >= 1) tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(generate_series(1, len(tk) - 2),
+                                      i -> array_to_string(tk[i:i+2], ' '))
+             END sg
+      FROM toks),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(sg) shingle FROM sh)),
+    sizes AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+    inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+              FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.4)
+"""
+
+
+@register(
+    "dedup_components",
+    "WITH RECURSIVE "
+    + _NGRAM_PAIRS_SQL
+    + """
+    , edges AS (SELECT doc_a AS id, doc_b AS nid FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT id, id AS lab FROM (SELECT DISTINCT id FROM edges)
+              UNION
+              SELECT e.id, r.lab FROM edges e JOIN reach r ON r.id = e.nid),
+    comp AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.lab, d.doc_id) AS canonical_id,
+           CASE WHEN coalesce(c.lab, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END
+             AS is_duplicate
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def dedup_components_q(spark, sf_dir):
+    """Near-dup pairs (exact 3-gram Jaccard ≥ 0.4) → transitive closure
+    via distributed connected components → canonical survivor per
+    cluster.  The recursive-CTE oracle value-checks the full iterative
+    min-label fixpoint (same recipe as dbscan_labels)."""
+    from .ops.curation import canonical_dedup
+    from .ops.dedup import ngram_jaccard_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(docs, shingle_k=3, threshold=0.4).select("doc_a", "doc_b")
+    return canonical_dedup(docs, pairs)
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, source, rk FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rk
+      FROM documents)
+    WHERE rk <= 2
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic stratified sampling: ≤2 docs per (lang, source)
+    stratum by md5-hash order — seedless, engine-independent quota
+    sampling for corpus mixing."""
+    from .ops.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], n_per_stratum=2
+    )
+
+
+@register(
+    "contamination_check",
+    "WITH "
+    + """
+    toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> length(t) >= 1) tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(generate_series(1, len(tk) - 2),
+                                      i -> array_to_string(tk[i:i+2], ' '))
+             END sg
+      FROM toks),
+    ds AS (SELECT DISTINCT doc_id, source, shingle
+           FROM (SELECT doc_id, source, unnest(sg) shingle FROM sh)),
+    bench AS (SELECT DISTINCT shingle FROM ds WHERE source = 'src0'),
+    ev AS (SELECT doc_id, count(*) n_ngrams FROM ds WHERE source <> 'src0' GROUP BY 1),
+    hit AS (SELECT d.doc_id, count(*) n_hit FROM ds d
+            JOIN bench b ON d.shingle = b.shingle
+            WHERE d.source <> 'src0' GROUP BY 1)
+    SELECT ev.doc_id, n_ngrams,
+           coalesce(n_hit, 0) AS n_contaminated,
+           round(coalesce(n_hit, 0) * 1.0 / n_ngrams, 6) AS contamination
+    FROM ev LEFT JOIN hit USING (doc_id)
+    """,
+)
+def contamination_check_q(spark, sf_dir):
+    """Benchmark decontamination scan: distinct 3-gram overlap of every
+    corpus doc against the 'benchmark' partition (source src0), the
+    standard pre-training contamination test; benchmark n-gram set is
+    broadcast."""
+    from .ops.curation import contamination_check
+
+    return contamination_check(
+        _t(spark, sf_dir, "documents"), F.col("source") == "src0"
+    )
+
+
+@register(
+    "pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                            '<EMAIL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS clean_text,
+           len(regexp_extract_all(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+           len(regexp_extract_all(
+             regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                            '<EMAIL>', 'g'),
+             '[0-9]{4,}')) AS n_numbers
+    FROM documents
+    """,
+)
+def pii_scrub_q(spark, sf_dir):
+    """PII redaction (emails, ≥4-digit runs) with per-doc audit counts
+    — pure codegen'd regex expressions, shuffle-free."""
+    from .ops.curation import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -1,0 +1,177 @@
+"""Curation-operator tests: repetition filters, connected components
+(vs a Python union-find model on random graphs), canonical dedup,
+stratified sampling invariants, contamination, PII scrubbing."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from klinker_spark.ops.curation import (
+    canonical_dedup,
+    connected_components,
+    contamination_check,
+    pii_scrub,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ------------------------------------------------------------------ repetition
+def test_repetition_stats_values(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),      # one bigram repeated everywhere
+            (2, "x y z w"),          # all unique
+            (3, "solo"),             # single token: no bigrams
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    # doc 1: tokens [a b a b a b] → 6 tokens, 2 distinct → dup 4/6
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["dup_token_frac"] == round(1 - 2 / 6, 6)
+    # bigrams: "a b"×3, "b a"×2 → total 5, top 3, dup 5
+    assert out[1]["top_bigram_frac"] == 0.6
+    assert out[1]["dup_bigram_frac"] == 1.0
+    assert out[1]["keep"] == 0
+    # doc 2: no repetition at all
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_bigram_frac"] == 0.0
+    # doc 3: degenerate — no bigrams, fractions all zero
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["dup_bigram_frac"] == 0.0
+    assert out[3]["keep"] == 1
+
+
+# ------------------------------------------------------------------ components
+def _model_components(edges):
+    """Union-find ground truth: id → min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for v in list(parent):
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_random_graph(spark, seed):
+    rng = random.Random(seed)
+    n = 40
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(35)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    assert got == _model_components(edges)
+
+
+def test_connected_components_chain_transitivity(spark):
+    # a path graph is the worst diameter case: 0-1-2-...-9 is ONE component
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_canonical_dedup_full_corpus(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], ["doc_a", "doc_b"])
+    out = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"]) for r in canonical_dedup(docs, pairs).collect()}
+    # {1,3,5} is one cluster with canonical 1; everyone else is its own
+    assert out == {
+        0: (0, 0), 1: (1, 0), 2: (2, 0), 3: (1, 1), 4: (4, 0), 5: (1, 1),
+    }
+
+
+# ------------------------------------------------------------------ sampling
+def test_stratified_sample_quota_and_determinism(spark):
+    rows = [(i, ["en", "de"][i % 2], f"s{i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    out1 = stratified_sample(docs, ["lang", "source"], 3).collect()
+    out2 = stratified_sample(docs, ["lang", "source"], 3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    per = {}
+    for r in out1:
+        per.setdefault((r["lang"], r["source"]), []).append(r["rk"])
+    assert len(per) == 6
+    for ranks in per.values():
+        assert sorted(ranks) == [1, 2, 3]  # exact quota, dense ranks
+
+
+def test_stratified_sample_small_stratum_keeps_all(spark):
+    docs = spark.createDataFrame([(1, "en", "a"), (2, "de", "b")], ["doc_id", "lang", "source"])
+    assert stratified_sample(docs, ["lang", "source"], 5).count() == 2
+
+
+# ------------------------------------------------------------------ contamination
+def test_contamination_check(spark):
+    rows = [
+        (1, "the quick brown fox jumps", "bench"),
+        (2, "the quick brown fox sleeps here now", "web"),
+        (3, "totally unrelated words only", "web"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in contamination_check(docs, F.col("source") == "bench").collect()
+    }
+    assert set(out) == {2, 3}  # benchmark doc itself excluded
+    # doc2 3-grams: 5 total; "the quick brown" and "quick brown fox" hit
+    assert out[2]["n_ngrams"] == 5
+    assert out[2]["n_contaminated"] == 2
+    assert out[2]["contamination"] == 0.4
+    assert out[3]["n_contaminated"] == 0
+    assert out[3]["contamination"] == 0.0
+
+
+# ------------------------------------------------------------------ PII
+def test_pii_scrub(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "contact john.doe@example.com or call 5551234567 ext 123"),
+            (2, "no pii here"),
+            (3, "cards 4111111111111111 and 378282246310005"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert out[1]["clean_text"] == "contact <EMAIL> or call <NUM> ext 123"
+    assert (out[1]["n_emails"], out[1]["n_numbers"]) == (1, 1)
+    assert out[2]["clean_text"] == "no pii here"
+    assert (out[2]["n_emails"], out[2]["n_numbers"]) == (0, 0)
+    assert out[3]["clean_text"] == "cards <NUM> and <NUM>"
+    assert out[3]["n_numbers"] == 2
+    # the email's digits are NOT double-counted as numbers
+    docs2 = _docs(spark, [(9, "mail 12345@host1234.org now")])
+    r = pii_scrub(docs2).collect()[0]
+    assert r["clean_text"] == "mail <EMAIL> now"
+    assert (r["n_emails"], r["n_numbers"]) == (1, 0)
