@@ -50,6 +50,9 @@ __all__ = [
     "stratified_sample",
     "contamination_check",
     "pii_scrub",
+    "unigram_logprob_quality",
+    "dsir_importance",
+    "pack_sequences",
 ]
 
 
@@ -304,3 +307,154 @@ def pii_scrub(
         F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE)).alias("n_emails"),
         F.regexp_count(no_email, F.lit(PII_NUMBER_RE)).alias("n_numbers"),
     )
+
+
+def unigram_logprob_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality score: mean token log-probability under
+    the corpus's own unigram distribution (the deterministic stand-in
+    for a KenLM perplexity filter — low scores flag gibberish /
+    out-of-distribution docs).
+
+    Output: ``(doc_id, n_tokens, avg_logprob)``.
+
+    Determinism: per-occurrence log-probs are rounded to integer
+    **micro-nats** and summed as bigints — integer addition is
+    order-free, so the result is bit-identical on any engine and any
+    partitioning (a double sum would be shuffle-order-dependent).
+
+    Scale: the unigram table is vocabulary-sized → broadcast; the
+    corpus side is explode → map-side join → one ``doc_id`` shuffle
+    with partial aggregation.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = toks.count()
+    lp = freq.select(
+        "token",
+        F.round(F.log(F.col("c") / F.lit(float(total))) * 1e6)
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp_micro").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", with unigram
+    features): per-document log importance ratio between the *target*
+    distribution (rows selected by ``target_filter``, e.g. a trusted
+    high-quality slice) and the overall corpus distribution, add-one
+    smoothed over the corpus vocabulary.
+
+    Output: ``(doc_id, n_tokens, log_ratio)`` for non-target docs —
+    resample the corpus ∝ ``exp(log_ratio)`` to tilt it toward the
+    target domain.
+
+    Same integer micro-nat summation as ``unigram_logprob_quality`` for
+    order-free exactness; both distribution tables are vocabulary-sized
+    broadcasts.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_filter.alias("is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    toks = toks.persist()
+    all_freq = toks.groupBy("token").agg(
+        F.count("*").alias("c_all"),
+        F.sum(F.col("is_target").cast("bigint")).alias("c_tgt"),
+    )
+    totals = toks.agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.col("is_target").cast("bigint")).alias("n_tgt"),
+        F.count_distinct("token").alias("v"),
+    ).collect()[0]
+    n_all, n_tgt, vocab = totals["n_all"], totals["n_tgt"], totals["v"]
+    w = all_freq.select(
+        "token",
+        F.round(
+            (
+                F.log((F.col("c_tgt") + 1) / F.lit(float(n_tgt + vocab)))
+                - F.log((F.col("c_all") + 1) / F.lit(float(n_all + vocab)))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    out = (
+        toks.where(~F.col("is_target"))
+        .join(F.broadcast(w), "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_micro").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s") / F.lit(1e6), 6).alias("log_ratio"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    toks.unpersist()
+    return out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_groups: int = 16,
+) -> DataFrame:
+    """Deterministic sequence packing: concatenate documents in
+    md5-hash order and chunk the stream into ``budget``-token training
+    sequences — the "concat-and-chunk" sharding every LLM pretraining
+    pipeline runs last.
+
+    Documents are first salted into ``n_groups`` independent pack
+    groups by an md5 prefix, then packed *within* each group: the plan
+    is one hash shuffle + per-group sort, never a global sort, so
+    groups pack in parallel on a cluster (at 100 TB raise ``n_groups``
+    to ~10× the executor count; determinism is unaffected because the
+    group id and the order inside it derive only from content ids).
+
+    Output: ``(doc_id, pack_group, n_tokens, start_offset, bin_id)``
+    with ``start_offset`` the token offset of the doc inside its
+    group's concatenated stream and ``bin_id = start_offset // budget``
+    the training-sequence index the doc starts in.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % n_groups).alias("pack_group"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "doc_id",
+        "pack_group",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+    ).withColumn("bin_id", F.floor(F.col("start_offset") / budget))

@@ -2785,6 +2785,102 @@ def pii_scrub_q(spark, sf_dir):
     return pii_scrub(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "unigram_logprob",
+    """
+    WITH tw AS (
+      SELECT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''),
+    freq AS (SELECT token, count(*) c FROM tw GROUP BY 1),
+    tot AS (SELECT count(*) n FROM tw),
+    lp AS (SELECT token,
+                  CAST(round(ln(c * 1.0 / (SELECT n FROM tot)) * 1e6) AS BIGINT) lp_micro
+           FROM freq)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(sum(lp_micro) / (1e6 * count(*)), 6) AS avg_logprob
+    FROM tw JOIN lp USING (token)
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_q(spark, sf_dir):
+    """CCNet-style quality: mean unigram log-probability per doc under
+    the corpus distribution; integer micro-nat summation makes the
+    double result shuffle-order-free."""
+    from .ops.curation import unigram_logprob_quality
+
+    return unigram_logprob_quality(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dsir_importance",
+    """
+    WITH tw AS (
+      SELECT doc_id, is_t, token
+      FROM (SELECT doc_id, source = 'src0' AS is_t,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token <> ''),
+    freq AS (SELECT token, count(*) c_all,
+                    sum(CASE WHEN is_t THEN 1 ELSE 0 END) c_tgt
+             FROM tw GROUP BY 1),
+    tot AS (SELECT count(*) n_all,
+                   sum(CASE WHEN is_t THEN 1 ELSE 0 END) n_tgt,
+                   count(DISTINCT token) v
+            FROM tw),
+    w AS (SELECT token,
+                 CAST(round((ln((c_tgt + 1) * 1.0 / (n_tgt + v))
+                             - ln((c_all + 1) * 1.0 / (n_all + v))) * 1e6) AS BIGINT) wm
+          FROM freq, tot)
+    SELECT doc_id, count(*) AS n_tokens, round(sum(wm) / 1e6, 6) AS log_ratio
+    FROM tw JOIN w USING (token)
+    WHERE NOT is_t
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_q(spark, sf_dir):
+    """DSIR importance resampling weights: unigram log ratio of the
+    src0 'target domain' vs the whole corpus, add-one smoothed."""
+    from .ops.curation import dsir_importance
+
+    return dsir_importance(_t(spark, sf_dir, "documents"), F.col("source") == "src0")
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) h,
+             len(string_split(text, ' ')) n_tokens
+      FROM documents),
+    grp AS (
+      SELECT doc_id, h, n_tokens,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 16 AS pack_group
+      FROM base),
+    ofs AS (
+      SELECT doc_id, pack_group, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY pack_group
+                                          ORDER BY h, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS start_offset
+      FROM grp)
+    SELECT doc_id, pack_group, n_tokens, start_offset,
+           CAST(floor(start_offset / 256) AS BIGINT) AS bin_id
+    FROM ofs
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token training bins,
+    salted into 16 parallel pack groups (no global sort)."""
+    from .ops.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=256, n_groups=16)
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -175,3 +175,95 @@ def test_pii_scrub(spark):
     r = pii_scrub(docs2).collect()[0]
     assert r["clean_text"] == "mail <EMAIL> now"
     assert (r["n_emails"], r["n_numbers"]) == (1, 0)
+
+
+# ------------------------------------------------------------------ quality / mixing
+def _r(x, nd):
+    """Spark/DuckDB ROUND semantics: HALF_UP on the shortest decimal
+    repr (BigDecimal.valueOf path) — Python's round() is banker's and
+    diverges on exact halves like -1.1835615."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, ROUND_HALF_UP))
+
+
+def _micro(x):
+    return int(_r(x * 1e6, 0))
+
+
+def test_unigram_logprob_against_model(spark):
+    import math
+
+    from klinker_spark.ops.curation import unigram_logprob_quality
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "a c c")]
+    docs = _docs(spark, rows)
+    toks = [t for _, txt in rows for t in txt.split(" ")]
+    n = len(toks)
+    freq = {t: toks.count(t) for t in set(toks)}
+    lp = {t: _micro(math.log(c / n)) for t, c in freq.items()}
+    expect = {
+        d: _r(sum(lp[t] for t in txt.split(" ")) / (1e6 * len(txt.split(" "))), 6)
+        for d, txt in rows
+    }
+    got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob_quality(docs).collect()}
+    assert got == expect
+
+
+def test_dsir_importance_against_model(spark):
+    import math
+
+    from klinker_spark.ops.curation import dsir_importance
+
+    rows = [(1, "a a b", True), (2, "b c", False), (3, "a c c", False)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+    toks = [(t, tgt) for _, txt, tgt in rows for t in txt.split(" ")]
+    n_all = len(toks)
+    n_tgt = sum(1 for _, tgt in toks if tgt)
+    vocab = len({t for t, _ in toks})
+    c_all = {t: sum(1 for x, _ in toks if x == t) for t, _ in toks}
+    c_tgt = {t: sum(1 for x, tgt in toks if x == t and tgt) for t, _ in toks}
+    w = {
+        t: _micro(
+            math.log((c_tgt[t] + 1) / (n_tgt + vocab))
+            - math.log((c_all[t] + 1) / (n_all + vocab))
+        )
+        for t in c_all
+    }
+    expect = {
+        d: _r(sum(w[t] for t in txt.split(" ")) / 1e6, 6)
+        for d, txt, tgt in rows
+        if not tgt
+    }
+    got = {
+        r["doc_id"]: r["log_ratio"]
+        for r in dsir_importance(docs, F.col("is_target")).collect()
+    }
+    assert got == expect
+    # target docs themselves are excluded from the scored output
+    assert 1 not in got
+
+
+def test_pack_sequences_invariants(spark):
+    from klinker_spark.ops.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(80)]
+    docs = _docs(spark, rows)
+    out = pack_sequences(docs, budget=20, n_groups=4).collect()
+    assert len(out) == 80
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    assert set(by_group) <= set(range(4))
+    for rows_g in by_group.values():
+        rows_g.sort(key=lambda r: r["start_offset"])
+        # offsets are an exact prefix sum of token counts in group order
+        run = 0
+        for r in rows_g:
+            assert r["start_offset"] == run
+            assert r["bin_id"] == run // 20
+            run += r["n_tokens"]
+    # deterministic across runs
+    again = pack_sequences(docs, budget=20, n_groups=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
