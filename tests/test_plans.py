@@ -246,3 +246,33 @@ def test_gate_prefix_is_fully_oracled():
     unknown = [n for n in _GATE_PRIORITY if n not in QUERIES]
     assert not unknown, f"_GATE_PRIORITY names not registered: {unknown}"
     assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) == 50
+
+
+def test_curation_plan_shapes(spark, sf_dir):
+    """Scale guarantees of the curation family: pii_scrub stays a pure
+    codegen scan (zero exchanges), pack_sequences pays exactly one hash
+    shuffle (per-group window, no global sort), stratified_sample's
+    rank filter is pushed below the shuffle (partial WindowGroupLimit
+    so only ≤n rows per stratum cross the wire), and the contamination
+    semi-join broadcasts the benchmark n-gram set."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan and "Join" not in plan
+
+    import re
+
+    plan = plan_of(QUERIES["pack_sequences"](spark, sf_dir))
+    # formatted mode prints each node twice (tree + detail): one shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+    plan = plan_of(QUERIES["stratified_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan.split("Exchange", 1)[1], (
+        "rank limit must apply map-side (partial WindowGroupLimit below "
+        "the shuffle)"
+    )
+
+    plan = plan_of(QUERIES["contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
