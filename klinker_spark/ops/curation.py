@@ -246,6 +246,9 @@ def contamination_check(
     broadcast and the corpus-side semi-join is map-side — the only
     shuffle is the per-doc hit count on ``doc_id``.
     """
+    # persist: the shingle arrays feed three consumers (benchmark set,
+    # eval explode, eval sizes) — without it the tokenize+shingle
+    # expression pipeline re-runs per branch (measured 3x at sf0.1)
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         benchmark_filter.alias("is_bench"),
@@ -254,14 +257,14 @@ def contamination_check(
         "doc_id",
         "is_bench",
         F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh"),
-    )
+    ).persist()
     bench = (
         sh.where("is_bench")
         .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
     ev = sh.where(~F.col("is_bench")).select(
-        "doc_id", F.size("sh").alias("n_ngrams"), F.explode("sh").alias("shingle")
+        "doc_id", F.explode("sh").alias("shingle")
     )
     hits = (
         ev.join(F.broadcast(bench), "shingle", "left_semi")
@@ -269,7 +272,7 @@ def contamination_check(
         .agg(F.count("*").alias("n_contaminated"))
     )
     sizes = sh.where(~F.col("is_bench")).select("doc_id", F.size("sh").alias("n_ngrams"))
-    return (
+    out = (
         sizes.join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -279,7 +282,10 @@ def contamination_check(
                 F.coalesce("n_contaminated", F.lit(0)) / F.col("n_ngrams"), 6
             ).alias("contamination"),
         )
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
