@@ -76,41 +76,15 @@ def dbscan_labels(
         .persist()
     )
 
-    labels = core.select("id", F.col("id").alias("label"))
-    converged = False
-    for _ in range(max_iter):
-        # Pregel step: everyone adopts the min label in its closed
-        # neighborhood; localCheckpoint truncates the growing lineage
-        neigh = (
-            core_edges.join(
-                labels.withColumnRenamed("id", "nid"), "nid"
-            ).select("id", "label")
-        )
-        new_labels = (
-            labels.unionByName(neigh)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # silent non-convergence would split a cluster into several
-        # labels and diverge from the documented smallest-member-id
-        # semantics (and the recursive-CTE oracle's true fixpoint)
-        raise RuntimeError(
-            f"dbscan_labels: min-label propagation did not converge within "
-            f"max_iter={max_iter} rounds — the core graph has a component "
-            f"with larger eccentricity; raise max_iter"
-        )
+    # cluster = connected components of the core-core subgraph; the
+    # shared Pregel kernel raises on non-convergence, which would
+    # silently split a cluster and diverge from the smallest-member-id
+    # semantics (and the recursive-CTE oracle's true fixpoint)
+    from .curation import connected_components
+
+    labels = connected_components(
+        core_edges, "id", "nid", max_iter=max_iter, vertices=core
+    )
 
     border = (
         edges.join(core.withColumnRenamed("id", "nid"), "nid", "left_semi")

@@ -110,11 +110,14 @@ def repetition_stats(
         "dup_token_frac",
         F.round(top_frac, 6).alias("top_bigram_frac"),
         F.round(dup_frac, 6).alias("dup_bigram_frac"),
-        (
+        # when(...).otherwise(0), not bool.cast(int): NULL text must
+        # yield keep=0 like the oracle's CASE, not propagate NULL
+        F.when(
             (F.col("dup_token_frac") <= max_dup_token_frac)
-            & (top_frac <= max_top_bigram_frac)
+            & (top_frac <= max_top_bigram_frac),
+            1,
         )
-        .cast("int")
+        .otherwise(0)
         .alias("keep"),
     )
 
@@ -124,11 +127,16 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    vertices: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge
     list.  Output: ``(id, label)`` for every vertex incident to an
-    edge, ``label`` = smallest vertex id in the component
-    (deterministic, engine-independent).
+    edge (self-loops count as incidence), ``label`` = smallest vertex
+    id in the component (deterministic, engine-independent).
+
+    ``vertices`` (optional, single-column) overrides the labeled vertex
+    set — for callers like DBSCAN whose vertex universe includes
+    edge-free points.
 
     Min-label propagation to fixpoint: each round every vertex adopts
     the minimum label in its closed neighborhood (one join + one
@@ -136,14 +144,20 @@ def connected_components(
     bounded by the component diameter; raises if ``max_iter`` rounds
     don't converge rather than silently splitting a component.
     """
+    pairs = edges.select(F.col(src).alias("id"), F.col(dst).alias("nid"))
+    if vertices is None:
+        # vertex set BEFORE dropping self-loops: a vertex whose only
+        # edge is (v, v) is still incident to an edge
+        ids = pairs.select("id").unionByName(pairs.select(F.col("nid").alias("id"))).distinct()
+    else:
+        ids = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
     und = (
-        edges.select(F.col(src).alias("id"), F.col(dst).alias("nid"))
-        .unionByName(edges.select(F.col(dst).alias("id"), F.col(src).alias("nid")))
+        pairs.unionByName(pairs.select(F.col("nid").alias("id"), F.col("id").alias("nid")))
         .where(F.col("id") != F.col("nid"))
         .distinct()
         .persist()
     )
-    labels = und.select("id").distinct().withColumn("label", F.col("id"))
+    labels = ids.withColumn("label", F.col("id"))
     converged = False
     for _ in range(max_iter):
         neigh = und.join(labels.withColumnRenamed("id", "nid"), "nid").select("id", "label")
@@ -246,9 +260,6 @@ def contamination_check(
     broadcast and the corpus-side semi-join is map-side — the only
     shuffle is the per-doc hit count on ``doc_id``.
     """
-    # persist: the shingle arrays feed three consumers (benchmark set,
-    # eval explode, eval sizes) — without it the tokenize+shingle
-    # expression pipeline re-runs per branch (measured 3x at sf0.1)
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         benchmark_filter.alias("is_bench"),
@@ -257,35 +268,34 @@ def contamination_check(
         "doc_id",
         "is_bench",
         F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh"),
-    ).persist()
+    )
+    # one pass per side: benchmark rows shingle once into the broadcast
+    # set; eval rows shingle once, carrying their set size through the
+    # explode so hits and sizes come out of a single aggregate (no
+    # second consumer → no persist/checkpoint needed, plan stays lazy)
     bench = (
         sh.where("is_bench")
         .select(F.explode("sh").alias("shingle"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
     ev = sh.where(~F.col("is_bench")).select(
-        "doc_id", F.explode("sh").alias("shingle")
+        "doc_id", F.size("sh").alias("n_ngrams"), F.explode("sh").alias("shingle")
     )
-    hits = (
-        ev.join(F.broadcast(bench), "shingle", "left_semi")
+    return (
+        ev.join(F.broadcast(bench), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    sizes = sh.where(~F.col("is_bench")).select("doc_id", F.size("sh").alias("n_ngrams"))
-    out = (
-        sizes.join(hits, "doc_id", "left")
+        .agg(
+            F.first("n_ngrams").alias("n_ngrams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+        )
         .select(
             "doc_id",
             "n_ngrams",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_ngrams"), 6
-            ).alias("contamination"),
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6).alias("contamination"),
         )
-        .localCheckpoint(eager=True)
     )
-    sh.unpersist()
-    return out
 
 
 PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
@@ -334,9 +344,11 @@ def unigram_logprob_quality(
     corpus side is explode → map-side join → one ``doc_id`` shuffle
     with partial aggregation.
     """
+    # persist: toks feeds the total count, the frequency table, and the
+    # probe side of the join — three scans of the explode otherwise
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).where(F.col("token") != "")
+    ).where(F.col("token") != "").persist()
     freq = toks.groupBy("token").agg(F.count("*").alias("c"))
     total = toks.count()
     lp = freq.select(
@@ -345,7 +357,7 @@ def unigram_logprob_quality(
         .cast("bigint")
         .alias("lp_micro"),
     )
-    return (
+    out = (
         toks.join(F.broadcast(lp), "token")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("lp_micro").alias("s"))
@@ -354,7 +366,10 @@ def unigram_logprob_quality(
             "n_tokens",
             F.round(F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6).alias("avg_logprob"),
         )
+        .localCheckpoint(eager=True)
     )
+    toks.unpersist()
+    return out
 
 
 def dsir_importance(
@@ -394,6 +409,16 @@ def dsir_importance(
         F.count_distinct("token").alias("v"),
     ).collect()[0]
     n_all, n_tgt, vocab = totals["n_all"], totals["n_tgt"], totals["v"]
+    if not n_all:
+        # empty / all-whitespace corpus: the aggregate returns NULL
+        # totals — return an empty frame instead of a TypeError
+        toks.unpersist()
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .where(F.lit(False))
+            .withColumn("n_tokens", F.lit(0).cast("bigint"))
+            .withColumn("log_ratio", F.lit(0.0))
+        )
     w = all_freq.select(
         "token",
         F.round(
@@ -449,7 +474,10 @@ def pack_sequences(
     h = F.md5(F.col(id_col).cast("string"))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % n_groups).alias("pack_group"),
+        # 8 hex chars = 32 hash bits: keeps group sizes uniform for any
+        # realistic n_groups (4 chars would skew ~17% at n_groups=10k
+        # and cap the group count at 65536)
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_groups).alias("pack_group"),
         F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
         h.alias("h"),
     )

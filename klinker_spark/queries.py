@@ -51,6 +51,39 @@ ORACLES: dict[str, str] = {}
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
+def _toks_cte(extra: str = "") -> str:
+    """DuckDB CTE: documents → per-doc token array, mirroring
+    ``tokenize(text, min_token_length=1, stopwords=[])``.  ``extra``
+    carries additional columns (e.g. ``", source"``).  Single source of
+    truth for the tokenize SQL — a semantics change edited here reaches
+    every dedup/curation oracle at once."""
+    return f"""
+    toks AS (
+      SELECT doc_id{extra},
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> length(t) >= 1) tk
+      FROM documents)"""
+
+
+def _shingle_cte(extra: str = "") -> str:
+    """DuckDB CTE chain toks→sh→ds: documents → DISTINCT per-doc 3-gram
+    shingles, mirroring ``word_shingles(tokenize(...), 3)`` (docs of ≤3
+    tokens yield one whole-doc shingle)."""
+    return (
+        _toks_cte(extra)
+        + f""",
+    sh AS (
+      SELECT doc_id{extra},
+             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(generate_series(1, len(tk) - 2),
+                                      i -> array_to_string(tk[i:i+2], ' '))
+             END sg
+      FROM toks),
+    ds AS (SELECT DISTINCT doc_id{extra}, shingle
+           FROM (SELECT doc_id{extra}, unnest(sg) shingle FROM sh))"""
+    )
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -922,20 +955,9 @@ def minhash_dedup_q(spark, sf_dir):
 
 @register(
     "minhash_dedup_md5",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         t -> length(t) >= 1) tk
-      FROM documents),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
-                  ELSE list_transform(generate_series(1, len(tk) - 2),
-                                      i -> array_to_string(tk[i:i+2], ' '))
-             END sg
-      FROM toks),
-    ds AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(sg) shingle FROM sh)),
+    "WITH "
+    + _shingle_cte()
+    + """,
     sig AS (
       SELECT doc_id, p, min(md5(p::varchar || ':' || shingle)) mh
       FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 31)) p)
@@ -1007,12 +1029,9 @@ def simhash_dedup_q(spark, sf_dir):
 
 @register(
     "simhash_dedup_md5",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         t -> length(t) >= 1) tk
-      FROM documents),
+    "WITH "
+    + _toks_cte()
+    + """,
     cnt AS (SELECT doc_id, token, count(*) n
             FROM (SELECT doc_id, unnest(tk) token FROM toks) GROUP BY 1, 2),
     h AS (SELECT doc_id, md5(token) hx, n FROM cnt),
@@ -1049,20 +1068,9 @@ def simhash_dedup_md5_q(spark, sf_dir):
 
 @register(
     "ngram_jaccard_dedup",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         t -> length(t) >= 1) tk
-      FROM documents),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
-                  ELSE list_transform(generate_series(1, len(tk) - 2),
-                                      i -> array_to_string(tk[i:i+2], ' '))
-             END sg
-      FROM toks),
-    ds AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(sg) shingle FROM sh)),
+    "WITH "
+    + _shingle_cte()
+    + """,
     sizes AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
     inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
               FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -2640,20 +2648,7 @@ def repetition_stats_q(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
-_NGRAM_PAIRS_SQL = """
-    toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         t -> length(t) >= 1) tk
-      FROM documents),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
-                  ELSE list_transform(generate_series(1, len(tk) - 2),
-                                      i -> array_to_string(tk[i:i+2], ' '))
-             END sg
-      FROM toks),
-    ds AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(sg) shingle FROM sh)),
+_NGRAM_PAIRS_SQL = _shingle_cte() + """,
     sizes AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
     inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
               FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -2722,21 +2717,8 @@ def stratified_sample_q(spark, sf_dir):
 @register(
     "contamination_check",
     "WITH "
-    + """
-    toks AS (
-      SELECT doc_id, source,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         t -> length(t) >= 1) tk
-      FROM documents),
-    sh AS (
-      SELECT doc_id, source,
-             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
-                  ELSE list_transform(generate_series(1, len(tk) - 2),
-                                      i -> array_to_string(tk[i:i+2], ' '))
-             END sg
-      FROM toks),
-    ds AS (SELECT DISTINCT doc_id, source, shingle
-           FROM (SELECT doc_id, source, unnest(sg) shingle FROM sh)),
+    + _shingle_cte(", source")
+    + """,
     bench AS (SELECT DISTINCT shingle FROM ds WHERE source = 'src0'),
     ev AS (SELECT doc_id, count(*) n_ngrams FROM ds WHERE source <> 'src0' GROUP BY 1),
     hit AS (SELECT d.doc_id, count(*) n_hit FROM ds d
@@ -2856,10 +2838,9 @@ def dsir_importance_q(spark, sf_dir):
       FROM documents),
     grp AS (
       SELECT doc_id, h, n_tokens,
-             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 16 AS pack_group
+             CAST(list_sum(list_transform(range(1, 9),
+                    i -> (strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1)
+                         * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT) % 16 AS pack_group
       FROM base),
     ofs AS (
       SELECT doc_id, pack_group, n_tokens,

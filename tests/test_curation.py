@@ -95,6 +95,33 @@ def test_connected_components_chain_transitivity(spark):
     assert got == {i: 0 for i in range(10)}
 
 
+def test_connected_components_self_loop_vertex_kept(spark):
+    # a vertex whose only edge is (v, v) is incident to an edge and
+    # must appear in the output as its own singleton component
+    edges = [(5, 5), (1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 5: 5}
+
+
+def test_repetition_stats_null_text_keep_is_zero(spark):
+    # NULL text must yield keep=0 (matching the oracle's CASE), never
+    # a NULL that would flip the driver's value hash
+    diverse = " ".join(chr(97 + i) + chr(97 + j) for i in range(5) for j in range(4))
+    docs = spark.createDataFrame([(1, None), (2, diverse)], "doc_id long, text string")
+    out = {r["doc_id"]: r["keep"] for r in repetition_stats(docs).collect()}
+    assert out[1] == 0 and out[2] == 1
+
+
+def test_dsir_empty_corpus_returns_empty(spark):
+    from klinker_spark.ops.curation import dsir_importance
+
+    docs = spark.createDataFrame([], "doc_id long, text string, is_target boolean")
+    out = dsir_importance(docs, F.col("is_target"))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tokens", "log_ratio"]
+
+
 def test_connected_components_nonconvergence_raises(spark):
     edges = [(i, i + 1) for i in range(9)]
     df = spark.createDataFrame(edges, ["src", "dst"])

@@ -274,5 +274,5 @@ def test_curation_plan_shapes(spark, sf_dir):
     )
 
     plan = plan_of(QUERIES["contamination_check"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan, "benchmark n-gram set must broadcast"
     assert "CartesianProduct" not in plan
