@@ -23,14 +23,24 @@ __all__ = [
 ]
 
 
-def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace token count + char count per document.
+#: BPE pre-tokenizer segmentation (GPT-2 style, simplified to the
+#: lookahead-free subset both Java regex and RE2 support): letter runs,
+#: digit runs, and non-alphanumeric-non-space runs each become one
+#: pre-token.  Counting these approximates BPE token counts far better
+#: than whitespace (punctuation and numbers split off words).
+BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
 
-    Output: ``(doc_id, n_tokens, n_chars)``.
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counts per document: whitespace tokens, BPE-ish regex
+    pre-tokens (``BPE_SPLIT_RE``), and chars.
+
+    Output: ``(doc_id, n_tokens, n_bpe_tokens, n_chars)``.
     """
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE)).alias("n_bpe_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
     )
 

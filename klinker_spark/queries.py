@@ -1121,8 +1121,10 @@ def embedding_cosine_dedup_q(spark, sf_dir):
 # ------------------------------------------------------------------ text analysis (documents)
 @register(
     "token_count",
-    """
+    r"""
     SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+             AS n_bpe_tokens,
            length(text) AS n_chars
     FROM documents
     """,

@@ -452,6 +452,19 @@ def test_token_count(docs):
     assert joined.where(F.col("n_tokens") <= 0).count() == 0
 
 
+def test_token_count_bpe_segmentation(spark):
+    # BPE pre-tokens: letter runs / digit runs / punct runs split apart,
+    # whitespace never counted
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! x2 isn't    it... 3.14")], ["doc_id", "text"]
+    )
+    r = token_count(docs).collect()[0]
+    # [Hello][,][world][!][x][2][isn]['][t][it][...][3][.][14] = 14
+    assert r["n_bpe_tokens"] == 14
+    # single-space split: 6 words + 3 empties from the 4-space run
+    assert r["n_tokens"] == 9
+
+
 def test_quality_score_ranges(docs):
     q = quality_score(docs)
     bad = q.where(
