@@ -2880,11 +2880,9 @@ _GATE_PRIORITY = [
     "token_blocking",
     "unique_name_blocking",
     "top_n_filter",
-    "blocks_combine",
     "all_pairs_multiplicity",
     "purge_blocks",
     "eval_metrics",
-    "compare_blockings",
     "minhash_lsh_blocking_md5",
     "tfidf_token_blocking",
     "relational_token_blocking",
@@ -2927,9 +2925,17 @@ _GATE_PRIORITY = [
     "gcn_propagation_md5",
     "lightea_propagation_md5",
     "sinkhorn_rerank",
-    "windowed_token_blocks",
-    "corpus_clean_pipeline",
-    "token_blocking_capped",
+    # round-3 corpus-curation operators (exact oracles, never
+    # driver-recorded) — promoted over five r01/r02-green rows whose
+    # verdicts are already on record and whose operator families keep
+    # other prefix representatives (token_blocking_capped /
+    # windowed_token_blocks / corpus_clean_pipeline / compare_blockings
+    # / blocks_combine remain registered + judge-checkable)
+    "repetition_stats",
+    "dedup_components",
+    "contamination_check",
+    "unigram_logprob",
+    "pack_sequences",
 ]
 
 
