@@ -294,3 +294,45 @@ def test_pack_sequences_invariants(spark):
     # deterministic across runs
     again = pack_sequences(docs, budget=20, n_groups=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ------------------------------------------------------------------ streaming
+def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
+    """pii_scrub, repetition_stats' per-row signals, and token counting
+    are pure expressions, so the SAME operator code runs under
+    Structured Streaming unchanged — file stream in, memory sink out,
+    results identical to the batch run."""
+    from klinker_spark.ops.curation import pii_scrub
+    from klinker_spark.ops.textstats import token_count
+
+    docs = spark.createDataFrame(
+        [(1, "call 55512345 now"), (2, "plain words"), (3, "a@b.org wrote this")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    scrubbed = pii_scrub(stream)
+    counted = token_count(stream)
+    q1 = (
+        scrubbed.writeStream.format("memory")
+        .queryName("pii_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        counted.writeStream.format("memory")
+        .queryName("tc_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(60)
+    q2.awaitTermination(60)
+
+    got = sorted(map(tuple, spark.sql("select * from pii_stream").collect()))
+    want = sorted(map(tuple, pii_scrub(docs).collect()))
+    assert got == want
+    got_tc = sorted(map(tuple, spark.sql("select * from tc_stream").collect()))
+    want_tc = sorted(map(tuple, token_count(docs).collect()))
+    assert got_tc == want_tc
