@@ -128,6 +128,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     vertices: DataFrame | None = None,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge
     list.  Output: ``(id, label)`` for every vertex incident to an
@@ -138,11 +139,23 @@ def connected_components(
     set — for callers like DBSCAN whose vertex universe includes
     edge-free points.
 
-    Min-label propagation to fixpoint: each round every vertex adopts
-    the minimum label in its closed neighborhood (one join + one
-    aggregate, ``localCheckpoint`` truncates lineage).  Rounds are
-    bounded by the component diameter; raises if ``max_iter`` rounds
-    don't converge rather than silently splitting a component.
+    Algorithms (identical output, different round complexity):
+
+    - ``"propagation"`` (default): min-label propagation to fixpoint —
+      each round every vertex adopts the minimum label in its closed
+      neighborhood (one join + one aggregate, ``localCheckpoint``
+      truncates lineage).  Rounds are bounded by the component
+      DIAMETER — right for near-dup graphs, whose clusters are dense
+      and shallow.
+    - ``"star"``: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14) — converges in O(log n) rounds regardless of diameter,
+      the choice for adversarially deep graphs (long chains) at scale.
+      Each round is one neighbor aggregate + one join on the current
+      edge set.
+
+    Both raise if ``max_iter`` rounds don't converge rather than
+    silently splitting a component.
     """
     pairs = edges.select(F.col(src).alias("id"), F.col(dst).alias("nid"))
     if vertices is None:
@@ -151,6 +164,10 @@ def connected_components(
         ids = pairs.select("id").unionByName(pairs.select(F.col("nid").alias("id"))).distinct()
     else:
         ids = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+    if algorithm == "star":
+        return _star_components(pairs, ids, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     und = (
         pairs.unionByName(pairs.select(F.col("nid").alias("id"), F.col("id").alias("nid")))
         .where(F.col("id") != F.col("nid"))
@@ -185,6 +202,71 @@ def connected_components(
             f"diameter exceeds the bound)"
         )
     return labels
+
+
+def _star_components(pairs: DataFrame, ids: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.
+    SoCC'14).  ``pairs``: raw ``(id, nid)`` edges; ``ids``: vertex set
+    to label.  Returns ``(id, label)``.
+
+    Each round: large-star hangs every vertex's larger neighbors off
+    the minimum of its closed neighborhood (processed from the
+    bidirectional view), then small-star re-hangs the smaller ones;
+    stable fixpoints are exactly per-component stars centered at the
+    minimum vertex, reached in O(log n) rounds.  Edges are kept
+    canonical ``(hi, lo)`` so set-equality is the convergence test.
+    """
+    e = (
+        pairs.where(F.col("id") != F.col("nid"))
+        .select(F.greatest("id", "nid").alias("hi"), F.least("id", "nid").alias("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        # large-star: from each vertex u's closed neighborhood minimum
+        # m, emit (v, m) for neighbors v > u (bidirectional view)
+        nb = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = nb.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        large = (
+            nb.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: on the now hi→lo directed edges, re-hang each
+        # vertex's smaller neighbors (and itself) off the minimum
+        m2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        emit = (
+            large.join(m2, "hi")
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+            .unionByName(m2.select(F.col("hi").alias("a"), F.col("m").alias("b")))
+        )
+        new_e = (
+            emit.where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if new_e.count() == e.count() and new_e.subtract(e).count() == 0:
+            e = new_e
+            converged = True
+            break
+        e = new_e
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star): did not converge within "
+            f"max_iter={max_iter} rounds; raise max_iter"
+        )
+    star = e.select(F.col("hi").alias("id"), F.col("lo").alias("label"))
+    return ids.join(star, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
 
 
 def canonical_dedup(

@@ -336,3 +336,42 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
     got_tc = sorted(map(tuple, spark.sql("select * from tc_stream").collect()))
     want_tc = sorted(map(tuple, token_count(docs).collect()))
     assert got_tc == want_tc
+
+
+# ------------------------------------------------------------------ star contraction
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_star_components_random_graph(spark, seed):
+    rng = random.Random(seed)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(35)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert got == _model_components(edges)
+
+
+def test_star_components_long_chain_logarithmic_rounds(spark):
+    # a 60-node path has diameter 59: propagation would need ~60
+    # rounds, star contraction must finish in O(log n) — 12 is ample
+    edges = [(i, i + 1) for i in range(59)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(df, algorithm="star", max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_star_components_self_loop_and_isolated_vertex(spark):
+    edges = spark.createDataFrame([(5, 5), (1, 2)], ["src", "dst"])
+    verts = spark.createDataFrame([(9,), (5,), (1,), (2,)], ["id"])
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(
+            edges, vertices=verts, algorithm="star"
+        ).collect()
+    }
+    assert got == {9: 9, 5: 5, 1: 1, 2: 1}
