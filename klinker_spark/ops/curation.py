@@ -274,6 +274,7 @@ def canonical_dedup(
     pairs: DataFrame,
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Resolve near-duplicate *pairs* into per-document canonical
     assignments: the transitive closure of the pair graph, each doc
@@ -284,7 +285,9 @@ def canonical_dedup(
     marks rows a dedup pipeline would drop (keep rows where
     ``doc_id = canonical_id``).
     """
-    comp = connected_components(pairs, *pair_cols).withColumnRenamed("id", id_col)
+    comp = connected_components(pairs, *pair_cols, algorithm=algorithm).withColumnRenamed(
+        "id", id_col
+    )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed(id_col, "doc_id"), "doc_id", "left")

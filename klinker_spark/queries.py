@@ -2694,6 +2694,23 @@ def dedup_components_q(spark, sf_dir):
     return canonical_dedup(docs, pairs)
 
 
+_DEDUP_COMPONENTS_ORACLE = ORACLES["dedup_components"]
+
+
+@register("dedup_components_star", _DEDUP_COMPONENTS_ORACLE)
+def dedup_components_star_q(spark, sf_dir):
+    """Same canonical-dedup semantics computed by the O(log n)
+    large-star/small-star contraction instead of min-label propagation
+    — identical output by construction, so it shares the recursive-CTE
+    oracle; a driver-verified equivalence of the two algorithms."""
+    from .ops.curation import canonical_dedup
+    from .ops.dedup import ngram_jaccard_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(docs, shingle_k=3, threshold=0.4).select("doc_a", "doc_b")
+    return canonical_dedup(docs, pairs, algorithm="star")
+
+
 @register(
     "stratified_sample",
     """
