@@ -25,6 +25,7 @@ __all__ = [
     "topk_cosine_join",
     "topk_cosine_matmul",
     "topk_cosine_sharded",
+    "quantize_embeddings",
 ]
 
 
@@ -484,4 +485,48 @@ def topk_cosine_join(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def quantize_embeddings(
+    emb, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """Symmetric int8 scalar quantization per vector — the storage /
+    bandwidth reduction step embedding pipelines run before indexing
+    (FAISS ``SQ8`` shape): ``scale = max|v_i| / 127``,
+    ``q_i = round(v_i / scale)`` ∈ [-127, 127].
+
+    Output: ``(vec_id, scale, qhash, max_abs_err)`` — ``qhash`` is the
+    md5 of the comma-joined int codes (a cross-engine-checkable
+    fingerprint of the exact quantized payload; the codes themselves
+    stay an internal array), ``max_abs_err`` the worst per-dimension
+    reconstruction error.  Pure higher-order-function expressions:
+    zero shuffles, codegen, embarrassingly parallel.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        (
+            F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double")))) / 127.0
+        ).alias("scale"),
+    )
+    qv = F.when(
+        F.col("scale") == 0, F.transform("v", lambda x: F.lit(0))
+    ).otherwise(
+        F.transform("v", lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"))
+    )
+    q = base.select("vec_id", "v", "scale", qv.alias("qv"))
+    err = F.array_max(
+        F.zip_with("qv", "v", lambda qi, x: F.abs(qi * F.col("scale") - x.cast("double")))
+    )
+    # err must see the UNROUNDED scale: keep it in a separate stage —
+    # in one select, `round(scale, 6) AS scale` would capture the
+    # sibling reference via lateral column alias resolution (Spark 3.4+)
+    # and silently skew max_abs_err
+    staged = q.select("vec_id", "scale", "qv", err.alias("err"))
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.md5(F.array_join(F.transform("qv", lambda x: x.cast("string")), ",")).alias("qhash"),
+        F.round("err", 6).alias("max_abs_err"),
     )

@@ -2881,6 +2881,35 @@ def pack_sequences_q(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=256, n_groups=16)
 
 
+@register(
+    "embedding_quantize",
+    """
+    WITH base AS (SELECT vec_id, embedding v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x::DOUBLE))) / 127 AS scale
+          FROM base),
+    q AS (SELECT vec_id, v, scale,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v, x -> CAST(round(x::DOUBLE / scale) AS INTEGER))
+                 END AS qv
+          FROM s)
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           md5(array_to_string(qv, ',')) AS qhash,
+           round(list_max(list_transform(list_zip(qv, v),
+                                         p -> abs(p[1] * scale - p[2]::DOUBLE))), 6)
+             AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_q(spark, sf_dir):
+    """Int8 scalar quantization of the embeddings table; the md5 code
+    fingerprint makes the exact quantized payload oracle-checkable."""
+    from .functions.vectors import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -375,3 +375,30 @@ def test_star_components_self_loop_and_isolated_vertex(spark):
         ).collect()
     }
     assert got == {9: 9, 5: 5, 1: 1, 2: 1}
+
+
+# ------------------------------------------------------------------ quantization
+def test_quantize_embeddings_bounds_and_zero_vector(spark):
+    from klinker_spark.functions.vectors import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector: scale 0, all codes 0
+            (3, [127.0, -127.0, 1.0, -1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r.asDict() for r in quantize_embeddings(emb).collect()}
+    # reconstruction error of symmetric int8 is bounded by scale/2
+    for vid in (1, 3):
+        assert out[vid]["max_abs_err"] <= out[vid]["scale"] / 2 + 1e-9
+    # vec 3: scale=1, codes are exact integers → zero error
+    assert out[3]["scale"] == 1.0
+    assert out[3]["max_abs_err"] == 0.0
+    assert out[2]["scale"] == 0.0
+    assert out[2]["max_abs_err"] == 0.0
+    import hashlib
+
+    assert out[2]["qhash"] == hashlib.md5(b"0,0,0,0").hexdigest()
+    assert out[1]["qhash"] == hashlib.md5(b"64,-127,32,0").hexdigest()
