@@ -53,6 +53,8 @@ __all__ = [
     "unigram_logprob_quality",
     "dsir_importance",
     "pack_sequences",
+    "vocab_coverage",
+    "corpus_rollup",
 ]
 
 
@@ -577,3 +579,82 @@ def pack_sequences(
         "n_tokens",
         F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
     ).withColumn("bin_id", F.floor(F.col("start_offset") / budget))
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage / OOV analysis: build the top-``vocab_size``
+    corpus vocabulary (by frequency, ties by token), then measure each
+    document's out-of-vocabulary token rate — the standard check that a
+    tokenizer/vocab fits a corpus before training.
+
+    Output: ``(doc_id, n_tokens, n_oov, oov_rate)``.
+
+    The vocabulary is tiny by construction → broadcast left join with a
+    membership marker; one shuffle on ``doc_id`` for the counts.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).where(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    vocab = (
+        freq.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= vocab_size)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def corpus_rollup(
+    docs: DataFrame,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus report: doc counts, token totals, BPE-pre-token
+    totals, tokenizer fertility (BPE / whitespace tokens — the metric
+    tokenizer papers report per language), and mean doc length — the
+    rollup a pipeline dashboard shows per (source, lang).
+
+    Output: ``(*group_cols, n_docs, n_ws_tokens, n_bpe_tokens,
+    fertility, mean_chars)``.  All inputs to the doubles are integer
+    sums, so results are shuffle-order-free.  One partial-aggregated
+    shuffle on the group keys.
+    """
+    from .textstats import BPE_SPLIT_RE
+
+    group_cols = group_cols or ["source", "lang"]
+    return (
+        docs.select(
+            *group_cols,
+            F.size(F.split(F.col(text_col), " ")).alias("ws"),
+            F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE)).alias("bpe"),
+            F.length(text_col).alias("chars"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("n_ws_tokens"),
+            F.sum("bpe").alias("n_bpe_tokens"),
+            F.round(F.sum("bpe") / F.sum("ws"), 6).alias("fertility"),
+            F.round(F.sum("chars") / F.count("*"), 6).alias("mean_chars"),
+        )
+    )

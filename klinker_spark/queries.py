@@ -2910,6 +2910,56 @@ def embedding_quantize_q(spark, sf_dir):
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "vocab_coverage",
+    """
+    WITH tw AS (
+      SELECT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''),
+    freq AS (SELECT token, count(*) c FROM tw GROUP BY 1),
+    vocab AS (SELECT token FROM (
+                SELECT token, row_number() OVER (ORDER BY c DESC, token ASC) r
+                FROM freq)
+              WHERE r <= 100)
+    SELECT doc_id, count(*) AS n_tokens,
+           sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS oov_rate
+    FROM tw LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def vocab_coverage_q(spark, sf_dir):
+    """Top-100 corpus vocabulary coverage: per-doc OOV occurrence rate
+    (tokenizer/vocab fit check); vocabulary broadcast."""
+    from .ops.curation import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=100)
+
+
+@register(
+    "corpus_rollup",
+    r"""
+    SELECT source, lang, count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS n_ws_tokens,
+           sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')))
+             AS n_bpe_tokens,
+           round(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')))
+                 * 1.0 / sum(len(string_split(text, ' '))), 6) AS fertility,
+           round(sum(length(text)) * 1.0 / count(*), 6) AS mean_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def corpus_rollup_q(spark, sf_dir):
+    """Per-(source, lang) corpus report: doc/token totals, tokenizer
+    fertility, mean length — integer sums only, shuffle-order-free."""
+    from .ops.curation import corpus_rollup
+
+    return corpus_rollup(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -402,3 +402,34 @@ def test_quantize_embeddings_bounds_and_zero_vector(spark):
 
     assert out[2]["qhash"] == hashlib.md5(b"0,0,0,0").hexdigest()
     assert out[1]["qhash"] == hashlib.md5(b"64,-127,32,0").hexdigest()
+
+
+# ------------------------------------------------------------------ vocab / rollup
+def test_vocab_coverage_model(spark):
+    from klinker_spark.ops.curation import vocab_coverage
+
+    # vocab_size=2 → vocab = {a, b} (a:4, b:3); c and d are OOV
+    docs = _docs(spark, [(1, "a a b c"), (2, "a b d d"), (3, "a b")])
+    out = {r["doc_id"]: r.asDict() for r in vocab_coverage(docs, vocab_size=2).collect()}
+    assert out[1]["n_oov"] == 1 and out[1]["n_tokens"] == 4
+    assert out[2]["n_oov"] == 2 and out[2]["oov_rate"] == 0.5
+    assert out[3]["n_oov"] == 0 and out[3]["oov_rate"] == 0.0
+
+
+def test_corpus_rollup_fertility(spark):
+    from klinker_spark.ops.curation import corpus_rollup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello, world!", "s1", "en"),   # ws 2, bpe 4
+            (2, "plain words", "s1", "en"),     # ws 2, bpe 2
+            (3, "x 1.5", "s2", "de"),           # ws 2, bpe 4
+        ],
+        ["doc_id", "text", "source", "lang"],
+    )
+    out = {(r["source"], r["lang"]): r.asDict() for r in corpus_rollup(docs).collect()}
+    assert out[("s1", "en")]["n_docs"] == 2
+    assert out[("s1", "en")]["n_ws_tokens"] == 4
+    assert out[("s1", "en")]["n_bpe_tokens"] == 6
+    assert out[("s1", "en")]["fertility"] == 1.5
+    assert out[("s2", "de")]["n_bpe_tokens"] == 4  # x, 1, ., 5
