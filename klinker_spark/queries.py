@@ -2960,6 +2960,19 @@ def corpus_rollup_q(spark, sf_dir):
     return corpus_rollup(_t(spark, sf_dir, "documents"))
 
 
+@register("quality_classifier")
+def quality_classifier_q(spark, sf_dir):
+    """Trainable fasttext-style quality model: src0 as the trusted
+    positive slice, LR on hashed bag-of-words, every doc scored.
+    rows-only (L-BFGS float reduction order; same class as the
+    DeepBlocker/KMeans fits)."""
+    from .ops.quality_model import train_quality_scores
+
+    return train_quality_scores(
+        _t(spark, sf_dir, "documents"), F.col("source") == "src0"
+    )
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -433,3 +433,24 @@ def test_corpus_rollup_fertility(spark):
     assert out[("s1", "en")]["n_bpe_tokens"] == 6
     assert out[("s1", "en")]["fertility"] == 1.5
     assert out[("s2", "de")]["n_bpe_tokens"] == 4  # x, 1, ., 5
+
+
+# ------------------------------------------------------------------ quality model
+def test_quality_classifier_separates_obvious_corpora(spark):
+    from klinker_spark.ops.quality_model import train_quality_scores
+
+    rng = random.Random(7)
+    good_words = ["science", "history", "theorem", "literature", "analysis"]
+    junk_words = ["zzz", "spamspam", "clickbait", "xxxx", "garbage"]
+    rows = []
+    for i in range(40):
+        w = good_words if i % 2 == 0 else junk_words
+        text = " ".join(rng.choice(w) for _ in range(12))
+        rows.append((i, text, i % 2 == 0))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "trusted"])
+    out = {r["doc_id"]: r["prob"] for r in train_quality_scores(docs, F.col("trusted")).collect()}
+    assert len(out) == 40
+    good = [out[i] for i in range(0, 40, 2)]
+    junk = [out[i] for i in range(1, 40, 2)]
+    assert min(good) > max(junk)  # perfectly separable vocabularies
+    assert min(good) > 0.9 and max(junk) < 0.1
