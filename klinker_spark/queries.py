@@ -2566,8 +2566,11 @@ def sif_pc_removal(spark, sf_dir):
     scored AS (
       SELECT doc_id, text, lang, n
       FROM q
-      WHERE (nd * 1.0 / n) * (1.0 - abs(ns * 1.0 / n - 0.4))
-            * least(n / 100.0, 1.0) >= 0.2),
+      -- round like the engine: quality_score emits the 6dp score and
+      -- the pipeline thresholds THAT, so a raw-product comparison
+      -- flips docs sitting within 5e-7 of the cut (seen at sf0.1)
+      WHERE round((nd * 1.0 / n) * (1.0 - abs(ns * 1.0 / n - 0.4))
+                  * least(n / 100.0, 1.0), 6) >= 0.2),
     kept AS (
       SELECT min(doc_id) doc_id, min(lang) lang, min(n) n
       FROM scored GROUP BY md5(text))
