@@ -276,3 +276,7 @@ def test_curation_plan_shapes(spark, sf_dir):
     plan = plan_of(QUERIES["contamination_check"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, "benchmark n-gram set must broadcast"
     assert "CartesianProduct" not in plan
+
+    # int8 quantization is a pure per-row projection: no shuffle at all
+    plan = plan_of(QUERIES["embedding_quantize"](spark, sf_dir))
+    assert "Exchange" not in plan and "Join" not in plan
