@@ -597,17 +597,21 @@ def vocab_coverage(
     The vocabulary is tiny by construction → broadcast left join with a
     membership marker; one shuffle on ``doc_id`` for the counts.
     """
+    # persist: toks feeds the frequency build AND the probe side
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).where(F.col("token") != "")
+    ).where(F.col("token") != "").persist()
     freq = toks.groupBy("token").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    # orderBy().limit() compiles to TakeOrderedAndProject — distributed
+    # partial top-k per partition, never a single-partition window sort
+    # over the whole frequency table; the (c desc, token asc) total
+    # order keeps the cut deterministic
     vocab = (
-        freq.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= vocab_size)
+        freq.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(vocab_size)
         .select("token", F.lit(1).alias("in_vocab"))
     )
-    return (
+    out = (
         toks.join(F.broadcast(vocab), "token", "left")
         .groupBy("doc_id")
         .agg(
@@ -620,7 +624,10 @@ def vocab_coverage(
             "n_oov",
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
+        .localCheckpoint(eager=True)
     )
+    toks.unpersist()
+    return out
 
 
 def corpus_rollup(
@@ -639,14 +646,14 @@ def corpus_rollup(
     sums, so results are shuffle-order-free.  One partial-aggregated
     shuffle on the group keys.
     """
-    from .textstats import BPE_SPLIT_RE
+    from .textstats import bpe_token_count, ws_token_count
 
     group_cols = group_cols or ["source", "lang"]
     return (
         docs.select(
             *group_cols,
-            F.size(F.split(F.col(text_col), " ")).alias("ws"),
-            F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE)).alias("bpe"),
+            ws_token_count(text_col).alias("ws"),
+            bpe_token_count(text_col).alias("bpe"),
             F.length(text_col).alias("chars"),
         )
         .groupBy(*group_cols)

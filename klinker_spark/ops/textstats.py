@@ -31,6 +31,17 @@ __all__ = [
 BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
 
 
+def ws_token_count(text_col: str):
+    """Whitespace token count expression — THE definition shared by
+    ``token_count`` and every aggregate built on it."""
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def bpe_token_count(text_col: str):
+    """BPE pre-token count expression (``BPE_SPLIT_RE`` segments)."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE))
+
+
 def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Token counts per document: whitespace tokens, BPE-ish regex
     pre-tokens (``BPE_SPLIT_RE``), and chars.
@@ -39,8 +50,8 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
-        F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE)).alias("n_bpe_tokens"),
+        ws_token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
     )
 
