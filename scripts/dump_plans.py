@@ -22,6 +22,13 @@ NOTES = {
     "mutual_rank_topk": "Rank-based hubness reduction: forward/reverse top-k lists meet in one scalar join; integer scoring; single window.",
     "dbscan_labels": "Density clustering: broadcast epsilon self-join, degree aggregate, min-label propagation rounds (localCheckpoint truncates lineage), border attach, noise union.",
     "multimodal_features": "Binary payloads move Arrow-batched through one MapInPandas; metadata columns stay prunable; no Python row-at-a-time.",
+    "repetition_stats": "Gopher repetition filter: bigram explode -> (doc, bigram) partial+final aggregate -> doc aggregate -> join back to per-doc token stats (AQE broadcasts the small side here, SMJ at scale).",
+    "stratified_sample": "Deterministic quota sample: WindowGroupLimit partial runs BELOW the strata exchange, so only <=n rows per stratum cross the shuffle.",
+    "contamination_check": "Benchmark n-gram set broadcast into the eval explode; hits and sizes come out of one aggregate — the corpus-side shingles never shuffle.",
+    "pii_scrub": "Pure codegen regex projection: scan -> project, zero exchanges.",
+    "pack_sequences": "Concat-and-chunk packing: one hash exchange on pack_group, per-group window cumsum — no global sort.",
+    "embedding_quantize": "Int8 SQ: higher-order-function projection only (scale/codes/error per row), zero exchanges.",
+    "vocab_coverage": "Top-k vocabulary via TakeOrderedAndProject (distributed partial top-k, no single-partition window), broadcast membership join, one doc aggregate.",
 }
 
 
