@@ -454,3 +454,41 @@ def test_quality_classifier_separates_obvious_corpora(spark):
     junk = [out[i] for i in range(1, 40, 2)]
     assert min(good) > max(junk)  # perfectly separable vocabularies
     assert min(good) > 0.9 and max(junk) < 0.1
+
+
+# ------------------------------------------------------------------ empty-corpus sweep
+def test_curation_ops_handle_empty_corpus(spark):
+    """Every curation operator must return an empty (or
+    degenerate-but-valid) result on an empty corpus, never crash —
+    pipelines hit empty partitions/slices constantly."""
+    from klinker_spark.ops.curation import (
+        contamination_check,
+        corpus_rollup,
+        pack_sequences,
+        pii_scrub,
+        repetition_stats,
+        stratified_sample,
+        unigram_logprob_quality,
+        vocab_coverage,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    assert repetition_stats(empty).count() == 0
+    assert pii_scrub(empty).count() == 0
+    assert unigram_logprob_quality(empty).count() == 0
+    assert vocab_coverage(empty).count() == 0
+    assert pack_sequences(empty, budget=16).count() == 0
+    assert stratified_sample(empty, ["lang"], 2).count() == 0
+    assert corpus_rollup(empty).count() == 0
+    assert contamination_check(empty, F.col("source") == "x").count() == 0
+
+
+def test_canonical_dedup_no_pairs(spark):
+    from klinker_spark.ops.curation import canonical_dedup
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["canonical_id"] for r in canonical_dedup(docs, pairs).collect()}
+    assert out == {1: 1, 2: 2}
