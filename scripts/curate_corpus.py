@@ -1,0 +1,135 @@
+"""End-to-end corpus curation CLI — raw documents in, training shards
+out.  The composition every pretraining pipeline runs, as ONE Spark
+job over the engine's curation operators:
+
+  1. quality gate     — Gopher repetition filter (``repetition_stats``)
+                        + unigram-LM score floor (``unigram_logprob``)
+  2. PII scrub        — emails / digit runs redacted (``pii_scrub``)
+  3. dedup            — exact-Jaccard near-dup pairs → connected
+                        components → keep canonical docs only
+  4. decontaminate    — drop docs overlapping the benchmark slice's
+                        3-grams above a threshold (``contamination_check``)
+  5. pack             — concat-and-chunk into token-budget bins
+                        (``pack_sequences``)
+  6. write            — parquet shards partitioned by ``pack_group``
+                        (each group is an independently readable,
+                        deterministic training stream)
+
+Usage:
+  python scripts/curate_corpus.py --sf-dir /root/testdata/sf0.001 \\
+      --out /tmp/shards --budget 256 --bench-source src0
+
+Prints one JSON line of per-stage survivor counts for auditing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+
+def curate(
+    spark,
+    sf_dir: str,
+    out: str,
+    budget: int = 256,
+    bench_source: str = "src0",
+    min_logprob: float = -9.0,
+    max_contamination: float = 0.5,
+):
+    from klinker_spark.ops.curation import (
+        canonical_dedup,
+        contamination_check,
+        pack_sequences,
+        pii_scrub,
+        repetition_stats,
+        unigram_logprob_quality,
+    )
+    from klinker_spark.ops.dedup import ngram_jaccard_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = {"input": docs.count()}
+
+    # 1. quality gate: repetition keep-flag AND LM score floor
+    rep = repetition_stats(docs).where(F.col("keep") == 1).select("doc_id")
+    lm = (
+        unigram_logprob_quality(docs)
+        .where(F.col("avg_logprob") >= min_logprob)
+        .select("doc_id")
+    )
+    kept = docs.join(rep, "doc_id", "left_semi").join(lm, "doc_id", "left_semi")
+    kept = kept.localCheckpoint(eager=True)  # three downstream consumers
+    stats["after_quality"] = kept.count()
+
+    # 2. PII scrub (text rewritten in place)
+    scrubbed = kept.drop("text").join(
+        pii_scrub(kept).select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    )
+
+    # 3. near-dup removal: pairs → components → canonical survivors
+    pairs = ngram_jaccard_dedup(scrubbed, shingle_k=3, threshold=0.4).select(
+        "doc_a", "doc_b"
+    )
+    canon = canonical_dedup(scrubbed, pairs).where(F.col("is_duplicate") == 0)
+    deduped = scrubbed.join(canon.select("doc_id"), "doc_id", "left_semi")
+    stats["after_dedup"] = deduped.count()
+
+    # 4. benchmark decontamination
+    contaminated = (
+        contamination_check(deduped, F.col("source") == bench_source)
+        .where(F.col("contamination") > max_contamination)
+        .select("doc_id")
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti").where(
+        F.col("source") != bench_source
+    )
+    stats["after_decontamination"] = clean.count()
+
+    # 5-6. pack into token-budget bins and write shards
+    packed = clean.join(pack_sequences(clean, budget=budget), ["doc_id"], "inner")
+    (
+        packed.select(
+            "doc_id", "text", "lang", "source", "pack_group", "start_offset", "bin_id"
+        )
+        .repartition("pack_group")
+        .write.mode("overwrite")
+        .partitionBy("pack_group")
+        .parquet(out)
+    )
+    stats["packed"] = packed.count()
+    stats["bins"] = packed.select("pack_group", "bin_id").distinct().count()
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--budget", type=int, default=256)
+    ap.add_argument("--bench-source", default="src0")
+    ap.add_argument("--min-logprob", type=float, default=-9.0)
+    ap.add_argument("--max-contamination", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from klinker_spark.session import get_spark
+
+    spark = get_spark("curate_corpus")
+    stats = curate(
+        spark,
+        args.sf_dir,
+        args.out,
+        budget=args.budget,
+        bench_source=args.bench_source,
+        min_logprob=args.min_logprob,
+        max_contamination=args.max_contamination,
+    )
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

