@@ -30,6 +30,7 @@ __all__ = [
     "pack_media",
     "extract_features",
     "sample_frames",
+    "resize_media",
 ]
 
 #: Canonical multimodal table layout: opaque payload + typed metadata.
@@ -137,4 +138,44 @@ def sample_frames(
 
     return media.where(F.col("media_type") == "video").select(
         "media_id", "payload"
+    ).mapInPandas(run, schema=out_schema)
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 512, resize_fn=None
+) -> DataFrame:
+    """Image/audio resize plumbing: payload → smaller payload with
+    updated byte metadata, preserving the canonical media layout so
+    downstream stages (feature extraction, frame sampling) compose
+    unchanged.
+
+    ``resize_fn(payload_series, target_bytes) -> Series[bytes]`` is the
+    kernel seam — a real implementation decodes, resizes (PIL
+    ``thumbnail`` / audio resample), and re-encodes; the deterministic
+    stub truncates the payload to ``target_bytes`` (shape-faithful:
+    output is a valid, smaller binary column).  Arrow-batched
+    ``mapInPandas``; metadata columns pass through prunable.
+    """
+    out_schema = MEDIA_SCHEMA
+
+    def default_fn(payloads: pd.Series, tb: int) -> pd.Series:
+        return payloads.map(lambda b: None if b is None else bytes(b)[:tb])
+
+    fn = resize_fn or default_fn
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = fn(pdf["payload"], target_bytes)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "n_bytes": resized.map(lambda b: None if b is None else len(b)),
+                    "meta": pdf["meta"],
+                }
+            )
+
+    return media.select(
+        "media_id", "media_type", "payload", "n_bytes", "meta"
     ).mapInPandas(run, schema=out_schema)

@@ -57,3 +57,23 @@ def test_sample_frames(spark):
     # non-video rows are filtered out
     imgs = _media(spark, n=2, media_type="image")
     assert sample_frames(imgs).count() == 0
+
+
+def test_resize_media_preserves_layout_and_shrinks(spark):
+    from klinker_spark.ops.multimodal import pack_media, resize_media, extract_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 2000)), (2, bytearray(b"y" * 100)), (3, None)],
+        ["id", "blob"],
+    )
+    media = pack_media(df, "id", "blob", "image")
+    out = resize_media(media, target_bytes=512)
+    # canonical layout preserved (nullability differs between the
+    # declared MEDIA_SCHEMA and a derived select — compare shape)
+    assert out.schema.simpleString() == media.schema.simpleString()
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == 512 and len(rows[1]["payload"]) == 512
+    assert rows[2]["n_bytes"] == 100  # already under budget
+    assert rows[3]["payload"] is None and rows[3]["n_bytes"] is None
+    # downstream stages compose on the resized table unchanged
+    assert extract_features(out, dim=4).count() == 3
