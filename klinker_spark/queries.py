@@ -1920,6 +1920,45 @@ def multimodal_features(spark, sf_dir):
     return feats.select("media_id", "media_type", F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
+@register(
+    "multimodal_resize_features",
+    """
+    SELECT doc_id AS media_id,
+           least(length(text), 4)::BIGINT AS n_bytes,
+           round((("""
+    + " + ".join(
+        f"(CASE WHEN length(text) >= {j + 1} "
+        f"THEN ord(substr(text, {j + 1}, 1)) ELSE 0 END)::HUGEINT * {256 ** j}"
+        for j in range(4)
+    )
+    + """) % 1000) / 1000.0, 6) AS f0
+    FROM documents WHERE octet_length(encode(text)) = length(text)
+    """,
+)
+def multimodal_resize_features(spark, sf_dir):
+    """resize_media → extract_features composition under an exact
+    oracle: payloads truncated to 4 bytes, so the stub's 8-byte window
+    sees exactly 4 real bytes + zero padding — the oracle's 4-term byte
+    polynomial reproduces f0 iff the resize stage actually ran."""
+    from .ops.multimodal import extract_features, pack_media, resize_media
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.octet_length(F.col("text")) == F.length(F.col("text"))  # ASCII-only
+    )
+    media = pack_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "image",
+    )
+    resized = resize_media(media, target_bytes=4)
+    feats = extract_features(resized, dim=8)
+    sizes = resized.select("media_id", "n_bytes")
+    return feats.join(sizes, "media_id").select(
+        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 # ------------------------------------------------------------------ graph stats, sessions, composite, propagation
 @register(
     "graph_statistics",
