@@ -53,6 +53,22 @@ BENCH_QUERIES = [
     "eval_metrics",
 ]
 
+#: Training-data curation family — benched separately so the headline
+#: value stays comparable to rounds 1-2 (same fixed suite).
+CURATION_QUERIES = [
+    "repetition_stats",
+    "dedup_components",
+    "contamination_check",
+    "pii_scrub",
+    "unigram_logprob",
+    "dsir_importance",
+    "pack_sequences",
+    "stratified_sample",
+    "vocab_coverage",
+    "corpus_rollup",
+    "embedding_quantize",
+]
+
 
 def main() -> None:
     from klinker_spark.queries import QUERIES
@@ -84,6 +100,16 @@ def main() -> None:
             out[name] = round(time.time() - t0, 3)
         print(f"# {name}: cold {timings[name]}s warm {warm[name]}s", file=sys.stderr)
 
+    # curation family: measured and reported separately — NOT part of
+    # the headline value, which stays the fixed r01-comparable suite
+    curation = {}
+    for name in CURATION_QUERIES:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        curation[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {curation[name]}s (curation)", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -94,6 +120,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "queries_curation": curation,
+                "curation_total": round(sum(curation.values()), 3),
                 "load_avg": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
