@@ -92,3 +92,34 @@ def test_tokenize_keep_duplicates_matches_python(run_expr, s):
     semantics KeyedVectorsEncoder weights by) while still dropping
     stopwords — vs the default array_except set semantics."""
     assert run_expr(s, tokenize("s", keep_duplicates=True)) == py_tokenize_keep_dups(s)
+
+
+VEC = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(v=VEC)
+def test_quantize_embeddings_properties(spark, v):
+    """Int8 quantization invariants on arbitrary float32 vectors: codes
+    bounded by ±127 (implied by err bound), reconstruction error ≤
+    scale/2 (+ rounding slack), zero vectors degenerate cleanly."""
+    from klinker_spark.functions.vectors import quantize_embeddings
+
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<float>")
+    r = quantize_embeddings(df).first()
+    import numpy as np
+
+    amax = float(np.abs(np.array(v, dtype=np.float64)).max())
+    if amax == 0.0:
+        assert r["scale"] == 0.0 and r["max_abs_err"] == 0.0
+    else:
+        scale = amax / 127
+        # 6dp output rounding adds at most 5e-7 slack on each side
+        assert r["max_abs_err"] <= scale / 2 + 1e-6
+        assert abs(r["scale"] - round(scale, 6)) <= 1e-9
