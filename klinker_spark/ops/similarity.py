@@ -31,6 +31,7 @@ __all__ = [
     "build_ivf_index",
     "ann_topk_ivf_indexed",
     "csls_topk",
+    "nicdm_topk",
     "mutual_rank_topk",
 ]
 
@@ -157,6 +158,63 @@ def csls_topk(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.nanvl(F.col("csls"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def nicdm_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    n_candidates: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
+) -> DataFrame:
+    """Hubness-reduced kNN via NICDM local scaling (M18 — kiez's
+    ``hubness="nicdm"``; Schnitzer et al. 2012, "Local and Global
+    Scaling Reduce Hubs in Space").
+
+    Each candidate distance is normalized by the geometric mean of both
+    endpoints' local neighborhood scales:
+    ``nicdm(q, x) = d(q, x) / sqrt(mu(q) * mu(x))`` with
+    ``d = 1 − cos`` and ``mu`` = mean distance to the ``n_candidates``
+    nearest points (forward for queries, reverse for index vectors —
+    the same symmetric fit as :func:`csls_topk`).  Final result =
+    per-query top-``k`` by scaled distance ASC, id ASC.
+
+    Same composition as CSLS — two exact searches, two scalar
+    aggregates, two scalar joins, one merge window — so it carries an
+    exact SQL oracle (``nicdm_topk`` query).
+    """
+    fwd = brute_force_topk(
+        queries, index, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
+    )
+    rev = brute_force_topk(
+        index, queries, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
+    )
+    mu_fwd = fwd.groupBy("query_id").agg(F.avg(1.0 - F.col("sim")).alias("mu_fwd"))
+    mu_rev = (
+        rev.groupBy("query_id")
+        .agg(F.avg(1.0 - F.col("sim")).alias("mu_rev"))
+        .withColumnRenamed("query_id", "neighbor_id")
+    )
+    scored = (
+        fwd.join(mu_fwd, "query_id")
+        .join(mu_rev, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            # greatest(…, 0): cos(v, v) can exceed 1 by an ulp, and a
+            # -1e-16 distance would round to -0.0 ≠ 0.0 in value hashes
+            (
+                F.greatest(1.0 - F.col("sim"), F.lit(0.0))
+                / F.sqrt(F.col("mu_fwd") * F.col("mu_rev"))
+            ).alias("nicdm_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.nanvl(F.col("nicdm_dist"), F.lit(float("inf"))).asc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -1489,6 +1489,33 @@ def csls_topk_q(spark, sf_dir):
 
 
 @register(
+    "nicdm_topk",
+    _HUB_BASE_SQL
+    + """
+    , mf AS (SELECT qid, avg(1 - sim) mu FROM fwd GROUP BY qid),
+    mr AS (SELECT nid, avg(1 - sim) mu FROM rev GROUP BY nid),
+    scored AS (
+      SELECT f.qid query_id, f.nid neighbor_id,
+             greatest(1 - f.sim, 0) / sqrt(mf.mu * mr.mu) nd
+      FROM fwd f JOIN mf ON f.qid = mf.qid JOIN mr ON f.nid = mr.nid)
+    SELECT query_id, neighbor_id, round(nd, 6) AS nicdm_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY nd ASC, neighbor_id ASC) rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def nicdm_topk_q(spark, sf_dir):
+    """M18: NICDM local-scaling hubness reduction — candidate distances
+    normalized by the geometric mean of both endpoints' neighborhood
+    scales (kiez hubness="nicdm")."""
+    from .ops.similarity import nicdm_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = nicdm_topk(emb.where(F.col("vec_id") % 10 == 0), emb, k=5, n_candidates=10)
+    return out.withColumn("nicdm_dist", F.round("nicdm_dist", 6))
+
+
+@register(
     "mutual_rank_topk",
     _HUB_BASE_SQL
     + """

@@ -85,3 +85,26 @@ def test_tfidf_filtered_blocker(frame_a, frame_b):
     bm_hi = TfIdfFilteredTokenBlocker(threshold=0.6).assign(frame_a, frame_b)
     keys_hi = {r["block_key"] for r in bm_hi.df.collect()}
     assert keys_hi <= keys_all
+
+
+def test_nicdm_reduces_hub_dominance(spark):
+    """NICDM sanity on a crafted hub: a vector close to everything gets
+    its distances scaled UP (its local mean is tiny), demoting it in
+    neighbor lists relative to raw cosine."""
+    import numpy as np
+
+    from klinker_spark.ops.similarity import brute_force_topk, nicdm_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 8)).astype("float32")
+    hub = base.mean(axis=0) * 0.9  # near the centroid: a classic hub
+    vecs = [(i, [float(x) for x in base[i]]) for i in range(20)] + [(99, [float(x) for x in hub])]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = emb.where("vec_id < 10")
+
+    raw = brute_force_topk(queries, emb, k=3)
+    scaled = nicdm_topk(queries, emb, k=3, n_candidates=5)
+    hub_raw = raw.where("neighbor_id = 99").count()
+    hub_scaled = scaled.where("neighbor_id = 99").count()
+    assert hub_scaled <= hub_raw  # local scaling never promotes the hub
+    assert scaled.groupBy("query_id").count().where("count != 3").count() == 0
