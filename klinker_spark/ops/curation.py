@@ -55,6 +55,7 @@ __all__ = [
     "pack_sequences",
     "vocab_coverage",
     "corpus_rollup",
+    "duplicated_span_stats",
 ]
 
 
@@ -669,5 +670,51 @@ def corpus_rollup(
             F.sum("bpe").alias("n_bpe_tokens"),
             F.round(F.sum("bpe") / F.sum("ws"), 6).alias("fertility"),
             F.round(F.sum("chars") / F.count("*"), 6).alias("mean_chars"),
+        )
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    span_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the substring-dedup
+    criterion, approximated at ``span_k``-gram granularity): for each
+    document, the fraction of its distinct ``span_k``-token spans that
+    also occur in at least one OTHER document.  Doc-level dedup misses
+    these (boilerplate headers, quoted passages inside otherwise-unique
+    docs); pipelines cut or rewrite docs above a span-dup threshold.
+
+    Output: ``(doc_id, n_spans, n_dup_spans, dup_span_frac)``.
+
+    Plan: one shingle explode → span document-frequency aggregate →
+    join back on the span and count per doc.  The span-df table is
+    corpus-sized, so the join shuffles on the span hash (partial
+    aggregation both sides); at 100 TB this is the same banding shuffle
+    the MinHash pipeline pays — no driver state, no broadcast of
+    corpus-scale data.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
+    ).select(
+        "doc_id", F.array_distinct(word_shingles(F.col("tk"), span_k)).alias("sh")
+    )
+    spans = sh.select("doc_id", F.explode("sh").alias("span"))
+    df_counts = spans.groupBy("span").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        spans.join(df_counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_span_frac"),
         )
     )

@@ -3042,6 +3042,38 @@ def quality_classifier_q(spark, sf_dir):
     )
 
 
+@register(
+    "duplicated_span_stats",
+    "WITH "
+    + _toks_cte()
+    + """,
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) <= 10 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(generate_series(1, len(tk) - 9),
+                                      i -> array_to_string(tk[i:i+9], ' '))
+             END sg
+      FROM toks),
+    ds AS (SELECT DISTINCT doc_id, span
+           FROM (SELECT doc_id, unnest(sg) span FROM sh)),
+    dfc AS (SELECT span, count(DISTINCT doc_id) df FROM ds GROUP BY 1)
+    SELECT doc_id, count(*) AS n_spans,
+           sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+           round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS dup_span_frac
+    FROM ds JOIN dfc USING (span)
+    GROUP BY doc_id
+    """,
+)
+def duplicated_span_stats_q(spark, sf_dir):
+    """Span-level duplication (Lee et al. 2022 substring-dedup signal,
+    10-gram approximation): fraction of each doc's spans occurring in
+    other docs."""
+    from .ops.curation import duplicated_span_stats
+
+    return duplicated_span_stats(_t(spark, sf_dir, "documents"), span_k=10)
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

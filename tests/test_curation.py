@@ -531,3 +531,22 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
         for off, n in entries:
             assert off == run, f"group {g}: offset {off} != prefix sum {run}"
             run += n
+
+
+def test_duplicated_span_stats(spark):
+    from klinker_spark.ops.curation import duplicated_span_stats
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " uniqueafter extra words here now"),
+            (2, "prefix words go here " + shared),
+            (3, "totally different content with no overlap at all whatsoever"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in duplicated_span_stats(docs, span_k=10).collect()}
+    # docs 1 and 2 share exactly the 10-token span `shared`
+    assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_frac"] == 0.0
+    assert 0 < out[1]["dup_span_frac"] < 1
