@@ -160,14 +160,15 @@ def connected_components(
     Both raise if ``max_iter`` rounds don't converge rather than
     silently splitting a component.
     """
-    # materialize the edge list ONCE: both the undirected view and the
-    # vertex set derive from it, and upstream pair generation (e.g. the
-    # PPJoin) is far too expensive to run per consumer (measured 2x the
-    # whole query at sf0.1)
-    pairs = edges.select(F.col(src).alias("id"), F.col(dst).alias("nid")).localCheckpoint(
-        eager=True
-    )
+    pairs = edges.select(F.col(src).alias("id"), F.col(dst).alias("nid"))
     if vertices is None:
+        # The edge frame has TWO consumers here (vertex derivation +
+        # the undirected/star view): materialize it once — upstream
+        # pair generation (e.g. the PPJoin) is far too expensive to run
+        # per consumer (measured 2x the whole query at sf0.1).  With an
+        # explicit vertices= the edge frame is consumed once and the
+        # caller (e.g. DBSCAN) typically persists it already — no copy.
+        pairs = pairs.localCheckpoint(eager=True)
         # vertex set BEFORE dropping self-loops: a vertex whose only
         # edge is (v, v) is still incident to an edge
         ids = pairs.select("id").unionByName(pairs.select(F.col("nid").alias("id"))).distinct()
@@ -702,9 +703,17 @@ def duplicated_span_stats(
     ).select(
         "doc_id", F.array_distinct(word_shingles(F.col("tk"), span_k)).alias("sh")
     )
-    spans = sh.select("doc_id", F.explode("sh").alias("span"))
+    # the empty-string whole-doc shingle of token-free docs would make
+    # all such docs "duplicates" of each other — not content overlap;
+    # persist: spans feeds the df aggregate AND the probe side of the
+    # join (the corpus-scale explode must not run twice)
+    spans = (
+        sh.select("doc_id", F.explode("sh").alias("span"))
+        .where(F.col("span") != "")
+        .persist()
+    )
     df_counts = spans.groupBy("span").agg(F.count_distinct("doc_id").alias("df"))
-    return (
+    out = (
         spans.join(df_counts, "span")
         .groupBy("doc_id")
         .agg(
@@ -717,4 +726,7 @@ def duplicated_span_stats(
             "n_dup_spans",
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_span_frac"),
         )
+        .localCheckpoint(eager=True)
     )
+    spans.unpersist()
+    return out

@@ -109,6 +109,19 @@ def ann_topk_signlsh(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _symmetric_fit(queries, index, n_candidates, id_col, vec_col, impl):
+    """The fwd/rev exact-search pair every hubness-reduction variant
+    starts from (kiez's symmetric fit): queries→index and
+    index→queries top-n candidate lists."""
+    fwd = brute_force_topk(
+        queries, index, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
+    )
+    rev = brute_force_topk(
+        index, queries, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
+    )
+    return fwd, rev
+
+
 def csls_topk(
     queries: DataFrame,
     index: DataFrame,
@@ -135,12 +148,7 @@ def csls_topk(
     equi-joins, one merge window; every stage deterministic, so the op
     carries an exact SQL oracle (``csls_topk`` query).
     """
-    fwd = brute_force_topk(
-        queries, index, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
-    )
-    rev = brute_force_topk(
-        index, queries, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
-    )
+    fwd, rev = _symmetric_fit(queries, index, n_candidates, id_col, vec_col, impl)
     r_fwd = fwd.groupBy("query_id").agg(F.avg("sim").alias("r_fwd"))
     r_rev = (
         rev.groupBy("query_id")
@@ -187,30 +195,29 @@ def nicdm_topk(
     aggregates, two scalar joins, one merge window — so it carries an
     exact SQL oracle (``nicdm_topk`` query).
     """
-    fwd = brute_force_topk(
-        queries, index, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
-    )
-    rev = brute_force_topk(
-        index, queries, k=n_candidates, id_col=id_col, vec_col=vec_col, impl=impl
-    )
-    mu_fwd = fwd.groupBy("query_id").agg(F.avg(1.0 - F.col("sim")).alias("mu_fwd"))
+    fwd, rev = _symmetric_fit(queries, index, n_candidates, id_col, vec_col, impl)
+    # distances clamped at 0 INSIDE the averages too: cos(v, v) can
+    # exceed 1 by an ulp, which would drive mu negative (sqrt of a
+    # negative aborts some engines) or to exact 0 for duplicate-heavy
+    # neighborhoods; a -1e-16 distance would also round to -0.0 ≠ 0.0
+    # in value hashes
+    d = F.greatest(1.0 - F.col("sim"), F.lit(0.0))
+    mu_fwd = fwd.groupBy("query_id").agg(F.avg(d).alias("mu_fwd"))
     mu_rev = (
         rev.groupBy("query_id")
-        .agg(F.avg(1.0 - F.col("sim")).alias("mu_rev"))
+        .agg(F.avg(d).alias("mu_rev"))
         .withColumnRenamed("query_id", "neighbor_id")
     )
+    denom = F.sqrt(F.col("mu_fwd") * F.col("mu_rev"))
     scored = (
         fwd.join(mu_fwd, "query_id")
         .join(mu_rev, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            # greatest(…, 0): cos(v, v) can exceed 1 by an ulp, and a
-            # -1e-16 distance would round to -0.0 ≠ 0.0 in value hashes
-            (
-                F.greatest(1.0 - F.col("sim"), F.lit(0.0))
-                / F.sqrt(F.col("mu_fwd") * F.col("mu_rev"))
-            ).alias("nicdm_dist"),
+            # zero local scale (all-duplicate neighborhood) falls back
+            # to the raw distance instead of dividing by zero
+            F.when(denom == 0, d).otherwise(d / denom).alias("nicdm_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

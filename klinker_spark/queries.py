@@ -65,18 +65,18 @@ def _toks_cte(extra: str = "") -> str:
       FROM documents)"""
 
 
-def _shingle_cte(extra: str = "") -> str:
-    """DuckDB CTE chain toks→sh→ds: documents → DISTINCT per-doc 3-gram
-    shingles, mirroring ``word_shingles(tokenize(...), 3)`` (docs of ≤3
+def _shingle_cte(extra: str = "", k: int = 3) -> str:
+    """DuckDB CTE chain toks→sh→ds: documents → DISTINCT per-doc k-gram
+    shingles, mirroring ``word_shingles(tokenize(...), k)`` (docs of ≤k
     tokens yield one whole-doc shingle)."""
     return (
         _toks_cte(extra)
         + f""",
     sh AS (
       SELECT doc_id{extra},
-             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
-                  ELSE list_transform(generate_series(1, len(tk) - 2),
-                                      i -> array_to_string(tk[i:i+2], ' '))
+             CASE WHEN len(tk) <= {k} THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(generate_series(1, len(tk) - {k - 1}),
+                                      i -> array_to_string(tk[i:i+{k - 1}], ' '))
              END sg
       FROM toks),
     ds AS (SELECT DISTINCT doc_id{extra}, shingle
@@ -1492,11 +1492,12 @@ def csls_topk_q(spark, sf_dir):
     "nicdm_topk",
     _HUB_BASE_SQL
     + """
-    , mf AS (SELECT qid, avg(1 - sim) mu FROM fwd GROUP BY qid),
-    mr AS (SELECT nid, avg(1 - sim) mu FROM rev GROUP BY nid),
+    , mf AS (SELECT qid, avg(greatest(1 - sim, 0)) mu FROM fwd GROUP BY qid),
+    mr AS (SELECT nid, avg(greatest(1 - sim, 0)) mu FROM rev GROUP BY nid),
     scored AS (
       SELECT f.qid query_id, f.nid neighbor_id,
-             greatest(1 - f.sim, 0) / sqrt(mf.mu * mr.mu) nd
+             CASE WHEN sqrt(mf.mu * mr.mu) = 0 THEN greatest(1 - f.sim, 0)
+                  ELSE greatest(1 - f.sim, 0) / sqrt(mf.mu * mr.mu) END nd
       FROM fwd f JOIN mf ON f.qid = mf.qid JOIN mr ON f.nid = mr.nid)
     SELECT query_id, neighbor_id, round(nd, 6) AS nicdm_dist, rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -3045,23 +3046,15 @@ def quality_classifier_q(spark, sf_dir):
 @register(
     "duplicated_span_stats",
     "WITH "
-    + _toks_cte()
+    + _shingle_cte(k=10)
     + """,
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(tk) <= 10 THEN [array_to_string(tk, ' ')]
-                  ELSE list_transform(generate_series(1, len(tk) - 9),
-                                      i -> array_to_string(tk[i:i+9], ' '))
-             END sg
-      FROM toks),
-    ds AS (SELECT DISTINCT doc_id, span
-           FROM (SELECT doc_id, unnest(sg) span FROM sh)),
-    dfc AS (SELECT span, count(DISTINCT doc_id) df FROM ds GROUP BY 1)
+    ne AS (SELECT doc_id, shingle FROM ds WHERE shingle <> ''),
+    dfc AS (SELECT shingle, count(DISTINCT doc_id) df FROM ne GROUP BY 1)
     SELECT doc_id, count(*) AS n_spans,
            sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
            round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
              AS dup_span_frac
-    FROM ds JOIN dfc USING (span)
+    FROM ne JOIN dfc USING (shingle)
     GROUP BY doc_id
     """,
 )
