@@ -56,6 +56,7 @@ __all__ = [
     "vocab_coverage",
     "corpus_rollup",
     "duplicated_span_stats",
+    "token_budget_mix",
 ]
 
 
@@ -730,3 +731,56 @@ def duplicated_span_stats(
     )
     spans.unpersist()
     return out
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus mixing under per-source token budgets: each source
+    contributes documents in deterministic md5 order until its token
+    budget is exhausted — the "N billion tokens of web, M of code"
+    recipe every pretraining mix implements.
+
+    A doc is kept iff the tokens BEFORE it in its source's stream fit
+    strictly under the budget (the budget-crossing doc is included, so
+    every non-empty budget takes at least one doc and the stream can be
+    truncated mid-doc downstream).  Sources absent from ``budgets``
+    are dropped.
+
+    Output: ``(doc_id, source, n_tokens, tokens_before)``.
+
+    One hash shuffle on the source column; the budget table is a
+    literal CASE expression (a handful of sources), no join.
+    """
+    from .textstats import ws_token_count
+
+    # CASE source WHEN ... chain, deterministic order
+    budget_expr = None
+    for src, b in sorted(budgets.items()):
+        clause = F.when(F.col(source_col) == src, F.lit(int(b)))
+        budget_expr = clause if budget_expr is None else budget_expr.when(
+            F.col(source_col) == src, F.lit(int(b))
+        )
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        ws_token_count(text_col).alias("n_tokens"),
+        budget_expr.alias("budget"),
+    ).where(F.col("budget").isNotNull())
+    return (
+        base.withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .where(F.col("tokens_before") < F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "tokens_before")
+    )

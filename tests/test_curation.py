@@ -550,3 +550,37 @@ def test_duplicated_span_stats(spark):
     assert out[1]["n_dup_spans"] == 1 and out[2]["n_dup_spans"] == 1
     assert out[3]["n_dup_spans"] == 0 and out[3]["dup_span_frac"] == 0.0
     assert 0 < out[1]["dup_span_frac"] < 1
+
+
+def test_token_budget_mix_model(spark):
+    import hashlib
+
+    from klinker_spark.ops.curation import token_budget_mix
+
+    rows = [(i, " ".join(["w"] * (4 + i % 5)), f"s{i % 2}") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    budgets = {"s0": 25, "s1": 10}
+    out = token_budget_mix(docs, budgets).collect()
+    # python model: md5 order per source, cumulative fill
+    expect = set()
+    for src, budget in budgets.items():
+        stream = sorted(
+            (r for r in rows if r[2] == src),
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        )
+        run = 0
+        for did, text, _ in stream:
+            if run < budget:
+                expect.add(did)
+            run += len(text.split(" "))
+    assert {r["doc_id"] for r in out} == expect
+    # the budget-crossing doc is included: each source exceeds or meets
+    # its budget with its final doc
+    for src, budget in budgets.items():
+        total = sum(r["n_tokens"] for r in out if r["source"] == src)
+        assert total >= min(
+            budget, sum(len(t.split(" ")) for _, t, s in rows if s == src)
+        )
+    # unknown sources are dropped entirely
+    docs2 = spark.createDataFrame([(99, "a b c", "other")], ["doc_id", "text", "source"])
+    assert token_budget_mix(docs2, budgets).count() == 0
