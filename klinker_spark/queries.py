@@ -3099,6 +3099,31 @@ def token_budget_mix_q(spark, sf_dir):
     )
 
 
+@register(
+    "incremental_ingest",
+    """
+    WITH hist AS (SELECT DISTINCT md5(text) fp FROM documents WHERE doc_id % 3 = 0)
+    SELECT d.doc_id, md5(d.text) AS fingerprint
+    FROM documents d
+    WHERE md5(d.text) NOT IN (SELECT fp FROM hist)
+    """,
+)
+def incremental_ingest_q(spark, sf_dir):
+    """Incremental ingestion gate (batch analogue of the streaming
+    operator): docs whose fingerprint is absent from a deterministic
+    'history' slice (doc_id % 3 = 0) pass; exact-dup docs of history
+    content are filtered even with new ids."""
+    from .streaming.dedup import incremental_new_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    history = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    return incremental_new_docs(docs, history).select("doc_id", "fingerprint")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

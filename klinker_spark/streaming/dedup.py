@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_dedup", "windowed_event_counts", "streaming_token_blocks"]
+__all__ = [
+    "streaming_dedup",
+    "windowed_event_counts",
+    "streaming_token_blocks",
+    "incremental_new_docs",
+]
 
 
 def streaming_dedup(
@@ -79,3 +84,33 @@ def streaming_token_blocks(
         .agg(F.collect_set("id").alias("ids"))
         .select(F.col("w.start").alias("window_start"), "token", "ids")
     )
+
+
+def incremental_new_docs(
+    docs: DataFrame,
+    history_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental corpus ingestion: from a document stream, pass only
+    docs whose content fingerprint is NOT in the static history table —
+    the "don't re-ingest what the corpus already has" gate every
+    continuously-updated training corpus runs.
+
+    ``history_fingerprints``: a static (batch) DataFrame with column
+    ``fp_col`` — typically the md5 fingerprints of the existing corpus
+    read from its metadata parquet.  Streaming-static left-anti joins
+    are stateless (no watermark needed; the static side broadcasts or
+    hash-joins per micro-batch), so state does NOT grow with the
+    stream.  Within-stream duplicates pass through here — chain
+    ``streaming_dedup``-style ``dropDuplicates`` on the fingerprint
+    with a watermark when the stream itself repeats content.
+
+    Output: the input docs plus a ``fingerprint`` column, filtered to
+    unseen content.  Works identically on a batch frame (same plan,
+    bounded input) for oracle testing.
+    """
+    fp = docs.withColumn(fp_col, F.md5(F.col(text_col)))
+    hist = history_fingerprints.select(F.col(fp_col))
+    return fp.join(hist, fp_col, "left_anti")

@@ -177,3 +177,35 @@ def test_streaming_dedup_stream_mode(spark, events, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("select count(distinct event_id), count(*) from dedup_out").collect()[0]
     assert n[0] == n[1] == 500
+
+
+def test_incremental_new_docs_stream_vs_history(spark, tmp_path):
+    """Streaming-static anti-join ingestion gate: only docs whose
+    fingerprint is absent from the static history reach the sink;
+    stateless (no watermark), so state never grows with the stream."""
+    from klinker_spark.streaming.dedup import incremental_new_docs
+
+    docs = spark.createDataFrame(
+        [(1, "already ingested text"), (2, "brand new text"), (3, "also new here")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    history = spark.createDataFrame(
+        [("already ingested text",)], ["text"]
+    ).select(F.md5("text").alias("fingerprint"))
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = incremental_new_docs(stream, history)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("incr_ingest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.sql("select * from incr_ingest").collect()}
+    assert got == {2, 3}
+    # batch mode produces the identical result (unified model)
+    batch = {r["doc_id"] for r in incremental_new_docs(docs, history).collect()}
+    assert batch == {2, 3}
