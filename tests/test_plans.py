@@ -280,3 +280,18 @@ def test_curation_plan_shapes(spark, sf_dir):
     # int8 quantization is a pure per-row projection: no shuffle at all
     plan = plan_of(QUERIES["embedding_quantize"](spark, sf_dir))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_mixing_and_ingest_plan_shapes(spark, sf_dir):
+    import re
+
+    from klinker_spark.queries import QUERIES
+
+    # token-budget mixing: one source-hash shuffle + window, no joins
+    plan = plan_of(QUERIES["token_budget_mix"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+    # incremental ingestion: history anti-joins as a broadcast
+    plan = plan_of(QUERIES["incremental_ingest"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
