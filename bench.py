@@ -67,6 +67,9 @@ CURATION_QUERIES = [
     "vocab_coverage",
     "corpus_rollup",
     "embedding_quantize",
+    "duplicated_span_stats",
+    "token_budget_mix",
+    "incremental_ingest",
 ]
 
 
