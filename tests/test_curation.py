@@ -1,6 +1,10 @@
 """Curation-operator tests: repetition filters, connected components
-(vs a Python union-find model on random graphs), canonical dedup,
-stratified sampling invariants, contamination, PII scrubbing."""
+(propagation AND star contraction vs a Python union-find model on
+random graphs), canonical dedup, stratified sampling invariants,
+contamination, PII scrubbing, unigram-LM/DSIR scoring vs Python
+models, sequence packing, token-budget mixing, span duplication,
+int8 quantization, the streaming parity path, and the end-to-end
+curate_corpus pipeline."""
 
 from __future__ import annotations
 
