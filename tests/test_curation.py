@@ -588,3 +588,21 @@ def test_token_budget_mix_model(spark):
     # unknown sources are dropped entirely
     docs2 = spark.createDataFrame([(99, "a b c", "other")], ["doc_id", "text", "source"])
     assert token_budget_mix(docs2, budgets).count() == 0
+
+
+def test_canonical_dedup_is_idempotent(spark):
+    """Fixpoint invariant: every above-threshold pair puts both docs in
+    one component, so after keeping only canonical survivors a second
+    dedup pass finds ZERO pairs — the corpus is actually clean."""
+    from klinker_spark.ops.curation import canonical_dedup
+    from klinker_spark.ops.dedup import ngram_jaccard_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = ngram_jaccard_dedup(docs, shingle_k=3, threshold=0.4).select("doc_a", "doc_b")
+    assert pairs.count() > 0  # the fixture corpus has planted near-dups
+    canon = canonical_dedup(docs, pairs)
+    survivors = docs.join(
+        canon.where(F.col("is_duplicate") == 0).select("doc_id"), "doc_id", "left_semi"
+    )
+    again = ngram_jaccard_dedup(survivors, shingle_k=3, threshold=0.4)
+    assert again.count() == 0
