@@ -3105,7 +3105,10 @@ def token_budget_mix_q(spark, sf_dir):
     WITH hist AS (SELECT DISTINCT md5(text) fp FROM documents WHERE doc_id % 3 = 0)
     SELECT d.doc_id, md5(d.text) AS fingerprint
     FROM documents d
-    WHERE md5(d.text) NOT IN (SELECT fp FROM hist)
+    -- NOT EXISTS, not NOT IN: a NULL fingerprint (NULL text) must pass
+    -- the gate like Spark's left_anti (NULL never equals), while
+    -- NOT IN would three-value-logic it into oblivion
+    WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = md5(d.text))
     """,
 )
 def incremental_ingest_q(spark, sf_dir):
