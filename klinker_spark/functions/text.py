@@ -99,10 +99,18 @@ def word_shingles(tokens: Column, k: int = 3, sep: str = " ") -> Column:
     referenced, not copied, and Catalyst keeps the projection separate.
     """
     n = F.size(tokens)
-    return F.when(n <= k, F.array(F.array_join(tokens, sep))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(k)),
-            lambda i: F.array_join(F.slice(tokens, i + 1, k), sep),
+    # zero-token (or NULL) docs yield NO shingles: an '' whole-doc
+    # shingle would make every empty doc a "near-duplicate" of every
+    # other (and DuckDB's array_to_string([]) is NULL, so oracles
+    # can't even express that pairing consistently)
+    return (
+        F.when(tokens.isNull() | (n == 0), F.array().cast("array<string>"))
+        .when(n <= k, F.array(F.array_join(tokens, sep)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(k)),
+                lambda i: F.array_join(F.slice(tokens, i + 1, k), sep),
+            )
         )
     )
 

@@ -375,7 +375,9 @@ def contamination_check(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    ev = sh.where(~F.col("is_bench")).select(
+    # zero-shingle docs (empty/token-free text) have nothing to check —
+    # excluded like the oracle's group-by-of-no-rows (avoids 0/0 rows)
+    ev = sh.where(~F.col("is_bench") & (F.size("sh") > 0)).select(
         "doc_id", F.size("sh").alias("n_ngrams"), F.explode("sh").alias("shingle")
     )
     return (

@@ -54,7 +54,11 @@ def train_quality_scores(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         positive_filter.cast("double").alias("label"),
-        tokenize(text_col, 1, [], keep_duplicates=True).alias("toks"),
+        # NULL text → empty bag, not a NULL array HashingTF chokes on
+        F.coalesce(
+            tokenize(text_col, 1, [], keep_duplicates=True),
+            F.array().cast("array<string>"),
+        ).alias("toks"),
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=n_features)
     feat = tf.transform(base).persist()

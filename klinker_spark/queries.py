@@ -74,7 +74,8 @@ def _shingle_cte(extra: str = "", k: int = 3) -> str:
         + f""",
     sh AS (
       SELECT doc_id{extra},
-             CASE WHEN len(tk) <= {k} THEN [array_to_string(tk, ' ')]
+             CASE WHEN tk IS NULL OR len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(tk) <= {k} THEN [array_to_string(tk, ' ')]
                   ELSE list_transform(generate_series(1, len(tk) - {k - 1}),
                                       i -> array_to_string(tk[i:i+{k - 1}], ' '))
              END sg

@@ -40,6 +40,8 @@ def py_qgrams(s, q=3):
 
 
 def py_shingles(toks, k=3, sep=" "):
+    if not toks:
+        return []  # zero-token docs produce NO shingles (no '' pairing)
     if len(toks) <= k:
         return [sep.join(toks)]
     return [sep.join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
