@@ -70,6 +70,9 @@ CURATION_QUERIES = [
     "duplicated_span_stats",
     "token_budget_mix",
     "incremental_ingest",
+    "gopher_rules",
+    "line_dedup",
+    "semdedup",
 ]
 
 

@@ -46,7 +46,12 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; zero-norm inputs yield NaN (the numpy/matmul
+    convention) rather than the DIVIDE_BY_ZERO error ANSI mode raises
+    for double division — downstream rankers nanvl() it last and
+    aggregates can null it out, matching the BLAS paths exactly."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den == 0, F.lit(float("nan"))).otherwise(dot(a, b) / den)
 
 
 def positional_dot(a: Column, b: Column, dim: int) -> Column:

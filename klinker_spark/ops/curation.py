@@ -57,6 +57,9 @@ __all__ = [
     "corpus_rollup",
     "duplicated_span_stats",
     "token_budget_mix",
+    "line_dedup",
+    "gopher_rules",
+    "GOPHER_STOPWORDS",
 ]
 
 
@@ -785,4 +788,167 @@ def token_budget_mix(
         )
         .where(F.col("tokens_before") < F.col("budget"))
         .select("doc_id", "source", "n_tokens", "tokens_before")
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 10,
+    max_occurrences: int = 1,
+    line_split_re: str | None = None,
+) -> DataFrame:
+    """Cross-corpus duplicated-line removal (the C4 / RefinedWeb line
+    dedup step): any line whose exact text occurs more than
+    ``max_occurrences`` times corpus-wide (counting every occurrence,
+    within-doc repeats included) is removed from EVERY document;
+    surviving lines are rejoined in original order.  Catches the
+    boilerplate (navigation bars, cookie banners, licence footers)
+    that document-level dedup cannot see.
+
+    "Line" is ``line_split_re`` when given (e.g. ``"\\n"`` for real
+    multi-line text); otherwise consecutive windows of
+    ``tokens_per_line`` whitespace tokens — the fixed-width analogue
+    for single-line corpora (same granularity trick as
+    :func:`duplicated_span_stats`).
+
+    Output: ``(doc_id, n_lines, n_lines_kept, text_clean)`` — docs
+    whose every line is banned keep their row with ``text_clean = ''``;
+    NULL text propagates NULL ``n_lines`` and empty output.
+
+    Plan (100 TB): two corpus scans (line explode; a pure-expression
+    per-doc line count — no diamond, nothing corpus-scale persisted),
+    one aggregate on the line hash with map-side partials, and an
+    anti-join against the banned-line set — which is only the
+    heavy-hitter tail, so AQE broadcasts it at runtime; the reassembly
+    groupBy shuffles scalar (doc_id, line_no, line) rows once.
+    """
+    if line_split_re is not None:
+        lines_arr = F.filter(
+            F.split(F.col(text_col), line_split_re), lambda l: l != F.lit("")
+        )
+        n_lines = F.size(lines_arr)
+    else:
+        tk = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        n_chunks = F.ceil(F.size(tk) / F.lit(float(tokens_per_line))).cast("int")
+        # Spark's sequence(1, 0) auto-reverses to [1, 0] — empty docs
+        # must short-circuit to an empty array
+        lines_arr = F.when(
+            n_chunks >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.array_join(
+                    F.slice(tk, (i - F.lit(1)) * tokens_per_line + F.lit(1), tokens_per_line),
+                    " ",
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        n_lines = n_chunks
+
+    ids = F.col(id_col).alias("doc_id")
+    lines = docs.select(ids, F.posexplode(lines_arr).alias("line_no", "line"))
+    totals = docs.select(ids, n_lines.alias("n_lines"))
+
+    banned = lines.groupBy("line").count().where(F.col("count") > max_occurrences)
+    kept = lines.join(banned.select("line"), "line", "left_anti")
+    agg = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+#: Gopher's required stop set (Rae et al. 2021, table A1): a document
+#: must contain at least GOPHER_MIN_STOP_HITS distinct members.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality rule-set (Rae et al. 2021, table A1) as
+    per-rule flags plus the combined keep decision — the word-level
+    rules; the repetition rules live in :func:`repetition_stats` and
+    the line-granularity rules (bullet/ellipsis lines) in
+    :func:`line_dedup`'s line frame, since this corpus is single-line.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; symbol-to-word ratio
+    (``#`` / ``...`` / ``…`` occurrences per word) ≤ max_symbol_ratio;
+    ≥ min_alpha_word_ratio of words contain an alphabetic character;
+    ≥ min_stop_hits DISTINCT members of :data:`GOPHER_STOPWORDS`.
+
+    Output: ``(doc_id, n_words, mean_word_len, symbol_ratio,
+    alpha_word_ratio, stop_hits, pass_word_count, pass_mean_len,
+    pass_symbol, pass_alpha, pass_stopwords, keep)`` — ratios 6dp;
+    zero-word and NULL docs get NULL metrics and ``keep = 0``.
+
+    Plan: pure per-row expressions, zero shuffles and joins — a 100 TB
+    corpus filters at scan speed.  The token array is materialized in
+    its own select: higher-order-function lambdas evaluate interpreted
+    and inline their argument per use, so leaving ``tk`` symbolic
+    re-runs filter(split(...)) once per metric (NOTES lesson 1).
+    """
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit("")).alias("tk"),
+    )
+    tk = F.col("tk")
+    n = F.size(tk)
+    char_sum = F.aggregate(tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    mean_len = F.when(n > 0, char_sum / n)
+    symbol_ratio = F.when(n > 0, F.regexp_count(F.col("_text"), F.lit(r"#|\.\.\.|…")) / n)
+    alpha_ratio = F.when(
+        n > 0, F.size(F.filter(tk, lambda t: t.rlike("[a-zA-Z]"))) / n
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(tk), stop_arr))
+
+    base = tokd.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)
+    p_wc = flag(F.col("n_words").between(min_words, max_words))
+    p_ml = flag(F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len))
+    p_sy = flag(F.col("symbol_ratio") <= max_symbol_ratio)
+    p_al = flag(F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+    p_st = flag(F.col("stop_hits") >= min_stop_hits)
+    return base.select(
+        "*",
+        p_wc.alias("pass_word_count"),
+        p_ml.alias("pass_mean_len"),
+        p_sy.alias("pass_symbol"),
+        p_al.alias("pass_alpha"),
+        p_st.alias("pass_stopwords"),
+        (p_wc * p_ml * p_sy * p_al * p_st).alias("keep"),
     )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import minhash_signatures, simhash, tokenize, word_shingles
-from ..functions.vectors import topk_cosine_join
+from ..functions.vectors import cosine, topk_cosine_join
 
 __all__ = [
     "exact_dedup",
@@ -32,6 +32,7 @@ __all__ = [
     "ngram_jaccard_dedup",
     "cosine_signlsh_dedup",
     "embedding_cosine_dedup",
+    "semdedup",
 ]
 
 
@@ -369,4 +370,103 @@ def embedding_cosine_dedup(
             "sim",
         )
         .distinct()
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    quantizer: str = "hash_sample",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): coarse-cluster the
+    embedding space, then inside each cluster drop every item whose
+    cosine similarity to a LOWER-id cluster-mate reaches ``threshold``
+    — one deterministic survivor (the lowest id) per semantic
+    near-dup set, the paper's keep-one rule with id order standing in
+    for its random choice.
+
+    Output: ``(vec_id, cluster_id, max_sim_lower, keep)`` —
+    ``max_sim_lower`` is the max 6dp-rounded cosine to any lower-id
+    cluster-mate (NULL for each cluster's lowest id; zero-norm
+    vectors yield NULL, never NaN), ``keep`` is false iff
+    ``max_sim_lower >= threshold``.
+
+    ``quantizer="hash_sample"`` picks the ``n_centroids`` vectors
+    ranked first by ``md5(id)`` — deterministic across engines, so the
+    whole pipeline carries an exact SQL oracle; ``"kmeans"`` swaps in
+    MLlib centroids (better balance, rows-only checkable).
+
+    Scale (100 TB corpus of embeddings): assignment is the IVF probe
+    kernel with ``n_probe=1`` — centroids broadcast (literal array or
+    numpy broadcast above ``PROBE_LITERAL_MAX_CENTROIDS``), zero
+    shuffle.  The pairwise stage self-joins on ``cluster_id`` alone, so
+    cost is Σ|cluster|² instead of |corpus|² — the SemDeDup design
+    point: size clusters to ~corpus/n_centroids and the quadratic term
+    stays bounded per task; skewed clusters fall to AQE skew-join
+    splitting.  The aggregate carries scalar (id, sim) rows only.
+    """
+    from .similarity import _probe_centroids
+
+    ix = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector")
+    )
+    if quantizer == "hash_sample":
+        # bounded collect: n_centroids rows by construction
+        cent_rows = (
+            ix.withColumn("_h", F.md5(F.col("id").cast("string")))
+            .orderBy("_h", "id")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(cent_rows)]
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = ix.withColumn("features", array_to_vector("vector"))
+        model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
+        centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    else:
+        raise ValueError(f"quantizer must be kmeans|hash_sample, got {quantizer!r}")
+
+    if not centroids:  # empty corpus: nothing to assign or compare
+        return ix.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("double").alias("max_sim_lower"),
+            F.lit(True).alias("keep"),
+        )
+
+    assigned = _probe_centroids(
+        ix.select(F.col("id").alias("query_id"), F.col("vector").alias("qv")), centroids, 1
+    ).select(F.col("centroid_id").alias("cluster_id"), F.col("query_id").alias("id"), "qv")
+
+    a = assigned.alias("a")
+    b = assigned.select("cluster_id", F.col("id").alias("bid"), F.col("qv").alias("bv")).alias("b")
+    raw_sim = cosine(F.col("a.qv"), F.col("b.bv"))
+    pair_sim = (
+        a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id")) & (F.col("b.bid") < F.col("a.id")))
+        # NaN (zero-norm) -> NULL so max() ignores it, matching SQL
+        .select(
+            F.col("a.id").alias("id"),
+            F.when(F.isnan(raw_sim), F.lit(None)).otherwise(F.round(raw_sim, 6)).alias("sim"),
+        )
+        .groupBy("id")
+        .agg(F.max("sim").alias("max_sim_lower"))
+    )
+    return (
+        assigned.join(pair_sim, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "max_sim_lower",
+            (F.col("max_sim_lower").isNull() | (F.col("max_sim_lower") < threshold)).alias(
+                "keep"
+            ),
+        )
     )

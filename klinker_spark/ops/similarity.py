@@ -639,6 +639,13 @@ def ann_topk_ivf(
             .collect()
         )
         centroids = [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(cent_rows)]
+        if not centroids:  # empty index: no lists, no neighbors
+            return q.select(
+                F.col("id").alias("query_id"),
+                F.col("id").alias("neighbor_id"),
+                F.lit(0.0).alias("sim"),
+                F.lit(1).alias("rank"),
+            ).where(F.lit(False))
         # assignment = probe with n_probe=1: nearest centroid by
         # cosine, ties cid ASC — pure Catalyst, oracle-reproducible
         inv_lists = _probe_centroids(

@@ -606,3 +606,181 @@ def test_canonical_dedup_is_idempotent(spark):
     )
     again = ngram_jaccard_dedup(survivors, shingle_k=3, threshold=0.4)
     assert again.count() == 0
+
+
+# ------------------------------------------------------------------ line dedup
+def test_line_dedup_removes_corpus_wide_dup_lines(spark):
+    from klinker_spark.ops.curation import line_dedup
+
+    boiler = "x1 x2 x3"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{boiler} u1 u2 u3"),   # lines: boiler | u1 u2 u3
+            (2, f"{boiler} v1 v2 v3"),   # lines: boiler | v1 v2 v3
+            (3, "w1 w2 w3"),             # unique single line
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, tokens_per_line=3).collect()
+    }
+    assert out[1]["text_clean"] == "u1 u2 u3" and out[1]["n_lines_kept"] == 1
+    assert out[2]["text_clean"] == "v1 v2 v3"
+    assert out[3]["text_clean"] == "w1 w2 w3" and out[3]["n_lines_kept"] == 1
+    assert all(out[d]["n_lines"] == (2 if d < 3 else 1) for d in (1, 2, 3))
+
+
+def test_line_dedup_order_and_within_doc_repeats(spark):
+    from klinker_spark.ops.curation import line_dedup
+
+    # the repeated line occurs twice WITHIN one doc -> still banned
+    docs = _docs(spark, [(1, "r1 r2 a1 a2 r1 r2 b1 b2")])
+    out = line_dedup(docs, tokens_per_line=2).collect()[0]
+    assert out["text_clean"] == "a1 a2 b1 b2"  # order of survivors preserved
+    assert out["n_lines"] == 4 and out["n_lines_kept"] == 2
+    # raising the allowance keeps them
+    out2 = line_dedup(docs, tokens_per_line=2, max_occurrences=2).collect()[0]
+    assert out2["n_lines_kept"] == 4
+
+
+def test_line_dedup_empty_and_all_banned_docs_keep_rows(spark):
+    from klinker_spark.ops.curation import line_dedup
+
+    docs = _docs(spark, [(1, "d d d"), (2, "d d d"), (3, "")])
+    out = {r["doc_id"]: r for r in line_dedup(docs, tokens_per_line=3).collect()}
+    assert out[1]["text_clean"] == "" and out[1]["n_lines_kept"] == 0
+    assert out[2]["text_clean"] == ""
+    assert out[3]["n_lines"] == 0 and out[3]["text_clean"] == ""
+
+
+def test_line_dedup_split_re_mode(spark):
+    from klinker_spark.ops.curation import line_dedup
+
+    docs = _docs(spark, [(1, "dup line\nunique one"), (2, "dup line\nother text")])
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, line_split_re="\n").collect()
+    }
+    assert out[1]["text_clean"] == "unique one"
+    assert out[2]["text_clean"] == "other text"
+    assert out[1]["n_lines"] == 2 and out[1]["n_lines_kept"] == 1
+
+
+# ------------------------------------------------------------------ gopher rules
+def test_gopher_rules_each_rule_and_keep(spark):
+    from klinker_spark.ops.curation import gopher_rules
+
+    good = "the " + " ".join(f"tok{i:02d}" for i in range(60))
+    docs = _docs(
+        spark,
+        [
+            (1, good),                               # passes everything
+            (2, "the short doc"),                    # fails word count
+            (3, "the " + " ".join(["x"] * 70)),      # mean word len < 3
+            (4, good + " ###### ###### ######"),     # symbol ratio > 0.1 is hard
+            (5, "the " + " ".join(["1234"] * 70)),   # alpha ratio fails
+            (6, " ".join(f"tok{i:02d}" for i in range(60))),  # no stop word
+            (7, None),                               # NULL text
+            (8, ""),                                 # empty text
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(docs, min_stop_hits=1).collect()
+    }
+    assert out[1]["keep"] == 1 and all(
+        out[1][f] == 1
+        for f in ("pass_word_count", "pass_mean_len", "pass_symbol", "pass_alpha", "pass_stopwords")
+    )
+    assert out[2]["pass_word_count"] == 0 and out[2]["keep"] == 0
+    assert out[3]["pass_mean_len"] == 0 and out[3]["keep"] == 0
+    assert out[5]["pass_alpha"] == 0 and out[5]["keep"] == 0
+    assert out[6]["pass_stopwords"] == 0 and out[6]["keep"] == 0
+    assert out[7]["keep"] == 0 and out[7]["n_words"] is None
+    assert out[8]["keep"] == 0 and out[8]["n_words"] == 0
+
+
+def test_gopher_symbol_rule(spark):
+    from klinker_spark.ops.curation import gopher_rules
+
+    # 10 words, 2 symbol occurrences (one '...' + one '#') -> ratio 0.2
+    docs = _docs(spark, [(1, "the a b c d e f g h... i#j")])
+    out = gopher_rules(docs, min_words=1, min_stop_hits=1).collect()[0]
+    assert out["symbol_ratio"] == 0.2
+    assert out["pass_symbol"] == 0 and out["keep"] == 0
+
+
+def test_gopher_rules_distinct_stop_hits(spark):
+    from klinker_spark.ops.curation import gopher_rules
+
+    # 'the' used 5x is ONE distinct hit; 'the'+'of' is two
+    docs = _docs(spark, [(1, "the the the the the x"), (2, "the of x y")])
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["stop_hits"] == 1 and out[1]["pass_stopwords"] == 0
+    assert out[2]["stop_hits"] == 2 and out[2]["pass_stopwords"] == 1
+
+
+# ------------------------------------------------------------------ semdedup
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semdedup_keeps_lowest_id_per_near_dup_set(spark):
+    from klinker_spark.ops.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),   # near-dup of 1
+        (3, [0.0, 1.0]),      # orthogonal: kept
+        (4, [0.01, 0.999]),   # near-dup of 3
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(_emb(spark, rows), n_centroids=1, threshold=0.95).collect()
+    }
+    assert out[1]["keep"] and out[1]["max_sim_lower"] is None
+    assert not out[2]["keep"] and out[2]["max_sim_lower"] >= 0.95
+    assert out[3]["keep"]   # best lower-id sim is ~0 < threshold
+    assert not out[4]["keep"]
+
+
+def test_semdedup_threshold_extremes(spark):
+    from klinker_spark.ops.dedup import semdedup
+
+    rows = [(i, [float(i + 1), float(2 * i + 1)]) for i in range(6)]
+    emb = _emb(spark, rows)
+    # threshold > 1: nothing can be dropped
+    assert all(r["keep"] for r in semdedup(emb, n_centroids=2, threshold=1.01).collect())
+    # threshold -1: only each cluster's lowest id survives
+    out = semdedup(emb, n_centroids=2, threshold=-1.0).collect()
+    kept = [r for r in out if r["keep"]]
+    clusters = {r["cluster_id"] for r in out}
+    assert len(kept) == len(clusters)
+    for k in kept:
+        assert k["vec_id"] == min(
+            r["vec_id"] for r in out if r["cluster_id"] == k["cluster_id"]
+        )
+
+
+def test_semdedup_zero_norm_vector_is_null_not_nan(spark):
+    from klinker_spark.ops.dedup import semdedup
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])]
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(_emb(spark, rows), n_centroids=1, threshold=0.9).collect()
+    }
+    # the zero vector's sims are NULL -> it is kept, not NaN-ranked
+    assert out[2]["keep"] and out[2]["max_sim_lower"] is None
+    # and it never pollutes a real vector's max
+    assert not out[3]["keep"] and abs(out[3]["max_sim_lower"] - 1.0) < 1e-6
+
+
+def test_semdedup_empty_corpus(spark):
+    from klinker_spark.ops.dedup import semdedup
+
+    emb = _emb(spark, [(1, [1.0, 0.0])]).where(F.lit(False))
+    out = semdedup(emb, threshold=0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["vec_id", "cluster_id", "max_sim_lower", "keep"]

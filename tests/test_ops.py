@@ -678,3 +678,16 @@ def test_hypertable_rollup_negative_timestamps(spark):
         for r in hypertable_rollup(ev, "ts_ms", ["user_id"], "value", [10]).collect()
     }
     assert out == {-10: (1, 1.0), -20: (1, 2.0), 0: (1, 3.0)}
+
+
+def test_ivf_hash_sample_empty_index(spark):
+    """An empty index yields an empty typed result — the hash-sample
+    quantizer must not build an untyped empty centroid literal."""
+    from klinker_spark.ops.similarity import ann_topk_ivf
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    out = ann_topk_ivf(emb, emb.where(F.lit(False)), k=2, quantizer="hash_sample")
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["query_id", "neighbor_id", "sim", "rank"]

@@ -295,3 +295,29 @@ def test_mixing_and_ingest_plan_shapes(spark, sf_dir):
     # incremental ingestion: history anti-joins as a broadcast
     plan = plan_of(QUERIES["incremental_ingest"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_gopher_rules_is_scan_speed(spark, sf_dir):
+    """Gopher word-level rules are pure per-row expressions: zero
+    exchanges, no joins, no Python — a 100 TB corpus filters at scan
+    speed inside whole-stage codegen."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["gopher_rules"](spark, sf_dir))
+    for bad in ("Exchange", "Join", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan, f"unexpected {bad} in gopher_rules plan"
+    # the token array must stay materialized in its own projection —
+    # CollapseProject re-inlining it would re-split the text per metric
+    assert plan.count("filter(split(") <= 2, "tk inlined per metric"
+
+
+def test_line_dedup_and_semdedup_no_cartesian(spark, sf_dir):
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["line_dedup"](spark, sf_dir))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+        assert bad not in plan, f"unexpected {bad} in line_dedup plan"
+    # semdedup's pairwise stage must stay an equi-join on cluster_id
+    plan = plan_of(QUERIES["semdedup"](spark, sf_dir))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+        assert bad not in plan, f"unexpected {bad} in semdedup plan"
