@@ -73,6 +73,7 @@ CURATION_QUERIES = [
     "gopher_rules",
     "line_dedup",
     "semdedup",
+    "bloom_ingest_gate",
 ]
 
 

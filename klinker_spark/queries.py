@@ -3129,6 +3129,50 @@ def incremental_ingest_q(spark, sf_dir):
 
 
 @register(
+    "bloom_ingest_gate",
+    """
+    WITH hashes AS (SELECT unnest([0,1,2,3]) AS i),
+    hist AS (SELECT md5(text) fp FROM documents
+             WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+    hpos AS (
+      SELECT (('0x' || substr(md5(i::VARCHAR || ':' || fp), 1, 15))::BIGINT
+              % 16384) p
+      FROM hist CROSS JOIN hashes),
+    words AS (
+      SELECT (p // 32)::INT w, bit_or(1::BIGINT << (p % 32)::INT) word
+      FROM hpos GROUP BY 1),
+    inc AS (SELECT doc_id, md5(text) fp FROM documents),
+    ipos AS (
+      SELECT doc_id, fp,
+             (('0x' || substr(md5(i::VARCHAR || ':' || fp), 1, 15))::BIGINT
+              % 16384) p
+      FROM inc CROSS JOIN hashes),
+    chk AS (
+      SELECT i.doc_id,
+             bool_and(coalesce(((w.word >> (i.p % 32)::INT) & 1) = 1, false)) mm
+      FROM ipos i LEFT JOIN words w ON (i.p // 32)::INT = w.w
+      GROUP BY i.doc_id)
+    SELECT inc.doc_id, inc.fp AS fingerprint,
+           coalesce(chk.mm, false) AS maybe_dup
+    FROM inc LEFT JOIN chk ON inc.doc_id = chk.doc_id
+    """,
+)
+def bloom_ingest_gate_q(spark, sf_dir):
+    """Bloom ingestion gate (md5 twin): fold the deterministic history
+    slice (doc_id % 3 = 0, same as incremental_ingest) into a 16384-bit
+    filter, probe every doc map-side.  maybe_dup=false rows are
+    definitely new — the exact anti-join only ever sees the Bloom-hit
+    sliver."""
+    from .ops.bloom import bloom_build, bloom_ingest_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 3 == 0).select(F.md5("text").alias("fp"))
+    bloom = bloom_build(hist, "fp", m_bits=1 << 14, hash_fn="md5")
+    inc = docs.select("doc_id", F.md5("text").alias("fingerprint"))
+    return bloom_ingest_gate(inc, bloom, m_bits=1 << 14, hash_fn="md5")
+
+
+@register(
     "gopher_rules",
     """
     WITH t AS (
