@@ -784,3 +784,21 @@ def test_semdedup_empty_corpus(spark):
     out = semdedup(emb, threshold=0.5)
     assert out.count() == 0
     assert [f.name for f in out.schema] == ["vec_id", "cluster_id", "max_sim_lower", "keep"]
+
+
+def test_semdedup_impl_parity(spark):
+    """matmul (BLAS tiles) and expr (Catalyst join) agree bit-for-bit
+    at the 6dp output rounding, including NULL patterns."""
+    import random
+
+    from klinker_spark.ops.dedup import semdedup
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((60, [0.0] * 8))          # zero-norm
+    rows.append((61, list(rows[5][1])))   # exact duplicate of id 5
+    emb = _emb(spark, rows)
+    key = lambda impl: sorted(
+        map(tuple, semdedup(emb, n_centroids=4, threshold=0.9, impl=impl).collect())
+    )
+    assert key("matmul") == key("expr")
