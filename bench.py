@@ -74,6 +74,7 @@ CURATION_QUERIES = [
     "line_dedup",
     "semdedup",
     "bloom_ingest_gate",
+    "neardup_ingest_gate",
 ]
 
 

@@ -24,6 +24,7 @@ __all__ = [
     "qgrams",
     "word_shingles",
     "minhash_signatures",
+    "minhash_signature_expr",
     "simhash",
 ]
 
@@ -180,6 +181,65 @@ def minhash_signatures(
         .select(
             id_col, F.array(*[F.col(f"_h{i}") for i in range(num_perm)]).alias(sig_col)
         )
+    )
+
+
+def minhash_signature_expr(
+    items_col: Column,
+    num_perm: int = 64,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Per-row MinHash signature as a PURE EXPRESSION — an
+    ``array`` of the ``num_perm`` per-permutation minima, identical in
+    value to :func:`minhash_signatures`' aggregate form over the same
+    item set (items are within-row deduplicated the same way).
+
+    Why it exists: the aggregate form is a ``groupBy(id)``, which on a
+    stream is unbounded-state aggregation; this form keeps the whole
+    signature (and everything built on it — band keys, Bloom probes) a
+    stateless projection, so a near-dup gate can run on an unbounded
+    stream with no watermark and no state.  Zero-item rows yield NULL
+    minima (the aggregate form emits no row at all — callers gate on
+    item count).
+
+    Cost note: xxhash64 mode hashes each item string once per call by
+    materializing the hashed-items array INSIDE the expression scope
+    (a lambda-bound let via ``transform`` over a single-element
+    wrapper), then runs the cheap hash-of-hash per permutation — the
+    same two-tier scheme as the aggregate form.  Callers should still
+    materialize ``items_col`` in its own select first (NOTES lesson 1:
+    project-collapsing re-inlines nested lambdas).
+    """
+    items = F.array_distinct(items_col)
+    if hash_fn == "md5":
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        items, lambda it: F.md5(F.concat_ws(":", F.lit(str(i)), it))
+                    )
+                )
+                for i in range(num_perm)
+            ]
+        )
+    if hash_fn != "xxhash64":
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    # single-element wrapper = poor man's let-binding: the hashed-items
+    # array is computed once, every permutation reads the bound lambda
+    # variable instead of re-hashing the strings
+    hashed = F.transform(items, lambda it: F.xxhash64(it))
+    return F.element_at(
+        F.transform(
+            F.array(hashed),
+            lambda hs: F.array(
+                *[
+                    F.array_min(F.transform(hs, lambda h: F.xxhash64(h, F.lit(seed + i))))
+                    for i in range(num_perm)
+                ]
+            ),
+        ),
+        1,
     )
 
 

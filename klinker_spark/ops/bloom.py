@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_build", "bloom_contains", "bloom_ingest_gate"]
+__all__ = ["bloom_build", "bloom_contains", "bloom_ingest_gate", "bloom_member_expr"]
 
 #: bits per packed word — 32 keeps every shift in the portable range
 WORD_BITS = 32
@@ -96,6 +96,49 @@ def bloom_build(
     )
 
 
+def bloom_dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
+    """Collect a :func:`bloom_build` result into a dense word list
+    (bounded: ≤ ``m_bits/32`` rows by construction)."""
+    n_words = (m_bits + WORD_BITS - 1) // WORD_BITS
+    dense = [0] * n_words
+    for r in bloom.collect():
+        dense[r["word_idx"]] = r["word"]
+    return dense
+
+
+def bloom_member_expr(
+    key: Column,
+    dense: "list[int] | Column",
+    m_bits: int,
+    n_hashes: int = 4,
+    hash_fn: str = "xxhash64",
+) -> Column:
+    """Pure-expression Bloom membership test of ``key`` against a dense
+    word list (from :func:`bloom_dense_words`) — composable into any
+    projection, including several probes per row (e.g. one per LSH
+    band) and stateless streaming plans.  NULL keys are not members.
+
+    ``dense`` may be a Column (an already-bound array) — callers
+    probing MANY keys per row against the same filter MUST bind the
+    word list once (``F.lit(dense).alias(...)`` in a select) and pass
+    the column: a big literal embedded per probe multiplies the plan
+    and task-binary size (measured 6.4 MB binaries and minutes of
+    analysis at 32 probes x 32k words).
+    """
+    if isinstance(dense, Column):
+        words_arr = dense
+    else:
+        # ONE Literal node holding the whole array — F.array(*lits)
+        # would be a CreateArray with len(dense) children
+        words_arr = F.lit([int(w) for w in dense]).cast("array<bigint>")
+    checks = None
+    for p in _positions(key, n_hashes, m_bits, hash_fn):
+        word = F.element_at(words_arr, (p / WORD_BITS).cast("int") + 1)
+        c = F.getbit(word, (p % WORD_BITS).cast("int")) == 1
+        checks = c if checks is None else (checks & c)
+    return F.coalesce(checks, F.lit(False))
+
+
 def bloom_contains(
     df: DataFrame,
     key_col: str,
@@ -117,25 +160,12 @@ def bloom_contains(
     ``mapInPandas`` — same semantics, no giant expression tree.
     """
     n_words = (m_bits + WORD_BITS - 1) // WORD_BITS
-    dense = [0] * n_words
-    for r in bloom.collect():  # bounded by construction
-        dense[r["word_idx"]] = r["word"]
+    dense = bloom_dense_words(bloom, m_bits)
 
     if n_words <= BLOOM_LITERAL_MAX_WORDS:
-        words_arr = F.array(*[F.lit(w).cast("long") for w in dense])
-        pos_cols = [
-            p.alias(f"_bp{i}")
-            for i, p in enumerate(_positions(F.col(key_col), n_hashes, m_bits, hash_fn))
-        ]
-        with_pos = df.select("*", *pos_cols, words_arr.alias("_bw"))
-        checks = " AND ".join(
-            f"(shiftright(element_at(_bw, CAST(_bp{i} / {WORD_BITS} AS INT) + 1),"
-            f" CAST(_bp{i} % {WORD_BITS} AS INT)) & 1) = 1"
-            for i in range(n_hashes)
+        return df.withColumn(
+            out_col, bloom_member_expr(F.col(key_col), dense, m_bits, n_hashes, hash_fn)
         )
-        return with_pos.withColumn(
-            out_col, F.expr(f"coalesce({checks}, false)")
-        ).drop("_bw", *[f"_bp{i}" for i in range(n_hashes)])
 
     # big-bitmap path: broadcast numpy words, probe in Arrow batches
     if hash_fn != "xxhash64":

@@ -3129,6 +3129,63 @@ def incremental_ingest_q(spark, sf_dir):
 
 
 @register(
+    "neardup_ingest_gate",
+    "WITH "
+    + _shingle_cte()
+    + """,
+    hashes AS (SELECT unnest([0,1,2,3]) i),
+    sig AS (
+      SELECT doc_id, p, min(md5(p::VARCHAR || ':' || shingle)) mh
+      FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 15)) p)
+      GROUP BY doc_id, p),
+    bkeys AS (
+      SELECT doc_id,
+             (p // 4)::VARCHAR || '_' || md5(string_agg(mh, ',' ORDER BY p)) band_key
+      FROM sig GROUP BY doc_id, p // 4),
+    hpos AS (
+      SELECT (('0x' || substr(md5(i::VARCHAR || ':' || band_key), 1, 15))::BIGINT
+              % 16384) p
+      FROM (SELECT band_key FROM bkeys WHERE doc_id % 3 = 0) CROSS JOIN hashes),
+    words AS (
+      SELECT (p // 32)::INT w, bit_or(1::BIGINT << (p % 32)::INT) word
+      FROM hpos GROUP BY 1),
+    probe AS (
+      SELECT k.doc_id, k.band_key,
+             (('0x' || substr(md5(i::VARCHAR || ':' || k.band_key), 1, 15))::BIGINT
+              % 16384) p
+      FROM bkeys k CROSS JOIN hashes),
+    bandhit AS (
+      SELECT doc_id, band_key,
+             bool_and(coalesce(((w.word >> (p % 32)::INT) & 1) = 1, false)) hit
+      FROM probe LEFT JOIN words w ON (p // 32)::INT = w.w
+      GROUP BY doc_id, band_key),
+    dochit AS (SELECT doc_id, bool_or(hit) mh FROM bandhit GROUP BY doc_id)
+    SELECT t.doc_id,
+           CASE WHEN tk IS NULL OR len(tk) = 0 THEN 0
+                WHEN len(tk) <= 3 THEN 1 ELSE len(tk) - 2 END AS n_shingles,
+           coalesce(d.mh, false) AS maybe_neardup
+    FROM toks t LEFT JOIN dochit d USING (doc_id)
+    """,
+)
+def neardup_ingest_gate_q(spark, sf_dir):
+    """Stateless streaming near-dup gate, md5 twin: MinHash signatures
+    in EXPRESSION form (no groupBy -> no stream state), LSH band keys,
+    history bands folded into a Bloom bitmap delivered as a one-row
+    broadcast — the whole signature->band->bloom pipeline verified
+    end-to-end in SQL."""
+    from .streaming.dedup import incremental_neardup_docs, neardup_band_keys
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = neardup_band_keys(
+        docs.where(F.col("doc_id") % 3 == 0), num_perm=16, bands=4, hash_fn="md5"
+    )
+    out = incremental_neardup_docs(
+        docs, hist, num_perm=16, bands=4, hash_fn="md5", m_bits=1 << 14
+    )
+    return out.select("doc_id", "n_shingles", "maybe_neardup")
+
+
+@register(
     "bloom_ingest_gate",
     """
     WITH hashes AS (SELECT unnest([0,1,2,3]) AS i),

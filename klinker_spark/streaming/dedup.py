@@ -19,6 +19,8 @@ __all__ = [
     "windowed_event_counts",
     "streaming_token_blocks",
     "incremental_new_docs",
+    "neardup_band_keys",
+    "incremental_neardup_docs",
 ]
 
 
@@ -114,3 +116,148 @@ def incremental_new_docs(
     fp = docs.withColumn(fp_col, F.md5(F.col(text_col)))
     hist = history_fingerprints.select(F.col(fp_col))
     return fp.join(hist, fp_col, "left_anti")
+
+
+def _band_key_exprs(sig_col, num_perm: int, bands: int, hash_fn: str):
+    """Band-key expressions over a signature array column — same
+    construction as ``ops/dedup.py::minhash_lsh_dedup`` (``b_`` prefix +
+    hash of the comma-joined band slice) so history indexes and gates
+    built by either path are interchangeable."""
+    from pyspark.sql import functions as F
+
+    rows = num_perm // bands
+    band_hash = F.md5 if hash_fn == "md5" else F.xxhash64
+    return [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            band_hash(F.concat_ws(",", F.slice(sig_col, b * rows + 1, rows))),
+        )
+        for b in range(bands)
+    ]
+
+
+def neardup_band_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash LSH band keys per document: ``(doc_id, band_key)`` —
+    the corpus-history index an incremental near-dup gate probes
+    against (store it with the corpus metadata; fold into a Bloom
+    bitmap for the stateless gate).  Zero-shingle docs emit no keys.
+
+    Stateless per-row expressions end-to-end (the signature is
+    :func:`~klinker_spark.functions.text.minhash_signature_expr`, not
+    a groupBy) — runs identically on a stream.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import minhash_signature_expr, tokenize, word_shingles
+
+    # each stage materialized in its own select: project-collapsing
+    # would otherwise re-inline the tokenizer into every lambda
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
+    ).select("doc_id", word_shingles(F.col("tk"), shingle_k).alias("sh"))
+    sig = sh.where(F.size("sh") > 0).select(
+        "doc_id",
+        minhash_signature_expr(F.col("sh"), num_perm, seed, hash_fn).alias("sig"),
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*_band_key_exprs(F.col("sig"), num_perm, bands, hash_fn))).alias(
+            "band_key"
+        ),
+    )
+
+
+def incremental_neardup_docs(
+    docs: DataFrame,
+    history_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    m_bits: int = 1 << 20,
+    n_bloom_hashes: int = 4,
+) -> DataFrame:
+    """NEAR-dup-aware ingestion gate, stateless on an unbounded stream.
+
+    :func:`incremental_new_docs` gates exact content; this gates
+    near-duplicates: a doc is flagged when ANY of its MinHash LSH bands
+    collides with the corpus history.  ``history_bands`` is the
+    ``(band_key)`` frame from :func:`neardup_band_keys` over the
+    existing corpus — folded ONCE here into a Bloom bitmap
+    (``ops/bloom.py``), after which the per-batch plan is pure per-row
+    expressions: shingle → signature (expression form, no groupBy) →
+    band keys → ``bands`` Bloom probes OR-ed.  No join, no aggregation,
+    no watermark; state is ``m_bits`` regardless of history size — vs
+    the exact gate's per-batch anti-join against the full fingerprint
+    table.  Bloom false positives flag a genuinely-new doc maybe-dup
+    (route that sliver to the exact pair check); band semantics are the
+    usual LSH trade (collision ⇒ likely-similar, tuned by
+    num_perm/bands).
+
+    Output: docs + ``(n_shingles, maybe_neardup)``; zero-shingle docs
+    are never flagged.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import minhash_signature_expr, tokenize, word_shingles
+    from ..ops.bloom import bloom_build, bloom_dense_words, bloom_member_expr
+
+    bloom = bloom_build(
+        history_bands, "band_key", m_bits=m_bits, n_hashes=n_bloom_hashes, hash_fn=hash_fn
+    )
+    dense = bloom_dense_words(bloom, m_bits)
+
+    sh = docs.select(
+        "*", tokenize(text_col, 1, []).alias("_tk")
+    ).select("*", word_shingles(F.col("_tk"), shingle_k).alias("_sh")).drop("_tk")
+    sig = sh.select(
+        "*",
+        F.when(
+            F.size("_sh") > 0,
+            minhash_signature_expr(F.col("_sh"), num_perm, seed, hash_fn),
+        ).alias("_sig"),
+    )
+    # band keys in their own select so each is computed once, not once
+    # per Bloom position hash.  The word array arrives as DATA — a
+    # one-row broadcast cross join — NOT a literal: CollapseProject
+    # inlines literal aliases (literals are "cheap"), so a bound
+    # literal array still gets copied into every probe expression
+    # (measured: bands x positions copies = 6.4 MB task binaries and
+    # minutes of plan analysis at 32k words); a relation column can't
+    # be inlined, and stream-static broadcast joins are stateless
+    from ..session import local_df
+
+    words_row = local_df(
+        docs.sparkSession, [([int(w) for w in dense],)], "_bw array<bigint>"
+    )
+    keyed = sig.join(F.broadcast(words_row)).select(
+        "*",
+        *[
+            bk.alias(f"_bk{b}")
+            for b, bk in enumerate(_band_key_exprs(F.col("_sig"), num_perm, bands, hash_fn))
+        ],
+    )
+    hit = None
+    for b in range(bands):
+        c = bloom_member_expr(
+            F.col(f"_bk{b}"), F.col("_bw"), m_bits, n_bloom_hashes, hash_fn
+        )
+        hit = c if hit is None else (hit | c)
+    return keyed.select(
+        "*",
+        F.size("_sh").alias("n_shingles"),
+        (F.col("_sig").isNotNull() & hit).alias("maybe_neardup"),
+    ).drop("_sh", "_sig", "_bw", *[f"_bk{b}" for b in range(bands)])

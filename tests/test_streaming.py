@@ -209,3 +209,96 @@ def test_incremental_new_docs_stream_vs_history(spark, tmp_path):
     # batch mode produces the identical result (unified model)
     batch = {r["doc_id"] for r in incremental_new_docs(docs, history).collect()}
     assert batch == {2, 3}
+
+
+# ------------------------------------------------------------------ near-dup gate
+def _gate_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_signature_expr_matches_aggregate_form(spark):
+    """The stateless expression signature is value-identical to the
+    groupBy aggregate form, both hash modes."""
+    from pyspark.sql import functions as F
+
+    from klinker_spark.functions.text import (
+        minhash_signature_expr,
+        minhash_signatures,
+        tokenize,
+        word_shingles,
+    )
+
+    docs = _gate_docs(
+        spark,
+        [(i, f"alpha beta w{i} gamma delta epsilon zeta w{i*7%5}") for i in range(30)],
+    )
+    base = docs.select("doc_id", tokenize("text", 1, []).alias("tk")).select(
+        "doc_id", word_shingles(F.col("tk"), 3).alias("sh")
+    )
+    for hf in ("xxhash64", "md5"):
+        agg = {
+            r["doc_id"]: list(r["signature"])
+            for r in minhash_signatures(
+                base, F.col("sh"), id_col="doc_id", num_perm=8, hash_fn=hf
+            ).collect()
+        }
+        expr = {
+            r["doc_id"]: list(r["sig"])
+            for r in base.select(
+                "doc_id",
+                minhash_signature_expr(F.col("sh"), num_perm=8, hash_fn=hf).alias("sig"),
+            ).collect()
+        }
+        assert agg == expr, hf
+
+
+def test_neardup_gate_flags_exact_and_near_dups(spark):
+    from klinker_spark.streaming.dedup import incremental_neardup_docs, neardup_band_keys
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    hist_rows = [(i, f"{base} version {i} with trailing words here") for i in range(20)]
+    hist_docs = _gate_docs(spark, hist_rows)
+    inc = _gate_docs(
+        spark,
+        [
+            (100, hist_rows[3][1]),                       # exact dup of history
+            (101, hist_rows[5][1] + " tiny edit"),        # near-dup
+            (102, "completely different content about spark shuffles and parquet files"),
+            (103, ""),                                     # zero shingles
+        ],
+    )
+    hist = neardup_band_keys(hist_docs)
+    out = {r["doc_id"]: r for r in incremental_neardup_docs(inc, hist).collect()}
+    assert out[100]["maybe_neardup"]
+    assert out[101]["maybe_neardup"]
+    assert not out[102]["maybe_neardup"]
+    assert not out[103]["maybe_neardup"] and out[103]["n_shingles"] == 0
+
+
+def test_neardup_gate_streaming_parity(spark, tmp_path):
+    """The gate plan is stateless (expression signature + broadcast
+    bitmap join): identical results on a file stream, no watermark."""
+    from klinker_spark.streaming.dedup import incremental_neardup_docs, neardup_band_keys
+
+    hist_docs = _gate_docs(
+        spark, [(i, f"shared boilerplate header number {i % 3} for docs") for i in range(9)]
+    )
+    inc = _gate_docs(
+        spark,
+        [(20, "shared boilerplate header number 1 for docs"), (21, "fresh unique words entirely")],
+    )
+    hist = neardup_band_keys(hist_docs)
+    src = str(tmp_path / "inc")
+    inc.write.parquet(src)
+    stream = spark.readStream.schema(inc.schema).parquet(src)
+    q = (
+        incremental_neardup_docs(stream, hist)
+        .writeStream.format("memory")
+        .queryName("neardup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(map(tuple, spark.sql("select * from neardup_stream").collect()))
+    want = sorted(map(tuple, incremental_neardup_docs(inc, hist).collect()))
+    assert got == want
