@@ -28,7 +28,7 @@ TABLES = [
     "embeddings",
 ]
 
-__all__ = ["TABLES", "load_table", "load_tables", "load_events"]
+__all__ = ["TABLES", "load_table", "load_tables", "load_events", "load_text_corpus"]
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,3 +53,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def load_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = False
+) -> DataFrame:
+    """Raw-text corpus source for the curation pipeline:
+    ``(doc_id string, source string, text string)``.
+
+    - ``whole_files=True``: one document per FILE (``wholetext``) —
+      the typical raw-crawl layout; ``doc_id`` = the file path
+      (globally unique, stable across runs and partitionings).
+    - default: one document per LINE; ``doc_id`` =
+      ``xxhash64(file, line)`` as a hex string — deterministic and
+      partitioning-independent, with the documented caveat that
+      byte-identical repeated lines within one file collapse to one id
+      (they are exact duplicates; every dedup stage would drop them
+      anyway).
+
+    Line corpora with per-doc metadata should use JSONL via
+    ``spark.read.json`` instead — this loader is for bare ``.txt``.
+    Scale: the text source splits by file (and by range within
+    uncompressed files), so a directory of shards parallelizes like
+    any other scan; no shuffle is added here.
+    """
+    if whole_files:
+        df = spark.read.format("text").option("wholetext", "true").load(path)
+        df = df.select(F.input_file_name().alias("source"), F.col("value").alias("text"))
+        return df.select(F.col("source").alias("doc_id"), "source", "text")
+    df = spark.read.format("text").load(path)
+    df = df.select(F.input_file_name().alias("source"), F.col("value").alias("text"))
+    return df.select(
+        F.hex(F.xxhash64(F.col("source"), F.col("text"))).alias("doc_id"),
+        "source",
+        "text",
+    )

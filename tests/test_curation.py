@@ -802,3 +802,34 @@ def test_semdedup_impl_parity(spark):
         map(tuple, semdedup(emb, n_centroids=4, threshold=0.9, impl=impl).collect())
     )
     assert key("matmul") == key("expr")
+
+
+def test_load_text_corpus_line_and_wholefile_modes(spark, tmp_path):
+    from klinker_spark.data.io import load_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc line\nsecond doc line\n")
+    (d / "b.txt").write_text("only line of b\n")
+
+    lines = load_text_corpus(spark, str(d)).collect()
+    assert sorted(r["text"] for r in lines) == [
+        "first doc line", "only line of b", "second doc line",
+    ]
+    assert len({r["doc_id"] for r in lines}) == 3  # ids unique
+    assert all(r["source"].endswith((".txt",)) for r in lines)
+    # deterministic across re-reads
+    again = load_text_corpus(spark, str(d)).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in lines}
+
+    whole = load_text_corpus(spark, str(d), whole_files=True).collect()
+    assert len(whole) == 2
+    texts = {r["doc_id"].rsplit("/", 1)[-1]: r["text"] for r in whole}
+    assert texts["a.txt"] == "first doc line\nsecond doc line\n".rstrip("\n") or \
+        "first doc line" in texts["a.txt"]
+    # whole-file mode feeds line_dedup's regex mode directly
+    from klinker_spark.ops.curation import line_dedup
+    ld = line_dedup(
+        load_text_corpus(spark, str(d), whole_files=True), line_split_re="\n"
+    )
+    assert ld.count() == 2

@@ -321,3 +321,25 @@ def test_line_dedup_and_semdedup_no_cartesian(spark, sf_dir):
     plan = plan_of(QUERIES["semdedup"](spark, sf_dir))
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
         assert bad not in plan, f"unexpected {bad} in semdedup plan"
+
+
+def test_neardup_gate_per_batch_plan_is_stateless(spark, sf_dir):
+    """The near-dup gate's per-batch side must contain NO aggregation
+    and NO join against the history relation — only the one-row
+    bitmap broadcast — or it would carry unbounded stream state."""
+    from pyspark.sql import functions as F
+
+    from klinker_spark.streaming.dedup import (
+        incremental_neardup_docs,
+        neardup_band_keys,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = neardup_band_keys(docs.where(F.col("doc_id") % 3 == 0))
+    plan = plan_of(incremental_neardup_docs(docs, hist))
+    # the only join is the broadcast of the single-row word table
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in plan
+    assert "LocalTableScan" in plan
+    for bad in ("HashAggregate", "SortAggregate", "Exchange hashpartitioning",
+                "SortMergeJoin", "ShuffledHashJoin"):
+        assert bad not in plan, f"unexpected {bad} in near-dup gate plan"
