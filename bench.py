@@ -75,6 +75,7 @@ CURATION_QUERIES = [
     "semdedup",
     "bloom_ingest_gate",
     "neardup_ingest_gate",
+    "cm_token_freq",
 ]
 
 

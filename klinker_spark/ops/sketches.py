@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "cm_build", "cm_estimate"]
 
 #: 15 hex digits = 60 bits; 16^15 = 2^60 exactly, so the fraction is a
 #: dyadic rational any engine computes bit-identically in a double.
@@ -52,4 +52,87 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
             ),
             6,
         ).alias("estimate"),
+    )
+
+
+def cm_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 8192,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the
+    multiplicities of ``df[key_col]``: ``depth`` hash rows of
+    ``width`` counters.
+
+    Output: ``(row int, col int, cnt long)`` — only NONZERO cells, at
+    most ``depth*width`` rows regardless of input size.  The companion
+    of :func:`kmv_distinct` (distinct counts) and the Bloom gate
+    (membership): approximate FREQUENCIES in bounded memory —
+    heavy-hitter detection (hot tokens, boilerplate lines) over a
+    100 TB corpus or an unbounded stream, where an exact groupBy's
+    key space is itself corpus-sized.
+
+    Plan: explode to ``depth`` scalar (row, col) cells per input row,
+    one count aggregate — map-side partials collapse each partition to
+    ≤ ``depth*width`` cells before the (tiny) shuffle.  Sketches are
+    MERGEABLE by cell-wise addition: union two builds and re-aggregate
+    with ``sum``.  ``hash_fn="md5"`` is the cross-engine-deterministic
+    twin (exact SQL oracle); NULL keys are ignored.
+    """
+    from .bloom import _positions
+
+    key = F.col(key_col)
+    pos = df.where(key.isNotNull()).select(
+        F.posexplode(F.array(*_positions(key, depth, width, hash_fn))).alias("row", "col")
+    )
+    return (
+        pos.groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+        .select("row", F.col("col").cast("int"), "cnt")
+    )
+
+
+def cm_estimate(
+    df: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    width: int = 8192,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Append ``out_col``: the Count-Min frequency estimate of
+    ``df[key_col]`` — ``min`` over the ``depth`` counters the key
+    hashes to.  Never underestimates; overestimates only on hash
+    collisions (error ≤ ε·N with ε = e/width at the usual depth=ln 1/δ
+    sizing).  NULL keys estimate NULL.
+
+    The sketch is collected (bounded: ≤ ``depth*width`` cells) into a
+    dense array delivered as a one-row broadcast join — per-row
+    probing is then pure expressions; a literal would be re-inlined
+    per probe by CollapseProject (the Bloom lesson).
+    """
+    from ..session import local_df
+    from .bloom import _positions
+
+    dense = [0] * (depth * width)
+    for r in sketch.collect():  # bounded by construction
+        dense[r["row"] * width + r["col"]] = r["cnt"]
+    table = local_df(df.sparkSession, [(dense,)], "_cm array<bigint>")
+
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(F.col("_cm"), (F.lit(i * width) + p).cast("int") + 1),
+                F.lit(0),
+            )
+            for i, p in enumerate(_positions(F.col(key_col), depth, width, hash_fn))
+        ]
+    )
+    return (
+        df.join(F.broadcast(table))
+        .withColumn(out_col, F.when(F.col(key_col).isNotNull(), est))
+        .drop("_cm")
     )

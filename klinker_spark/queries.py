@@ -3129,6 +3129,47 @@ def incremental_ingest_q(spark, sf_dir):
 
 
 @register(
+    "cm_token_freq",
+    "WITH "
+    + _toks_cte()
+    + """,
+    tok AS (SELECT doc_id, unnest(tk) token FROM toks),
+    hashes AS (SELECT unnest([0,1,2,3]) i),
+    cells AS (
+      SELECT i, (('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15))::BIGINT
+                 % 1024) c, count(*) cnt
+      FROM tok CROSS JOIN hashes GROUP BY 1, 2),
+    dt AS (SELECT token, count(*) true_count FROM tok GROUP BY token),
+    est AS (
+      SELECT d.token, min(coalesce(ce.cnt, 0)) est_count
+      FROM dt d CROSS JOIN hashes h
+      LEFT JOIN cells ce
+        ON ce.i = h.i
+       AND ce.c = (('0x' || substr(md5(h.i::VARCHAR || ':' || d.token), 1, 15))::BIGINT
+                   % 1024)
+      GROUP BY d.token)
+    SELECT d.token, d.true_count, e.est_count
+    FROM dt d JOIN est e USING (token)
+    """,
+)
+def cm_token_freq_q(spark, sf_dir):
+    """Count-Min frequency sketch, md5 twin: token multiplicities
+    folded into a 4x1024 counter table, per-token min-of-counters
+    estimate verified cell-for-cell against the exact counts the
+    oracle computes both ways."""
+    from .functions.text import tokenize
+    from .ops.sketches import cm_build, cm_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text", 1, [])).alias("token"))
+    sketch = cm_build(toks, "token", width=1024, depth=4, hash_fn="md5")
+    true = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    return cm_estimate(
+        true, "token", sketch, width=1024, depth=4, hash_fn="md5"
+    ).select("token", "true_count", "est_count")
+
+
+@register(
     "neardup_ingest_gate",
     "WITH "
     + _shingle_cte()

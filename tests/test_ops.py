@@ -691,3 +691,49 @@ def test_ivf_hash_sample_empty_index(spark):
     out = ann_topk_ivf(emb, emb.where(F.lit(False)), k=2, quantizer="hash_sample")
     assert out.count() == 0
     assert [f.name for f in out.schema] == ["query_id", "neighbor_id", "sim", "rank"]
+
+
+def test_cm_sketch_never_underestimates_and_is_exact_when_wide(spark):
+    from klinker_spark.ops.sketches import cm_build, cm_estimate
+
+    rows = [(f"k{i % 7}",) for i in range(70)] + [("rare",)]
+    df = spark.createDataFrame(rows, ["k"])
+    true = df.groupBy("k").count()
+    # narrow sketch: estimates are upper bounds
+    sk = cm_build(df, "k", width=4, depth=2)
+    est = {r["k"]: r["est_count"] for r in cm_estimate(true, "k", sk, width=4, depth=2).collect()}
+    for r in true.collect():
+        assert est[r["k"]] >= r["count"]
+    # wide sketch: no collisions -> exact
+    sk2 = cm_build(df, "k", width=1 << 14)
+    est2 = {
+        r["k"]: r["est_count"]
+        for r in cm_estimate(true, "k", sk2, width=1 << 14).collect()
+    }
+    for r in true.collect():
+        assert est2[r["k"]] == r["count"]
+
+
+def test_cm_sketch_merges_by_cell_sum(spark):
+    from pyspark.sql import functions as F
+
+    from klinker_spark.ops.sketches import cm_build
+
+    df = spark.createDataFrame([(f"k{i % 5}", i) for i in range(40)], ["k", "i"])
+    full = {(r["row"], r["col"]): r["cnt"] for r in cm_build(df, "k").collect()}
+    a = cm_build(df.where(F.col("i") < 20), "k")
+    b = cm_build(df.where(F.col("i") >= 20), "k")
+    merged = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == full
+
+
+def test_cm_estimate_null_key_is_null(spark):
+    from klinker_spark.ops.sketches import cm_build, cm_estimate
+
+    df = spark.createDataFrame([("a",), (None,)], ["k"])
+    sk = cm_build(df, "k")
+    out = {r["k"]: r["est_count"] for r in cm_estimate(df, "k", sk).collect()}
+    assert out["a"] == 1 and out[None] is None
