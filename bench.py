@@ -76,6 +76,7 @@ CURATION_QUERIES = [
     "bloom_ingest_gate",
     "neardup_ingest_gate",
     "cm_token_freq",
+    "bigram_logprob",
 ]
 
 

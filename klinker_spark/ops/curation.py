@@ -60,6 +60,7 @@ __all__ = [
     "line_dedup",
     "gopher_rules",
     "GOPHER_STOPWORDS",
+    "bigram_logprob_quality",
 ]
 
 
@@ -952,3 +953,87 @@ def gopher_rules(
         p_st.alias("pass_stopwords"),
         (p_wc * p_ml * p_sy * p_al * p_st).alias("keep"),
     )
+
+
+def bigram_logprob_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM quality: mean per-token log-probability
+    under ``λ·P(w|prev) + (1−λ)·P(w)`` estimated from the corpus
+    itself — the next step up from :func:`unigram_logprob_quality`
+    toward the KenLM-style perplexity filters (CCNet, Gopher): unigram
+    scoring can't see scrambled word ORDER; this does.
+
+    The first token of each doc scores by unigram alone (the standard
+    sentence-start fallback).  Output: ``(doc_id, n_tokens,
+    avg_logprob)``; token-free docs are absent (same contract as the
+    unigram op).
+
+    Determinism: each occurrence's log-prob derives from exact integer
+    counts through a fixed double expression, then rounds to integer
+    micro-nats; per-doc sums are bigint — order-free under any
+    partitioning.
+
+    Scale: the unigram table broadcasts; the bigram TYPE table is
+    corpus-vocabulary-squared in the worst case, so its joins shuffle
+    on the (a, b) key with map-side partials — the same budget as any
+    token-pair aggregate.  One corpus scan builds occurrences; counts
+    and scoring reuse it via persist.
+    """
+    tk = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    arr = docs.select(F.col(id_col).alias("doc_id"), tk.alias("tk")).where(
+        F.size("tk") > 0
+    )
+    # one explode carries both roles: pos 0 rows score by unigram,
+    # pos>0 rows carry their predecessor for the bigram term
+    occ = arr.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.posexplode("tk").alias("pos", "b"),
+        F.col("tk").alias("_tk"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "b",
+        F.when(F.col("pos") > 0, F.element_at("_tk", F.col("pos"))).alias("a"),
+    ).persist()
+
+    uni = occ.groupBy("b").agg(F.count("*").alias("cb"))
+    n_total = occ.count()
+    bg = occ.where(F.col("a").isNotNull()).groupBy("a", "b").agg(
+        F.count("*").alias("cab")
+    )
+    ctx = bg.groupBy("a").agg(F.sum("cab").alias("ca"))
+
+    p_uni = F.col("cb") / F.lit(float(n_total))
+    p_int = F.lit(lam) * (F.col("cab") / F.col("ca")) + F.lit(1.0 - lam) * p_uni
+    lp = F.when(F.col("a").isNull(), F.log(p_uni)).otherwise(F.log(p_int))
+
+    scored = (
+        occ.join(F.broadcast(uni), "b")
+        .join(bg, ["a", "b"], "left")
+        .join(ctx, "a", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(lp * 1e6).cast("bigint").alias("lp_micro"),
+        )
+    )
+    out = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.sum("lp_micro").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s") / (F.lit(1e6) * F.col("n_tokens")), 6).alias("avg_logprob"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    occ.unpersist()
+    return out

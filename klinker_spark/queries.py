@@ -3129,6 +3129,44 @@ def incremental_ingest_q(spark, sf_dir):
 
 
 @register(
+    "bigram_logprob",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, ' '), x -> x <> '') tk
+      FROM documents),
+    arr AS (SELECT doc_id, tk, len(tk) n FROM t WHERE len(tk) > 0),
+    occ AS (
+      SELECT doc_id, n, tk[i] b, CASE WHEN i > 1 THEN tk[i-1] END a
+      FROM arr, unnest(generate_series(1, n)) s(i)),
+    uni AS (SELECT b, count(*) cb FROM occ GROUP BY b),
+    tot AS (SELECT count(*) nt FROM occ),
+    bg AS (SELECT a, b, count(*) cab FROM occ WHERE a IS NOT NULL GROUP BY a, b),
+    ctx AS (SELECT a, sum(cab) ca FROM bg GROUP BY a),
+    scored AS (
+      SELECT o.doc_id, o.n,
+             CAST(round(CASE WHEN o.a IS NULL THEN ln(u.cb / (SELECT nt FROM tot))
+                        ELSE ln(0.7 * (g.cab / c.ca)
+                                + (1.0 - 0.7) * (u.cb / (SELECT nt FROM tot))) END
+                        * 1e6) AS BIGINT) lp
+      FROM occ o JOIN uni u USING (b)
+      LEFT JOIN bg g ON o.a = g.a AND o.b = g.b
+      LEFT JOIN ctx c ON o.a = c.a)
+    SELECT doc_id, min(n) AS n_tokens,
+           round(sum(lp) / (1e6 * min(n)), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_logprob_q(spark, sf_dir):
+    """Interpolated bigram LM quality (lambda=0.7): word-ORDER-aware
+    perplexity analogue; first token falls back to unigram.  Integer
+    micro-nat sums keep the doubles shuffle-order-free."""
+    from .ops.curation import bigram_logprob_quality
+
+    return bigram_logprob_quality(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "cm_token_freq",
     "WITH "
     + _toks_cte()

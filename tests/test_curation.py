@@ -833,3 +833,67 @@ def test_load_text_corpus_line_and_wholefile_modes(spark, tmp_path):
         load_text_corpus(spark, str(d), whole_files=True), line_split_re="\n"
     )
     assert ld.count() == 2
+
+
+def test_bigram_logprob_against_model(spark):
+    import math
+
+    from klinker_spark.ops.curation import bigram_logprob_quality
+
+    rows = [(1, "a b a b"), (2, "b a c"), (3, "c c")]
+    docs = _docs(spark, rows)
+    lam = 0.7
+    toks = [t for _, txt in rows for t in txt.split(" ")]
+    n = len(toks)
+    uni = {t: toks.count(t) for t in set(toks)}
+    bigs = [
+        (ts[i - 1], ts[i])
+        for _, txt in rows
+        for ts in [txt.split(" ")]
+        for i in range(1, len(ts))
+    ]
+    cab = {p: bigs.count(p) for p in set(bigs)}
+    ca = {}
+    for (a, _), c in cab.items():
+        ca[a] = ca.get(a, 0) + c
+
+    def lp(a, b):
+        pu = uni[b] / n
+        if a is None:
+            return _micro(math.log(pu))
+        pb = cab.get((a, b), 0) / ca[a] if (a, b) in cab else 0.0
+        return _micro(math.log(lam * pb + (1.0 - lam) * pu))
+
+    expect = {}
+    for d, txt in rows:
+        ts = txt.split(" ")
+        s = lp(None, ts[0]) + sum(lp(ts[i - 1], ts[i]) for i in range(1, len(ts)))
+        expect[d] = _r(s / (1e6 * len(ts)), 6)
+    got = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_quality(docs).collect()}
+    assert got == expect
+
+
+def test_bigram_logprob_sees_word_order(spark):
+    """The point of the bigram term: a scrambled doc scores LOWER than
+    a doc whose bigrams match the corpus — unigram scoring can't tell
+    them apart."""
+    from klinker_spark.ops.curation import bigram_logprob_quality, unigram_logprob_quality
+
+    rows = [(i, "the quick brown fox jumps high") for i in range(10)]
+    rows.append((100, "the quick brown fox jumps high"))   # natural order
+    rows.append((101, "fox the jumps brown high quick"))   # same bag of words
+    docs = _docs(spark, rows)
+    bg = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_quality(docs).collect()}
+    ug = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob_quality(docs).collect()}
+    assert ug[100] == ug[101]          # unigram blind to order
+    assert bg[100] > bg[101]           # bigram not
+
+
+def test_bigram_logprob_single_token_doc_uses_unigram(spark):
+    from klinker_spark.ops.curation import bigram_logprob_quality, unigram_logprob_quality
+
+    docs = _docs(spark, [(1, "solo"), (2, "solo pair")])
+    bg = {r["doc_id"]: r for r in bigram_logprob_quality(docs).collect()}
+    ug = {r["doc_id"]: r for r in unigram_logprob_quality(docs).collect()}
+    assert bg[1]["n_tokens"] == 1
+    assert bg[1]["avg_logprob"] == ug[1]["avg_logprob"]
