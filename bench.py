@@ -77,6 +77,8 @@ CURATION_QUERIES = [
     "neardup_ingest_gate",
     "cm_token_freq",
     "bigram_logprob",
+    "value_histogram",
+    "normalize_text",
 ]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hypertable_rollup"]
+__all__ = ["hypertable_rollup", "value_histogram"]
 
 
 def hypertable_rollup(
@@ -65,3 +65,60 @@ def hypertable_rollup(
         )
         out = out.unionByName(level.select(F.lit(g).alias("granularity"), "*"))
     return out
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the distribution
+    profile a curation pipeline reads before picking filter thresholds
+    (doc lengths, quality scores, event values).
+
+    Output: ``(bucket, lo_edge, hi_edge, cnt)`` for non-empty buckets;
+    ``bucket = clamp(floor((x−lo)·bins/(hi−lo)), 0, bins−1)`` (edge
+    values clamp into the boundary buckets; NULLs excluded).  With
+    ``lo``/``hi`` unset they come from one min/max aggregate — a
+    bounded two-row driver boundary, deterministic.  Degenerate ranges
+    (``hi == lo``) collapse to bucket 0.
+
+    Unlike ``width_bucket`` (which DuckDB lacks) the explicit
+    float arithmetic is reproducible on any engine, so the histogram —
+    bucket ids, edges, and counts — carries an exact SQL oracle.
+
+    Plan: one map-side-partial aggregate on the bucket id (≤ ``bins``
+    groups); a 100 TB column profiles in one pass.
+    """
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi == lo:
+        bucket = F.lit(0)
+    else:
+        bucket = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor((c - F.lit(lo)) * F.lit(bins) / (F.lit(hi) - F.lit(lo))).cast(
+                    "int"
+                ),
+            ),
+        )
+    width = (F.lit(hi) - F.lit(lo)) / F.lit(bins)
+    return (
+        df.where(c.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * width, 6).alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * width, 6).alias("hi_edge"),
+            "cnt",
+        )
+    )

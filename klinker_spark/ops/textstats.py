@@ -20,6 +20,7 @@ __all__ = [
     "tfidf_top_tokens",
     "doc_fingerprint",
     "langid_by_profile",
+    "normalize_text",
 ]
 
 
@@ -181,3 +182,50 @@ def langid_by_profile(
         .where(F.col("r") == 1)
         .select("doc_id", F.col("cand_lang").alias("pred_lang"), "votes")
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str | None = "NFC",
+    lower: bool = True,
+    collapse_ws: bool = True,
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode text normalization — the canonical first step of a
+    multilingual curation pipeline: composed/decomposed codepoint
+    variants (``é`` vs ``e``+combining accent) must collapse BEFORE
+    any hash-based dedup or tokenization, or visually-identical docs
+    hash apart.
+
+    ``form`` (NFC/NFKC/NFD/NFKD) applies Unicode normalization via an
+    Arrow-batched ``mapInPandas`` stage — Spark has no builtin, so
+    this is a deliberate, documented Python boundary (vectorized
+    ``Series.str.normalize``, not per-row UDF); pass ``form=None`` to
+    skip it and stay pure-JVM.  Lowercasing and whitespace collapse
+    are Catalyst expressions either way.
+
+    Output: input columns + ``out_col``.  Stateless — runs unchanged
+    on a stream; at 100 TB it is a map-only pass, zero shuffles.
+    """
+    if form is not None:
+        fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in docs.schema)
+        schema = f"{fields}, `{out_col}` string"
+
+        def norm(batches):
+            for pdf in batches:
+                out = pdf.copy()
+                out[out_col] = pdf[text_col].str.normalize(form)
+                yield out
+
+        base = docs.mapInPandas(norm, schema=schema)
+        c = F.col(out_col)
+    else:
+        base = docs
+        c = F.col(text_col)
+    if lower:
+        c = F.lower(c)
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return base.withColumn(out_col, c)

@@ -3129,6 +3129,51 @@ def incremental_ingest_q(spark, sf_dir):
 
 
 @register(
+    "normalize_text",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+             AS text_norm
+    FROM documents
+    """,
+)
+def normalize_text_q(spark, sf_dir):
+    """Unicode NFC + lowercase + whitespace collapse; the NFC stage is
+    the engine's one documented Python boundary (vectorized
+    Series.str.normalize) checked against DuckDB's nfc_normalize —
+    same Unicode standard, so composed/decomposed variants collapse
+    identically."""
+    from .ops.textstats import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalize_text(docs).select("doc_id", "text_norm")
+
+
+@register(
+    "value_histogram",
+    """
+    WITH v AS (SELECT value::DOUBLE x FROM events WHERE value IS NOT NULL),
+    mm AS (SELECT min(x) lo, max(x) hi FROM v),
+    b AS (SELECT greatest(0, least(19, floor((x - lo) * 20 / (hi - lo))::INT)) bucket,
+                 lo, hi
+          FROM v CROSS JOIN mm)
+    SELECT bucket,
+           round(lo + bucket * ((hi - lo) / 20), 6) AS lo_edge,
+           round(lo + (bucket + 1) * ((hi - lo) / 20), 6) AS hi_edge,
+           count(*) AS cnt
+    FROM b GROUP BY bucket, lo, hi
+    """,
+)
+def value_histogram_q(spark, sf_dir):
+    """Equi-width histogram of events.value (20 buckets, data-derived
+    range) — portable float arithmetic instead of width_bucket, so
+    bucket ids, edges, and counts all hash-match the oracle."""
+    from .ops.rollup import value_histogram
+
+    return value_histogram(_t(spark, sf_dir, "events"), "value", bins=20)
+
+
+@register(
     "bigram_logprob",
     """
     WITH t AS (

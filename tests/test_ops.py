@@ -737,3 +737,76 @@ def test_cm_estimate_null_key_is_null(spark):
     sk = cm_build(df, "k")
     out = {r["k"]: r["est_count"] for r in cm_estimate(df, "k", sk).collect()}
     assert out["a"] == 1 and out[None] is None
+
+
+def test_value_histogram_partitions_all_rows(spark):
+    from klinker_spark.ops.rollup import value_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)] + [(None,)], ["v"])
+    out = value_histogram(df, "v", bins=10)
+    rows = out.collect()
+    assert sum(r["cnt"] for r in rows) == 100  # NULL excluded
+    assert all(0 <= r["bucket"] <= 9 for r in rows)
+    # max value clamps into the top bucket, edges tile the range
+    top = max(rows, key=lambda r: r["bucket"])
+    assert top["bucket"] == 9 and top["hi_edge"] == 99.0
+    lo = min(rows, key=lambda r: r["bucket"])
+    assert lo["lo_edge"] == 0.0
+
+
+def test_value_histogram_fixed_range_and_degenerate(spark):
+    from klinker_spark.ops.rollup import value_histogram
+
+    df = spark.createDataFrame([(5.0,), (50.0,), (-3.0,)], ["v"])
+    out = {r["bucket"]: r["cnt"] for r in value_histogram(df, "v", bins=4, lo=0.0, hi=40.0).collect()}
+    assert out[0] == 2  # 5.0 and the clamped -3.0
+    assert out[3] == 1  # 50.0 clamps into the last bucket
+    const = spark.createDataFrame([(7.0,)] * 5, ["v"])
+    rows = value_histogram(const, "v", bins=4).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["cnt"] == 5
+
+
+def test_normalize_text_unicode_forms(spark):
+    from klinker_spark.ops.textstats import normalize_text
+
+    rows = [
+        (1, "Café   Déjà"),   # decomposed accent + double space
+        (2, "ﬁne print"),            # ligature: NFC keeps, NFKC splits
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    nfc = {r["doc_id"]: r["text_norm"] for r in normalize_text(docs).collect()}
+    assert nfc[1] == "café déjà"          # composed, collapsed, lowered
+    assert nfc[2] == "ﬁne print"          # ligature survives NFC
+    assert nfc[3] is None
+    nfkc = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(docs, form="NFKC").collect()
+    }
+    assert nfkc[2] == "fine print"        # NFKC decomposes the ligature
+    # pure-JVM mode: no normalization, still lower+collapse
+    plain = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(docs, form=None).collect()
+    }
+    assert plain[1] == "café déjà"
+
+
+def test_normalize_text_dedup_motivation(spark):
+    """Composed and decomposed spellings must hash together AFTER
+    normalization — the reason the op runs before any dedup."""
+    from pyspark.sql import functions as F
+
+    from klinker_spark.ops.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "café au lait"), (2, "café au lait")], ["doc_id", "text"]
+    )
+    raw = docs.select(F.md5("text").alias("h")).distinct().count()
+    norm = (
+        normalize_text(docs)
+        .select(F.md5("text_norm").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert raw == 2 and norm == 1
