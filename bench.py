@@ -79,6 +79,7 @@ CURATION_QUERIES = [
     "bigram_logprob",
     "value_histogram",
     "normalize_text",
+    "edit_distance_dedup",
 ]
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "cosine_signlsh_dedup",
     "embedding_cosine_dedup",
     "semdedup",
+    "edit_distance_dedup",
 ]
 
 
@@ -535,3 +536,86 @@ def semdedup(
             "keep"
         ),
     )
+
+
+def edit_distance_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """Exact edit-distance near-dup pairs — the classic entity-
+    resolution string-similarity self-join (EDJoin shape, Xiao et al.
+    2008): ``(doc_a, doc_b, dist)`` with ``levenshtein ≤ max_dist``,
+    ``doc_a < doc_b``.
+
+    Candidates come from a PREFIX filter on character ``q``-grams: one
+    edit destroys at most ``q`` distinct grams, so Ed ≤ d implies at
+    most ``d·q`` distinct grams of x are absent from y — if x's
+    ``d·q + 1`` globally-rarest grams (corpus df, ties by gram) are ALL
+    absent from y, the pair cannot qualify; under the shared rarity
+    order a qualifying pair must collide inside both prefixes (the
+    same prefix-filter lemma as :func:`ngram_jaccard_dedup`).  A
+    length filter rides along; verification is the builtin
+    ``levenshtein`` on surviving pairs only.
+
+    Strings shorter than ``q`` have no grams — they pair with each
+    OTHER via a (tiny) short-string bucket; a short string can never
+    be within ``max_dist < q`` edits of one ≥ ``2q`` long anyway, and
+    the remaining boundary band (length in [q, q+d)) keeps grams, so
+    only short×short needs the bucket when ``max_dist < q`` (the
+    practical regime).
+
+    Scale: the hot-gram quadratic join never runs — candidates only
+    from rarest-gram prefixes; skew from degenerate corpora (all rows
+    sharing a template) shows up as prefix-join fan-out that AQE
+    skew-splits, and verification cost is per-candidate, not per-pair.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s"), F.length(text_col).alias("ln")
+    ).where(F.col("s").isNotNull()).persist()
+    from ..functions.text import qgrams
+
+    grams = base.select("id", F.explode(F.array_distinct(qgrams(F.col("s"), q))).alias("gram"))
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    rk = grams.join(dfreq, "gram").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("gram").asc())
+        ),
+    )
+    pre = rk.where(F.col("r") <= max_dist * q + 1)
+    cand = (
+        pre.select("gram", F.col("id").alias("doc_a"))
+        .join(pre.select("gram", F.col("id").alias("doc_b")), "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    shorts = base.where(F.col("ln") < q)
+    short_cand = (
+        shorts.select(F.col("id").alias("doc_a"), F.col("ln").alias("ln_a"))
+        .crossJoin(shorts.select(F.col("id").alias("doc_b"), F.col("ln").alias("ln_b")))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= max_dist)
+        )
+        .select("doc_a", "doc_b")
+    )
+    all_cand = cand.unionByName(short_cand)
+    out = (
+        all_cand.join(
+            base.select(F.col("id").alias("doc_a"), F.col("s").alias("s_a"), F.col("ln").alias("ln_a")),
+            "doc_a",
+        )
+        .join(
+            base.select(F.col("id").alias("doc_b"), F.col("s").alias("s_b"), F.col("ln").alias("ln_b")),
+            "doc_b",
+        )
+        .where(F.abs(F.col("ln_a") - F.col("ln_b")) <= max_dist)
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )
+    return out

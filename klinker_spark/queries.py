@@ -3129,6 +3129,39 @@ def incremental_ingest_q(spark, sf_dir):
 
 
 @register(
+    "edit_distance_dedup",
+    """
+    WITH g AS (SELECT c_custkey id, c_name s, length(c_name) ln FROM customer),
+    grams AS (
+      SELECT id, gram FROM (
+        SELECT id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(length(s) - 2, 0)), i -> substr(s, i, 3)))) gram
+        FROM g)),
+    df AS (SELECT gram, count(*) df FROM grams GROUP BY gram),
+    rk AS (SELECT id, gram,
+                  row_number() OVER (PARTITION BY id ORDER BY df ASC, gram ASC) r
+           FROM grams JOIN df USING (gram)),
+    pre AS (SELECT * FROM rk WHERE r <= 4),
+    cand AS (SELECT DISTINCT a.id ia, b.id ib
+             FROM pre a JOIN pre b ON a.gram = b.gram AND a.id < b.id)
+    SELECT cand.ia AS doc_a, cand.ib AS doc_b,
+           levenshtein(x.s, y.s) AS dist
+    FROM cand JOIN g x ON cand.ia = x.id JOIN g y ON cand.ib = y.id
+    WHERE abs(x.ln - y.ln) <= 1 AND levenshtein(x.s, y.s) <= 1
+    """,
+)
+def edit_distance_dedup_q(spark, sf_dir):
+    """EDJoin-style edit-distance self-join on customer names (Ed<=1,
+    char 3-grams): prefix filter on the 4 globally-rarest grams,
+    builtin levenshtein verify — the classic ER string-similarity
+    join."""
+    from .ops.dedup import edit_distance_dedup
+
+    cust = _t(spark, sf_dir, "customer")
+    return edit_distance_dedup(cust, id_col="c_custkey", text_col="c_name", max_dist=1)
+
+
+@register(
     "normalize_text",
     """
     SELECT doc_id,

@@ -810,3 +810,55 @@ def test_normalize_text_dedup_motivation(spark):
         .count()
     )
     assert raw == 2 and norm == 1
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_edit_distance_dedup_matches_brute_force(spark):
+    """The prefix filter is COMPLETE: against a brute-force model on
+    mutated strings, no qualifying pair is lost (the lemma, verified)."""
+    import random
+
+    from klinker_spark.ops.dedup import edit_distance_dedup
+
+    rng = random.Random(11)
+    bases = ["".join(rng.choice("abcdef") for _ in range(12)) for _ in range(15)]
+    rows = []
+    for i, b in enumerate(bases):
+        rows.append((3 * i, b))
+        mut = list(b)
+        mut[rng.randrange(len(mut))] = rng.choice("abcdef")
+        rows.append((3 * i + 1, "".join(mut)))            # <=1 substitution
+        rows.append((3 * i + 2, b[1:]))                   # 1 deletion
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for d in (1, 2):
+        got = {
+            (r["doc_a"], r["doc_b"], r["dist"])
+            for r in edit_distance_dedup(docs, max_dist=d).collect()
+        }
+        want = {
+            (ia, ib, _lev(ta, tb))
+            for ia, ta in rows
+            for ib, tb in rows
+            if ia < ib and _lev(ta, tb) <= d
+        }
+        assert got == want, f"d={d}"
+
+
+def test_edit_distance_dedup_short_string_bucket(spark):
+    from klinker_spark.ops.dedup import edit_distance_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "ac"), (3, "x"), (4, "abcdef")], ["doc_id", "text"]
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in edit_distance_dedup(docs, max_dist=1).collect()}
+    assert (1, 2) in got          # gram-free strings still pair
+    assert (1, 3) not in got      # dist 2
+    assert (1, 4) not in got
