@@ -41,21 +41,49 @@ def curate(
     bench_source: str = "src0",
     min_logprob: float = -9.0,
     max_contamination: float = 0.5,
+    normalize: bool = False,
+    gopher: bool = False,
+    line_dedup_max_occ: int | None = None,
 ):
     from klinker_spark.ops.curation import (
         canonical_dedup,
         contamination_check,
+        gopher_rules,
+        line_dedup,
         pack_sequences,
         pii_scrub,
         repetition_stats,
         unigram_logprob_quality,
     )
     from klinker_spark.ops.dedup import ngram_jaccard_dedup
+    from klinker_spark.ops.textstats import normalize_text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     stats = {"input": docs.count()}
 
+    # 0a. optional Unicode normalization (NFC + lower + ws collapse) —
+    # BEFORE any hashing so codepoint variants collapse together
+    if normalize:
+        docs = (
+            normalize_text(docs)
+            .drop("text")
+            .withColumnRenamed("text_norm", "text")
+        )
+
+    # 0b. optional cross-corpus duplicated-line removal (C4/RefinedWeb)
+    # — runs before doc-level stats so boilerplate lines don't count
+    if line_dedup_max_occ is not None:
+        ld = line_dedup(docs, max_occurrences=line_dedup_max_occ)
+        docs = (
+            docs.drop("text")
+            .join(ld.select("doc_id", F.col("text_clean").alias("text")), "doc_id")
+            .where(F.length("text") > 0)
+        )
+        docs = docs.localCheckpoint(eager=True)
+        stats["after_line_dedup"] = docs.count()
+
     # 1. quality gate: repetition keep-flag AND LM score floor
+    #    (+ optionally the full Gopher word-level rule set)
     rep = repetition_stats(docs).where(F.col("keep") == 1).select("doc_id")
     lm = (
         unigram_logprob_quality(docs)
@@ -63,6 +91,9 @@ def curate(
         .select("doc_id")
     )
     kept = docs.join(rep, "doc_id", "left_semi").join(lm, "doc_id", "left_semi")
+    if gopher:
+        gr = gopher_rules(docs, min_stop_hits=1).where(F.col("keep") == 1).select("doc_id")
+        kept = kept.join(gr, "doc_id", "left_semi")
     kept = kept.localCheckpoint(eager=True)  # three downstream consumers
     stats["after_quality"] = kept.count()
 
@@ -114,6 +145,18 @@ def main() -> None:
     ap.add_argument("--bench-source", default="src0")
     ap.add_argument("--min-logprob", type=float, default=-9.0)
     ap.add_argument("--max-contamination", type=float, default=0.5)
+    ap.add_argument(
+        "--normalize", action="store_true", help="NFC + lower + ws-collapse first"
+    )
+    ap.add_argument(
+        "--gopher", action="store_true", help="also apply the Gopher word-level rules"
+    )
+    ap.add_argument(
+        "--line-dedup-max-occ",
+        type=int,
+        default=None,
+        help="enable cross-corpus line dedup; lines occurring more often are removed",
+    )
     args = ap.parse_args()
 
     from klinker_spark.session import get_spark
@@ -127,6 +170,9 @@ def main() -> None:
         bench_source=args.bench_source,
         min_logprob=args.min_logprob,
         max_contamination=args.max_contamination,
+        normalize=args.normalize,
+        gopher=args.gopher,
+        line_dedup_max_occ=args.line_dedup_max_occ,
     )
     print(json.dumps(stats))
 

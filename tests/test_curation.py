@@ -897,3 +897,29 @@ def test_bigram_logprob_single_token_doc_uses_unigram(spark):
     ug = {r["doc_id"]: r for r in unigram_logprob_quality(docs).collect()}
     assert bg[1]["n_tokens"] == 1
     assert bg[1]["avg_logprob"] == ug[1]["avg_logprob"]
+
+
+def test_curate_corpus_optional_stages(spark, tmp_path):
+    """The CLI composition with every optional stage on: normalize →
+    line-dedup → (repetition ∧ LM ∧ gopher) → PII → dedup → decontam →
+    pack; stage counts monotonically decrease and shards land."""
+    from scripts.curate_corpus import curate
+
+    out = str(tmp_path / "shards_opt")
+    stats = curate(
+        spark,
+        "/root/testdata/sf0.001",
+        out,
+        budget=128,
+        min_logprob=-20.0,
+        normalize=True,
+        gopher=True,
+        line_dedup_max_occ=2,
+    )
+    assert stats["input"] == 500
+    assert 0 < stats["after_line_dedup"] <= stats["input"]
+    assert 0 < stats["after_quality"] <= stats["after_line_dedup"]
+    assert 0 < stats["after_dedup"] <= stats["after_quality"]
+    assert stats["packed"] > 0 and stats["bins"] > 0
+    got = spark.read.parquet(out)
+    assert got.count() == stats["packed"]
