@@ -544,6 +544,7 @@ def edit_distance_dedup(
     text_col: str = "text",
     max_dist: int = 1,
     q: int = 3,
+    impl: str = "auto",
 ) -> DataFrame:
     """Exact edit-distance near-dup pairs — the classic entity-
     resolution string-similarity self-join (EDJoin shape, Xiao et al.
@@ -567,14 +568,79 @@ def edit_distance_dedup(
     only short×short needs the bucket when ``max_dist < q`` (the
     practical regime).
 
-    Scale: the hot-gram quadratic join never runs — candidates only
-    from rarest-gram prefixes; skew from degenerate corpora (all rows
-    sharing a template) shows up as prefix-join fan-out that AQE
-    skew-splits, and verification cost is per-candidate, not per-pair.
+    ``impl``:
+
+    - ``"deletion"`` (FastSS, Bocek et al. 2007): candidates share a
+      member of their ≤ ``max_dist``-deletion neighborhoods — complete
+      for Ed ≤ d (an edit script deletes ≤ d chars from EACH side to a
+      common subsequence).  Neighborhood size is O(len^d), so it is
+      the short-string / small-d algorithm — and it is IMMUNE to the
+      template-degenerate corpora that defeat rarity ordering
+      (deleting one char of "Customer#000000042" collides only with
+      true near-matches; measured 40 s → ~8 s on 15k template names
+      where the gram prefix join fanned out to ~70M candidates).
+    - ``"prefix"`` (EDJoin): the gram-prefix plan above — for long
+      strings or larger d, where deletion neighborhoods explode.
+    - ``"auto"`` (default): deletion when ``max_dist <= 2``, else
+      prefix.
+
+    Scale: either way the hot-gram quadratic join never runs;
+    verification cost is per-candidate, not per-pair.
     """
     base = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("s"), F.length(text_col).alias("ln")
     ).where(F.col("s").isNotNull()).persist()
+    if impl == "auto":
+        impl = "deletion" if max_dist <= 2 else "prefix"
+    if impl == "deletion":
+
+        def one_del(c):
+            # delete char i (1-based); empty input short-circuits —
+            # Spark's sequence(1, 0) would count DOWN
+            return F.when(
+                F.length(c) < 1, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(c)),
+                    lambda i: F.concat(
+                        c.substr(F.lit(1), i - F.lit(1)),
+                        c.substr(i + F.lit(1), F.lit(1 << 20)),
+                    ),
+                )
+            )
+
+        # variants materialized stage by stage (lambda-copy lesson)
+        v = base.withColumn("d1", one_del(F.col("s")))
+        if max_dist >= 2:
+            d2 = F.flatten(F.transform(F.col("d1"), one_del))
+            variants = F.array_distinct(F.concat(F.array(F.col("s")), F.col("d1"), d2))
+        else:
+            variants = F.array_distinct(F.concat(F.array(F.col("s")), F.col("d1")))
+        ex = v.select("id", F.explode(variants).alias("var"))
+        cand = (
+            ex.select("var", F.col("id").alias("doc_a"))
+            .join(ex.select("var", F.col("id").alias("doc_b")), "var")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        out = (
+            cand.join(
+                base.select(F.col("id").alias("doc_a"), F.col("s").alias("s_a"), F.col("ln").alias("ln_a")),
+                "doc_a",
+            )
+            .join(
+                base.select(F.col("id").alias("doc_b"), F.col("s").alias("s_b"), F.col("ln").alias("ln_b")),
+                "doc_b",
+            )
+            .where(F.abs(F.col("ln_a") - F.col("ln_b")) <= max_dist)
+            .withColumn("dist", F.levenshtein("s_a", "s_b"))
+            .where(F.col("dist") <= max_dist)
+            .select("doc_a", "doc_b", "dist")
+        )
+        return out
+    if impl != "prefix":
+        raise ValueError(f"impl must be auto|deletion|prefix, got {impl!r}")
     from ..functions.text import qgrams
 
     grams = base.select("id", F.explode(F.array_distinct(qgrams(F.col("s"), q))).alias("gram"))

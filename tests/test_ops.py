@@ -821,9 +821,14 @@ def _lev(a, b):
     return dp[len(b)]
 
 
-def test_edit_distance_dedup_matches_brute_force(spark):
-    """The prefix filter is COMPLETE: against a brute-force model on
-    mutated strings, no qualifying pair is lost (the lemma, verified)."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("impl", ["deletion", "prefix"])
+def test_edit_distance_dedup_matches_brute_force(spark, impl):
+    """Both candidate filters are COMPLETE: against a brute-force model
+    on mutated strings, no qualifying pair is lost (the FastSS
+    deletion-neighborhood lemma and the EDJoin prefix lemma, verified)."""
     import random
 
     from klinker_spark.ops.dedup import edit_distance_dedup
@@ -841,7 +846,7 @@ def test_edit_distance_dedup_matches_brute_force(spark):
     for d in (1, 2):
         got = {
             (r["doc_a"], r["doc_b"], r["dist"])
-            for r in edit_distance_dedup(docs, max_dist=d).collect()
+            for r in edit_distance_dedup(docs, max_dist=d, impl=impl).collect()
         }
         want = {
             (ia, ib, _lev(ta, tb))
