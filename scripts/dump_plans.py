@@ -29,6 +29,16 @@ NOTES = {
     "pack_sequences": "Concat-and-chunk packing: one hash exchange on pack_group, per-group window cumsum — no global sort.",
     "embedding_quantize": "Int8 SQ: higher-order-function projection only (scale/codes/error per row), zero exchanges.",
     "vocab_coverage": "Top-k vocabulary via TakeOrderedAndProject (distributed partial top-k, no single-partition window), broadcast membership join, one doc aggregate.",
+    "gopher_rules": "Gopher word-level rules: scan -> two projections (token array materialized once, then metrics+flags), zero exchanges, zero joins.",
+    "line_dedup": "Cross-corpus line removal: line explode, line-hash count aggregate, anti-join against the (heavy-hitter-only) banned set — AQE broadcasts it at runtime — then one doc_id aggregate restoring order via array_sort, no global sort.",
+    "semdedup": "SemDeDup: zero-shuffle centroid assignment (broadcast probe kernel), one exchange into the per-cluster FlatMapGroupsInPandas BLAS tile kernel, left join of per-id maxima back to assignments.",
+    "bloom_ingest_gate": "Bloom membership: the bitmap rides ONE one-row broadcast; probing is pure projection — no aggregate, no shuffle join, no per-batch history scan.",
+    "neardup_ingest_gate": "Stateless streaming near-dup gate: expression MinHash signature -> band keys -> Bloom probes, all projections over a single one-row broadcast NLJ; no aggregation anywhere in the per-batch side.",
+    "cm_token_freq": "Count-Min: token explode -> (row, col) cell count aggregate (<= depth*width groups after partials); estimates probe the dense counter array via a one-row broadcast.",
+    "bigram_logprob": "Bigram LM: one posexplode carries (predecessor, token); unigram table broadcast; bigram-type and context joins shuffle on the (a, b) key; final doc aggregate of integer micro-nats.",
+    "value_histogram": "Histogram: bucket-id projection -> one partial+final aggregate with <= bins groups.",
+    "normalize_text": "Unicode normalization: single MapInPandas stage (vectorized NFC) + codegen lower/collapse projection, zero exchanges.",
+    "edit_distance_dedup": "FastSS edit-distance join: deletion-variant explode, variant equi-join, distinct candidate pairs, levenshtein verify on survivors only.",
 }
 
 
