@@ -125,3 +125,69 @@ def test_quantize_embeddings_properties(spark, v):
         # 6dp output rounding adds at most 5e-7 slack on each side
         assert r["max_abs_err"] <= scale / 2 + 1e-6
         assert abs(r["scale"] - round(scale, 6)) <= 1e-9
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_line_dedup_reassembly_invariants(spark, texts):
+    """line_dedup invariants on arbitrary docs: kept-line count never
+    exceeds the line count, surviving text is a subsequence of the
+    original chunking, and raising max_occurrences to the corpus line
+    total keeps everything."""
+    from klinker_spark.ops.curation import line_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(docs, tokens_per_line=2).collect()}
+    total_lines = sum(r["n_lines"] for r in out.values())
+    for i, t in rows:
+        r = out[i]
+        assert 0 <= r["n_lines_kept"] <= r["n_lines"]
+        toks = [x for x in t.split(" ") if x]
+        assert r["n_lines"] == (len(toks) + 1) // 2
+        kept_tokens = [x for x in r["text_clean"].split(" ") if x]
+        # surviving tokens are a subsequence of the original tokens
+        it = iter(toks)
+        assert all(any(x == y for y in it) for x in kept_tokens)
+    lax = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, tokens_per_line=2, max_occurrences=max(total_lines, 1)).collect()
+    }
+    for i, t in rows:
+        assert lax[i]["n_lines_kept"] == lax[i]["n_lines"]
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=0, max_size=8), min_size=2, max_size=10))
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_edit_distance_join_complete_on_arbitrary_strings(spark, texts):
+    """FastSS candidates lose no qualifying pair on arbitrary short
+    strings (incl. empties and duplicates)."""
+    from klinker_spark.ops.dedup import edit_distance_dedup
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in edit_distance_dedup(docs, max_dist=1).collect()
+    }
+    want = {
+        (ia, ib, lev(ta, tb))
+        for ia, ta in rows
+        for ib, tb in rows
+        if ia < ib and lev(ta, tb) <= 1
+    }
+    assert got == want
