@@ -604,7 +604,9 @@ def edit_distance_dedup(
                     F.sequence(F.lit(1), F.length(c)),
                     lambda i: F.concat(
                         c.substr(F.lit(1), i - F.lit(1)),
-                        c.substr(i + F.lit(1), F.lit(1 << 20)),
+                        # tail length = full string length: never caps,
+                        # however long the doc
+                        c.substr(i + F.lit(1), F.length(c)),
                     ),
                 )
             )

@@ -95,6 +95,13 @@ def value_histogram(
     c = F.col(col).cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        if row["lo"] is None:  # empty (or all-NULL) input: empty histogram
+            return df.select(
+                F.lit(0).alias("bucket"),
+                F.lit(0.0).alias("lo_edge"),
+                F.lit(0.0).alias("hi_edge"),
+                F.lit(0).cast("long").alias("cnt"),
+            ).where(F.lit(False))
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if hi == lo:

@@ -867,3 +867,15 @@ def test_edit_distance_dedup_short_string_bucket(spark):
     assert (1, 2) in got          # gram-free strings still pair
     assert (1, 3) not in got      # dist 2
     assert (1, 4) not in got
+
+
+def test_value_histogram_empty_input(spark):
+    from klinker_spark.ops.rollup import value_histogram
+
+    df = spark.createDataFrame([(None,)], "v double").where(F.lit(False))
+    out = value_histogram(df, "v")
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["bucket", "lo_edge", "hi_edge", "cnt"]
+    # all-NULL column likewise
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert value_histogram(nulls, "v").count() == 0
