@@ -80,6 +80,7 @@ CURATION_QUERIES = [
     "value_histogram",
     "normalize_text",
     "edit_distance_dedup",
+    "heavy_shingles",
 ]
 
 

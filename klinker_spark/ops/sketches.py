@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "cm_build", "cm_estimate"]
+__all__ = ["kmv_distinct", "cm_build", "cm_estimate", "cm_heavy_hitters"]
 
 #: 15 hex digits = 60 bits; 16^15 = 2^60 exactly, so the fraction is a
 #: dyadic rational any engine computes bit-identically in a double.
@@ -135,4 +135,43 @@ def cm_estimate(
         df.join(F.broadcast(table))
         .withColumn(out_col, F.when(F.col(key_col).isNotNull(), est))
         .drop("_cm")
+    )
+
+
+def cm_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    width: int = 8192,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """EXACT heavy hitters with sketch-bounded shuffle volume:
+    ``(key, cnt)`` for every key occurring at least ``min_count``
+    times.
+
+    The naive plan groupBys the full key space — at 100 TB the
+    vocabulary/shingle space is itself corpus-sized and the shuffle
+    carries everything.  Here a Count-Min pass (bounded cells) probes
+    every row map-side first; CM NEVER underestimates, so rows whose
+    key estimate is below ``min_count`` are provably not heavy and
+    drop before the shuffle — the exact groupBy then runs over only
+    the surviving sliver (true heavies + hash-collision false
+    positives, removed by the final exact filter).  Result is EXACT
+    regardless of sketch sizing; sizing only tunes how much the
+    shuffle shrinks.
+
+    Two corpus scans (build + probe), both map-side; the only shuffle
+    carries heavy-hitter-candidate rows.
+    """
+    keyed = df.where(F.col(key_col).isNotNull())
+    sketch = cm_build(keyed, key_col, width=width, depth=depth, hash_fn=hash_fn)
+    probed = cm_estimate(
+        keyed, key_col, sketch, width=width, depth=depth, hash_fn=hash_fn
+    )
+    return (
+        probed.where(F.col("est_count") >= min_count)
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
     )

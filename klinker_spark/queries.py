@@ -3245,6 +3245,32 @@ def bigram_logprob_q(spark, sf_dir):
 
 
 @register(
+    "heavy_shingles",
+    "WITH "
+    + _shingle_cte()
+    + """
+    SELECT shingle AS key, cnt FROM (
+      SELECT shingle, count(*) cnt
+      FROM (SELECT doc_id, unnest(sg) shingle FROM sh) GROUP BY shingle)
+    WHERE cnt >= 5
+    """,
+)
+def heavy_shingles_q(spark, sf_dir):
+    """Exact boilerplate-shingle detection via the Count-Min pruned
+    groupBy (cm_heavy_hitters): rows provably below the threshold drop
+    map-side before the only shuffle; output is exact, so the oracle
+    is the plain HAVING query."""
+    from .functions.text import tokenize, word_shingles
+    from .ops.sketches import cm_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), tokenize("text", 1, []).alias("tk")
+    ).select("doc_id", F.explode(word_shingles(F.col("tk"), 3)).alias("shingle"))
+    return cm_heavy_hitters(sh, "shingle", min_count=5)
+
+
+@register(
     "cm_token_freq",
     "WITH "
     + _toks_cte()

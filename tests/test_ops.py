@@ -879,3 +879,21 @@ def test_value_histogram_empty_input(spark):
     # all-NULL column likewise
     nulls = spark.createDataFrame([(None,), (None,)], "v double")
     assert value_histogram(nulls, "v").count() == 0
+
+
+def test_cm_heavy_hitters_exact_vs_plain_groupby(spark):
+    from klinker_spark.ops.sketches import cm_heavy_hitters
+
+    rows = [(f"hot{i % 3}",) for i in range(60)] + [(f"cold{i}",) for i in range(40)]
+    rows += [(None,)]
+    df = spark.createDataFrame(rows, ["k"])
+    # tiny sketch: plenty of collisions — result must STILL be exact
+    got = {
+        (r["key"], r["cnt"])
+        for r in cm_heavy_hitters(df, "k", min_count=5, width=8, depth=2).collect()
+    }
+    want = {
+        (r["k"], r["count"])
+        for r in df.where(F.col("k").isNotNull()).groupBy("k").count().where("count >= 5").collect()
+    }
+    assert got == want and len(got) == 3
