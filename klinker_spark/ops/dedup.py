@@ -431,35 +431,64 @@ def semdedup(
     """
     from .similarity import _probe_centroids
 
-    ix = embeddings.select(
+    ix_all = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector")
     )
+    # Malformed vectors (NULL / empty / dimension-mismatched — e.g. a
+    # future testdata regen with null rows) can neither cluster nor
+    # compare: they are excluded from the pipeline and returned
+    # keep=true, unclustered, instead of crashing np.stack / the fit.
+    well_formed = F.col("vector").isNotNull() & (F.size("vector") > 0)
+    fit_src = ix_all.where(well_formed)
     if quantizer == "hash_sample":
         # bounded collect: n_centroids rows by construction
         cent_rows = (
-            ix.withColumn("_h", F.md5(F.col("id").cast("string")))
+            fit_src.withColumn("_h", F.md5(F.col("id").cast("string")))
             .orderBy("_h", "id")
             .limit(n_centroids)
             .collect()
         )
         centroids = [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(cent_rows)]
+        # dim = the first sampled centroid's; ragged sample rows drop
+        centroids = [c for c in centroids if len(c[1]) == len(centroids[0][1])] if centroids else []
+        centroids = [(i, v) for i, (_, v) in enumerate(centroids)]
+        dim = len(centroids[0][1]) if centroids else 0
     elif quantizer == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        feat = ix.withColumn("features", array_to_vector("vector"))
-        model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
-        centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        dim_row = fit_src.select(
+            F.min_by(F.size("vector"), F.md5(F.col("id").cast("string"))).alias("d")
+        ).collect()[0]
+        dim = int(dim_row["d"]) if dim_row["d"] is not None else 0
+        feat = fit_src.where(F.size("vector") == dim).withColumn(
+            "features", array_to_vector("vector")
+        )
+        if dim == 0:
+            centroids = []
+        else:
+            model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
+            centroids = [
+                (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+            ]
     else:
         raise ValueError(f"quantizer must be kmeans|hash_sample, got {quantizer!r}")
 
     if not centroids:  # empty corpus: nothing to assign or compare
-        return ix.select(
+        return ix_all.select(
             F.col("id").alias(id_col),
             F.lit(None).cast("int").alias("cluster_id"),
             F.lit(None).cast("double").alias("max_sim_lower"),
             F.lit(True).alias("keep"),
         )
+    good = well_formed & (F.size("vector") == dim)
+    ix = ix_all.where(good)
+    malformed = ix_all.where(~good).select(
+        F.col("id").alias(id_col),
+        F.lit(None).cast("int").alias("cluster_id"),
+        F.lit(None).cast("double").alias("max_sim_lower"),
+        F.lit(True).alias("keep"),
+    )
 
     assigned = _probe_centroids(
         ix.select(F.col("id").alias("query_id"), F.col("vector").alias("qv")), centroids, 1
@@ -535,7 +564,7 @@ def semdedup(
         (F.col("max_sim_lower").isNull() | (F.col("max_sim_lower") < threshold)).alias(
             "keep"
         ),
-    )
+    ).unionByName(malformed)
 
 
 def edit_distance_dedup(

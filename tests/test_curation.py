@@ -923,3 +923,26 @@ def test_curate_corpus_optional_stages(spark, tmp_path):
     assert stats["packed"] > 0 and stats["bins"] > 0
     got = spark.read.parquet(out)
     assert got.count() == stats["packed"]
+
+
+def test_semdedup_malformed_vectors_kept_not_crashed(spark):
+    """NULL / empty / dimension-mismatched vectors are excluded from
+    clustering (keep=true, unclustered) instead of crashing the BLAS
+    kernel or the fit — both quantizers."""
+    from klinker_spark.ops.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, None),
+        (3, [0.99, 0.01]),
+        (4, []),
+        (5, [1.0, 2.0, 3.0]),   # ragged dim
+        (6, [-1.0, 0.0]),       # far point: gives kmeans k=2 a second cluster
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for quant, k in (("hash_sample", 1), ("kmeans", 2)):  # MLlib needs k >= 2
+        out = {r["vec_id"]: r for r in semdedup(emb, n_centroids=k, threshold=0.9, quantizer=quant).collect()}
+        assert set(out) == {1, 2, 3, 4, 5, 6}
+        for bad in (2, 4, 5):
+            assert out[bad]["keep"] and out[bad]["cluster_id"] is None
+        assert not out[3]["keep"]  # real near-dup of 1 still caught
