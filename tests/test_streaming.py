@@ -302,3 +302,53 @@ def test_neardup_gate_streaming_parity(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("select * from neardup_stream").collect()))
     want = sorted(map(tuple, incremental_neardup_docs(inc, hist).collect()))
     assert got == want
+
+
+def test_neardup_gate_incremental_history_across_batches(spark, tmp_path):
+    """The production loop: each micro-batch is gated against the
+    history accumulated from PRIOR batches, then folded into it
+    (foreachBatch owns the refresh cadence).  A batch-2 doc that
+    near-dups a batch-1 doc is flagged; batch-1 docs entered a
+    then-empty history and all passed."""
+    import time as _time
+
+    from klinker_spark.streaming.dedup import incremental_neardup_docs, neardup_band_keys
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different content about parquet row groups")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),   # dup of 1
+         (11, "fresh unrelated words concerning shuffle partitions")],
+        ["doc_id", "text"],
+    )
+    src = tmp_path / "stream_src"
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    state = {"bands": spark.createDataFrame([], "doc_id long, band_key string")}
+    seen: dict[int, bool] = {}
+
+    def handle(batch_df, _bid):
+        gated = incremental_neardup_docs(batch_df, state["bands"])
+        for r in gated.collect():
+            seen[r["doc_id"]] = r["maybe_neardup"]
+        state["bands"] = (
+            state["bands"].unionByName(neardup_band_keys(batch_df))
+            .localCheckpoint(eager=True)
+        )
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert seen[1] is False and seen[2] is False      # empty history
+    assert seen[10] is True                            # batch-1 near-dup caught
+    assert seen[11] is False
