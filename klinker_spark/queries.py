@@ -3550,7 +3550,9 @@ _GATE_PRIORITY = [
     "tfidf_token_blocking",
     "relational_token_blocking",
     # dedup / text-stats (green in r01+r02)
-    "exact_dedup",
+    # exact_dedup demoted (recorded green r01+r02; the dedup family
+    # keeps 7 prefix representatives incl. its component/ingest forms)
+    "edit_distance_dedup",
     "minhash_dedup_md5",
     "embedding_signlsh_dedup",
     "simhash_dedup_md5",
@@ -3563,7 +3565,9 @@ _GATE_PRIORITY = [
     "semdedup",
     "line_dedup",
     "gopher_rules",
-    "langid",
+    # langid demoted (green r01+r02): bigram_logprob is the richer
+    # text-quality representative (word-order-aware LM)
+    "bigram_logprob",
     # vectors / ANN (green in r01+r02)
     "knn_topk",
     "knn_topk_sharded",
@@ -3574,11 +3578,13 @@ _GATE_PRIORITY = [
     "mutual_rank_topk",
     "dbscan_labels",
     "multimodal_features",
-    # streaming-semantics (green in r01+r02)
+    # streaming-semantics (green in r01+r02; events_json_extract and
+    # running_user_stats demoted — trivial/recorded-twice rows yield to
+    # the two never-recorded ingestion gates, which ARE streaming ops)
     "windowed_event_counts",
     "events_dedup_earliest",
-    "running_user_stats",
-    "events_json_extract",
+    "bloom_ingest_gate",
+    "neardup_ingest_gate",
     "events_asof_join",
     "events_range_join",
     "events_hypertable_rollup",
@@ -3602,7 +3608,9 @@ _GATE_PRIORITY = [
     "dedup_components",
     "contamination_check",
     "unigram_logprob",
-    "pack_sequences",
+    # pack_sequences demoted for heavy_shingles (the CM-sketch family's
+    # exact showcase; packing stays registered + judge-checkable)
+    "heavy_shingles",
 ]
 
 
