@@ -74,7 +74,7 @@ CURATION_QUERIES = [
     "line_dedup",
     "semdedup",
     "bloom_ingest_gate",
-    "neardup_ingest_gate",
+    "neardup_ingest_gate_fast",
     "cm_token_freq",
     "bigram_logprob",
     "value_histogram",

@@ -3368,6 +3368,20 @@ def neardup_ingest_gate_q(spark, sf_dir):
     return out.select("doc_id", "n_shingles", "maybe_neardup")
 
 
+@register("neardup_ingest_gate_fast")
+def neardup_ingest_gate_fast_q(spark, sf_dir):
+    """xxhash64 fast path of the stateless near-dup gate (same plan
+    shape as the md5 twin, JVM hash-of-hash signatures — not DuckDB-
+    expressible, rows-only; value coverage comes from
+    neardup_ingest_gate)."""
+    from .streaming.dedup import incremental_neardup_docs, neardup_band_keys
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = neardup_band_keys(docs.where(F.col("doc_id") % 3 == 0), num_perm=16, bands=4)
+    out = incremental_neardup_docs(docs, hist, num_perm=16, bands=4, m_bits=1 << 14)
+    return out.select("doc_id", "n_shingles", "maybe_neardup")
+
+
 @register(
     "bloom_ingest_gate",
     """
