@@ -439,7 +439,14 @@ def semdedup(
     # compare: they are excluded from the pipeline and returned
     # keep=true, unclustered, instead of crashing np.stack / the fit.
     well_formed = F.col("vector").isNotNull() & (F.size("vector") > 0)
-    fit_src = ix_all.where(well_formed)
+    # reference dimension = the md5-first well-formed row's — one tiny
+    # deterministic aggregate, identical for both quantizers (and
+    # reproducible in SQL, so the oracle mirrors the exclusion)
+    dim_row = ix_all.where(well_formed).select(
+        F.min_by(F.size("vector"), F.md5(F.col("id").cast("string"))).alias("d")
+    ).collect()[0]
+    dim = int(dim_row["d"]) if dim_row["d"] is not None else 0
+    fit_src = ix_all.where(well_formed & (F.size("vector") == dim))
     if quantizer == "hash_sample":
         # bounded collect: n_centroids rows by construction
         cent_rows = (
@@ -449,24 +456,14 @@ def semdedup(
             .collect()
         )
         centroids = [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(cent_rows)]
-        # dim = the first sampled centroid's; ragged sample rows drop
-        centroids = [c for c in centroids if len(c[1]) == len(centroids[0][1])] if centroids else []
-        centroids = [(i, v) for i, (_, v) in enumerate(centroids)]
-        dim = len(centroids[0][1]) if centroids else 0
     elif quantizer == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        dim_row = fit_src.select(
-            F.min_by(F.size("vector"), F.md5(F.col("id").cast("string"))).alias("d")
-        ).collect()[0]
-        dim = int(dim_row["d"]) if dim_row["d"] is not None else 0
-        feat = fit_src.where(F.size("vector") == dim).withColumn(
-            "features", array_to_vector("vector")
-        )
         if dim == 0:
             centroids = []
         else:
+            feat = fit_src.withColumn("features", array_to_vector("vector"))
             model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feat)
             centroids = [
                 (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())

@@ -3187,7 +3187,9 @@ def normalize_text_q(spark, sf_dir):
     """
     WITH v AS (SELECT value::DOUBLE x FROM events WHERE value IS NOT NULL),
     mm AS (SELECT min(x) lo, max(x) hi FROM v),
-    b AS (SELECT greatest(0, least(19, floor((x - lo) * 20 / (hi - lo))::INT)) bucket,
+    b AS (SELECT CASE WHEN hi = lo THEN 0
+                 ELSE greatest(0, least(19, floor((x - lo) * 20 / (hi - lo))::INT)) END
+                   AS bucket,
                  lo, hi
           FROM v CROSS JOIN mm)
     SELECT bucket,
@@ -3508,7 +3510,13 @@ def line_dedup_q(spark, sf_dir):
 @register(
     "semdedup",
     f"""
-    WITH ix AS (SELECT vec_id id, embedding v FROM embeddings),
+    WITH ix0 AS (SELECT vec_id id, embedding v FROM embeddings
+                 WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    dm AS (SELECT len(v) dim FROM ix0 ORDER BY md5(id::VARCHAR), id LIMIT 1),
+    ix AS (SELECT * FROM ix0 WHERE len(v) = (SELECT dim FROM dm)),
+    bad AS (SELECT vec_id id FROM embeddings
+            WHERE NOT (embedding IS NOT NULL AND len(embedding) > 0
+                       AND len(embedding) = (SELECT dim FROM dm))),
     cents AS (
       SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS cv
       FROM (SELECT id, v, md5(id::VARCHAR) h FROM ix
@@ -3522,13 +3530,16 @@ def line_dedup_q(spark, sf_dir):
         FROM ix CROSS JOIN cents c) WHERE rn = 1),
     pair AS (
       SELECT a.id,
-             max(CASE WHEN isnan({_COS_SQL.format(a="a.v", b="b.v")}) THEN NULL
-                      ELSE round({_COS_SQL.format(a="a.v", b="b.v")}, 6) END) m
+             round(max(CASE WHEN isnan({_COS_SQL.format(a="a.v", b="b.v")}) THEN NULL
+                           ELSE {_COS_SQL.format(a="a.v", b="b.v")} END), 6) m
       FROM assign a JOIN assign b ON a.cid = b.cid AND b.id < a.id
       GROUP BY a.id)
     SELECT a.id AS vec_id, a.cid AS cluster_id, p.m AS max_sim_lower,
            (p.m IS NULL OR p.m < 0.35) AS keep
     FROM assign a LEFT JOIN pair p ON a.id = p.id
+    UNION ALL
+    SELECT id AS vec_id, NULL AS cluster_id, NULL AS max_sim_lower, true AS keep
+    FROM bad
     """,
 )
 def semdedup_q(spark, sf_dir):

@@ -946,3 +946,32 @@ def test_semdedup_malformed_vectors_kept_not_crashed(spark):
         for bad in (2, 4, 5):
             assert out[bad]["keep"] and out[bad]["cluster_id"] is None
         assert not out[3]["keep"]  # real near-dup of 1 still caught
+
+
+def test_semdedup_oracle_parity_with_malformed_vectors(spark):
+    """The registered DuckDB oracle mirrors the engine's malformed-row
+    exclusion (NULL / empty / ragged) — checked directly on a frame the
+    driver's testdata can't currently produce but a regen might."""
+    import duckdb
+    import pandas as pd
+
+    from klinker_spark.ops.dedup import semdedup
+    from klinker_spark.queries import ORACLES
+
+    rows = [
+        (1, [1.0, 0.0]), (2, None), (3, [0.99, 0.01]), (4, []),
+        (5, [1.0, 2.0, 3.0]), (6, [-1.0, 0.2]), (7, [0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["vec_id"], r["cluster_id"], r["max_sim_lower"], r["keep"])
+        for r in semdedup(emb, n_centroids=16, threshold=0.35).collect()
+    )
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    con.register("embeddings", pdf)
+    want = sorted(
+        (int(a), None if b is None else int(b), c, bool(d))
+        for a, b, c, d in con.execute(ORACLES["semdedup"]).fetchall()
+    )
+    assert got == want
