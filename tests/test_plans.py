@@ -343,3 +343,41 @@ def test_neardup_gate_per_batch_plan_is_stateless(spark, sf_dir):
     for bad in ("HashAggregate", "SortAggregate", "Exchange hashpartitioning",
                 "SortMergeJoin", "ShuffledHashJoin"):
         assert bad not in plan, f"unexpected {bad} in near-dup gate plan"
+
+
+def test_new_curation_queries_stay_jvm_side(spark, sf_dir):
+    """No Python evaluation in the new analytic/dedup queries (the
+    documented boundaries — normalize_text's NFC stage and semdedup's
+    BLAS kernel — are Arrow mapInPandas/FlatMapGroups, never
+    row-at-a-time Batch/ArrowEvalPython)."""
+    from klinker_spark.queries import QUERIES
+
+    for name in (
+        "bigram_logprob",
+        "cm_token_freq",
+        "value_histogram",
+        "edit_distance_dedup",
+        "heavy_shingles",
+        "line_dedup",
+        "bloom_ingest_gate",
+    ):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_cm_and_histogram_aggregate_shapes(spark, sf_dir):
+    from klinker_spark.queries import QUERIES
+
+    import re
+
+    # histogram: one partial+final aggregate pair, nothing else
+    plan = plan_of(QUERIES["value_histogram"](spark, sf_dir))
+    assert len(set(re.findall(r"\((\d+)\) HashAggregate", plan))) == 2
+    assert "Join" not in plan
+    # cm estimate side: the sketch arrives as ONE broadcast row — no
+    # shuffle join against the cell table
+    plan = plan_of(QUERIES["cm_token_freq"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert bad not in plan, bad
