@@ -31,6 +31,7 @@ __all__ = [
     "HashingWordEmbedder",
     "SIFHashingWordEmbedder",
     "initialize_and_fill",
+    "first_pc_power",
 ]
 
 
@@ -169,6 +170,71 @@ def remove_first_pc(embeddings: DataFrame, sample_n: int = 10_000, seed: int = 4
         "id",
         F.zip_with(F.col("vector"), u_col, lambda v, uu: v - proj * uu).alias("vector"),
     )
+
+
+def first_pc_power(
+    embeddings: DataFrame, sample_n: int = 2000, iters: int = 30
+) -> list[float]:
+    """Deterministic first principal component via fixed-iteration power
+    method — the cross-engine-checkable twin of the SVD in
+    :func:`remove_first_pc` (M2, ref ``pretrained.py:518-531``).
+
+    Every arithmetic step is reproducible in any engine that has md5,
+    ``*``, ``+``, ``/`` and ``sqrt``:
+
+    - sample = first ``sample_n`` rows ordered by ``(md5(id), id)``;
+    - C = uncentered second-moment matrix, each entry a SEQUENTIAL sum
+      in sample order (bit-identical to DuckDB's
+      ``list_sum(list(x ORDER BY ...))`` — verified empirically);
+    - ``iters`` power steps from ``u0 = 1/sqrt(d)·[1..1]``, sequential
+      dots (= ``list_inner_product``) and IEEE sqrt/divide.
+
+    Convergence to the true first PC needs a spectral gap (λ2/λ1 ≲ 0.5
+    is ample at 30 iters); determinism does NOT — both engines run the
+    same finite recurrence, so outputs agree to ~1e-13 even on
+    degenerate spectra.  The projection ``v - (v·u)u`` is sign-
+    invariant, so the power method's sign ambiguity never shows.
+
+    The ``sample_n`` collect is the same driver boundary as the
+    reference's TruncatedSVD fit (and :func:`remove_first_pc`).
+    """
+    import math
+
+    rows = (
+        embeddings.select(F.col("id").cast("string").alias("sid"), "vector")
+        .withColumn("_h", F.md5(F.col("sid")))
+        .orderBy("_h", "sid")
+        .limit(sample_n)
+        .collect()
+    )
+    vecs = [[float(x) for x in r["vector"]] for r in rows]
+    if not vecs:
+        return []
+    d = len(vecs[0])
+    C = [[0.0] * d for _ in range(d)]
+    for v in vecs:
+        for i in range(d):
+            vi = v[i]
+            ci = C[i]
+            for j in range(d):
+                ci[j] += vi * v[j]
+    u = [1.0 / math.sqrt(d)] * d
+    for _ in range(iters):
+        w = []
+        for i in range(d):
+            s = 0.0
+            ci = C[i]
+            for j in range(d):
+                s += ci[j] * u[j]
+            w.append(s)
+        n2 = 0.0
+        for x in w:
+            n2 += x * x
+        n = math.sqrt(n2)
+        if n == 0.0:  # zero matrix: keep the start vector
+            break
+        u = [x / n for x in w]
+    return u
 
 
 def initialize_and_fill(

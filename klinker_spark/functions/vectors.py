@@ -232,10 +232,12 @@ def topk_cosine_sharded(
 
     ``scratch_dir`` must be readable by executors: any local path on
     ``local[*]``; a shared filesystem (HDFS/S3/NFS) path on a real
-    cluster.  Defaults to a fresh ``tempfile.mkdtemp()`` which is left
-    behind (the returned DataFrame lazily re-reads it) — pass an
-    explicit path and clean it up after the result is consumed for
-    long-lived sessions.
+    cluster.  Defaults to a fresh subdirectory of the session-scoped
+    scratch root (``data/scratch.py``), removed wholesale at
+    interpreter exit; each call's subdirectory must outlive its
+    returned DataFrame (which lazily re-reads it), so within a session
+    they persist until exit — pass an explicit path to manage the
+    lifetime manually on a cluster.
 
     ``n_shards``: optional repartition of the index to raise scan
     parallelism — an explicit opt-in shuffle, default None = scan in

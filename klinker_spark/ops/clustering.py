@@ -54,9 +54,15 @@ def dbscan_labels(
         F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v")
     )
     other = pts.select(F.col("id").alias("nid"), F.col("v").alias("nv"))
+    # cosine() yields NaN for zero-norm vectors, and Spark orders NaN
+    # ABOVE every double — an unguarded `sim >= min_sim` would make a
+    # zero vector a neighbor of EVERYTHING (a hub that merges clusters).
+    # Zero-norm points have no direction, hence no ε-neighbors: NaN
+    # rows are filtered, and such points fall out as noise.
+    sim = cosine(F.col("v"), F.col("nv"))
     edges = (
         pts.join(F.broadcast(other), F.col("id") != F.col("nid"))
-        .where(cosine(F.col("v"), F.col("nv")) >= min_sim)
+        .where(~F.isnan(sim) & (sim >= min_sim))
         .select("id", "nid")
     )
     # ε-graph reused by degree count, propagation, and border attach

@@ -799,6 +799,7 @@ def line_dedup(
     tokens_per_line: int = 10,
     max_occurrences: int = 1,
     line_split_re: str | None = None,
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Cross-corpus duplicated-line removal (the C4 / RefinedWeb line
     dedup step): any line whose exact text occurs more than
@@ -814,6 +815,14 @@ def line_dedup(
     for single-line corpora (same granularity trick as
     :func:`duplicated_span_stats`).
 
+    Surviving lines are rejoined with ``join_sep``.  Default (None):
+    the literal ``line_split_re`` itself when it is a plain delimiter
+    (no regex metacharacters — a real newline split rejoins with real
+    newlines, preserving document structure), otherwise a single space
+    (a regex class like ``"\\r?\\n"`` has no unique inverse; pass
+    ``join_sep`` explicitly to pick one).  Token-window mode always
+    rejoins with a space.
+
     Output: ``(doc_id, n_lines, n_lines_kept, text_clean)`` — docs
     whose every line is banned keep their row with ``text_clean = ''``;
     NULL text propagates NULL ``n_lines`` and empty output.
@@ -825,6 +834,9 @@ def line_dedup(
     heavy-hitter tail, so AQE broadcasts it at runtime; the reassembly
     groupBy shuffles scalar (doc_id, line_no, line) rows once.
     """
+    if join_sep is None:
+        plain = line_split_re is not None and not set(line_split_re) & set("\\^$.|?*+()[]{}")
+        join_sep = line_split_re if plain else " "
     if line_split_re is not None:
         lines_arr = F.filter(
             F.split(F.col(text_col), line_split_re), lambda l: l != F.lit("")
@@ -862,7 +874,7 @@ def line_dedup(
                     F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                     lambda s: s["line"],
                 ),
-                " ",
+                join_sep,
             ).alias("text_clean"),
         )
     )

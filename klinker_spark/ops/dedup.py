@@ -15,6 +15,14 @@ so 100 TB = more partitions:
 - n-gram Jaccard: exact verification on shingle sets, joinable only
   within shared-shingle buckets so the cross-product never materializes;
 - embedding cosine: near-dup by vector similarity.
+
+Cache contract: ops that persist a self-join diamond internally
+(minhash banding, simhash chunks, jaccard shingles/prefix, edit-
+distance base) materialize their scalar-pair result with
+``localCheckpoint(eager=True)`` and release the persist before
+returning — the cache manager is empty after every call, and the
+checkpoint blocks are freed when the caller drops the returned
+DataFrame (ContextCleaner), so long sessions accumulate no storage.
 """
 
 from __future__ import annotations
@@ -60,14 +68,28 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash banded near-dup candidates.
 
     Output: ``(doc_a, doc_b)`` distinct candidate pairs.  ``bands``
     bands of ``num_perm // bands`` rows ⇒ candidate threshold
     ``(1/bands)^(bands/num_perm)``.  The self-join shuffles on the band
-    hash; hot buckets (boilerplate shingles) are the skew risk — AQE
-    skew-join plus an optional bucket-size cap handle them.
+    hash; hot buckets (boilerplate shingles hashing whole band
+    signatures together) are the skew risk — AQE skew-join splits
+    oversized join partitions, and ``max_bucket`` (the same skew cap as
+    ``TokenBlocker.max_block_size``) DROPS band buckets holding more
+    than ``max_bucket`` docs before the join: a bucket of b docs costs
+    b² candidate pairs, and a bucket that hot is boilerplate collision,
+    not near-dup signal (every surviving pair is still verified
+    downstream by whoever consumes the candidates).  The cap is a
+    window count over the banded table — no extra shuffle beyond the
+    band key the join needs anyway.  ``None`` (default) keeps every
+    bucket: exact banded-LSH semantics.
+
+    The result is materialized (``localCheckpoint``) and the internal
+    signature cache released before return — long sessions accumulate
+    nothing.
     """
     rows = num_perm // bands
     toks = docs.select(
@@ -95,13 +117,22 @@ def minhash_lsh_dedup(
     # persist: both sides of the band self-join derive from the same
     # signature pipeline — without it signatures compute twice
     banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key")).persist()
-    other = banded.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
-    return (
-        banded.join(other, "band_key")
+    if max_bucket is not None:
+        banded_joinable = banded.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("band_key"))
+        ).where(F.col("_n") <= max_bucket).drop("_n")
+    else:
+        banded_joinable = banded
+    other = banded_joinable.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
+    out = (
+        banded_joinable.join(other, "band_key")
         .where(F.col("doc_id") < F.col("doc_b"))
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
+    return out
 
 
 def simhash_dedup(
@@ -139,10 +170,11 @@ def simhash_dedup(
             for c in range(4)
         ]
     )
-    # persist: self-join diamond, same rationale as minhash banding
+    # persist: self-join diamond, same rationale as minhash banding;
+    # released after the (scalar-pair) result is checkpointed
     chunked = fp.select("doc_id", "fp", F.explode(chunks).alias("chunk_key")).persist()
     other = chunked.select("chunk_key", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-    return (
+    out = (
         chunked.join(other, "chunk_key")
         .where(F.col("doc_id") < F.col("doc_b"))
         .select(
@@ -152,7 +184,10 @@ def simhash_dedup(
         )
         .where(F.col("hamming") <= max_hamming)  # filter before the dedup shuffle
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    chunked.unpersist()
+    return out
 
 
 def ngram_jaccard_dedup(
@@ -245,7 +280,7 @@ def ngram_jaccard_dedup(
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
     )
-    return (
+    out = (
         verified.select(
             "doc_a",
             "doc_b",
@@ -254,7 +289,11 @@ def ngram_jaccard_dedup(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    prefix.unpersist()
+    shingles.unpersist()
+    return out
 
 
 def cosine_signlsh_dedup(
@@ -329,14 +368,17 @@ def cosine_signlsh_dedup(
     # scalar (id, id, sim) rows, never the dim-d vectors; a pair hit in
     # several bands recomputes one dim-d dot — cheaper than shuffling
     # the vectors.
-    return (
+    out = (
         banded.join(other, "band_key")
         .where(F.col("doc_id") < F.col("doc_b"))
         .withColumn("sim", F.round(dot / (norm("vector") * norm("vec_b")), 6))
         .where(F.col("sim") >= threshold)
         .select(F.col("doc_id").alias("doc_a"), "doc_b", "sim")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
+    return out
 
 
 def embedding_cosine_dedup(
@@ -383,6 +425,7 @@ def semdedup(
     quantizer: str = "hash_sample",
     seed: int = 42,
     impl: str = "matmul",
+    max_cluster_size: int | None = 200_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): coarse-cluster the
@@ -419,7 +462,15 @@ def semdedup(
       skewed cluster outgrows task memory.
 
     Both impls agree bit-for-bit at the 6dp output rounding (max is
-    taken over unrounded sims in both, then rounded once).
+    taken over unrounded sims in both, then rounded once) — which is
+    what makes the GIANT-CLUSTER GUARD free: with ``impl="matmul"``,
+    clusters larger than ``max_cluster_size`` (a skewed KMeans fit,
+    degenerate all-identical embeddings) are routed through the expr
+    join instead of a single ``applyInPandas`` task, so no task ever
+    materializes an unbounded cluster or runs an unbounded O(c²)
+    kernel: the oversized cluster becomes an AQE-splittable equi-join.
+    The routing decision is one ``n_centroids``-row aggregate;
+    ``max_cluster_size=None`` disables it.
 
     Scale (100 TB corpus of embeddings): assignment is the IVF probe
     kernel with ``n_probe=1`` — centroids broadcast (literal array or
@@ -491,6 +542,28 @@ def semdedup(
         ix.select(F.col("id").alias("query_id"), F.col("vector").alias("qv")), centroids, 1
     ).select(F.col("centroid_id").alias("cluster_id"), F.col("query_id").alias("id"), "qv")
 
+    def _expr_rounded(src):
+        a = src.alias("a")
+        b = src.select(
+            "cluster_id", F.col("id").alias("bid"), F.col("qv").alias("bv")
+        ).alias("b")
+        raw_sim = cosine(F.col("a.qv"), F.col("b.bv"))
+        pair_sim = (
+            a.join(
+                b,
+                (F.col("a.cluster_id") == F.col("b.cluster_id"))
+                & (F.col("b.bid") < F.col("a.id")),
+            )
+            # NaN (zero-norm) -> NULL so max() ignores it, matching SQL
+            .select(
+                F.col("a.id").alias("id"),
+                F.when(F.isnan(raw_sim), F.lit(None)).otherwise(raw_sim).alias("sim"),
+            )
+            .groupBy("id")
+            .agg(F.round(F.max("sim"), 6).alias("max_sim_lower"))
+        )
+        return src.join(pair_sim, "id", "left").select("id", "cluster_id", "max_sim_lower")
+
     if impl == "matmul":
         import numpy as np
         import pandas as pd
@@ -521,36 +594,42 @@ def semdedup(
                 {"id": pdf["id"], "cluster_id": pdf["cluster_id"], "max_sim_lower": out}
             )
 
-        pair = assigned.groupBy("cluster_id").applyInPandas(
-            pair_max,
-            schema=f"id {id_type}, cluster_id int, max_sim_lower double",
-        )
-        rounded = pair.select(
-            "id", "cluster_id", F.round("max_sim_lower", 6).alias("max_sim_lower")
-        )
+        def _matmul_rounded(src):
+            pair = src.groupBy("cluster_id").applyInPandas(
+                pair_max,
+                schema=f"id {id_type}, cluster_id int, max_sim_lower double",
+            )
+            return pair.select(
+                "id", "cluster_id", F.round("max_sim_lower", 6).alias("max_sim_lower")
+            )
+
+        big: list = []
+        if max_cluster_size is not None:
+            # giant-cluster guard: bounded collect (≤ n_centroids rows)
+            big = [
+                r["cluster_id"]
+                for r in assigned.groupBy("cluster_id")
+                .agg(F.count("*").alias("csz"))
+                .where(F.col("csz") > max_cluster_size)
+                .collect()
+            ]
+        if big:
+            # Oversized clusters never land in one applyInPandas task:
+            # they run through the AQE-splittable expr join, bit-
+            # identical at the 6dp rounding.  `assigned` feeds three
+            # branches here, so persist it for the duration and release
+            # after the (scalar-row) result is checkpointed.
+            assigned = assigned.persist()
+            rounded = (
+                _matmul_rounded(assigned.where(~F.col("cluster_id").isin(big)))
+                .unionByName(_expr_rounded(assigned.where(F.col("cluster_id").isin(big))))
+                .localCheckpoint(eager=True)
+            )
+            assigned.unpersist()
+        else:
+            rounded = _matmul_rounded(assigned)
     elif impl == "expr":
-        a = assigned.alias("a")
-        b = assigned.select(
-            "cluster_id", F.col("id").alias("bid"), F.col("qv").alias("bv")
-        ).alias("b")
-        raw_sim = cosine(F.col("a.qv"), F.col("b.bv"))
-        pair_sim = (
-            a.join(
-                b,
-                (F.col("a.cluster_id") == F.col("b.cluster_id"))
-                & (F.col("b.bid") < F.col("a.id")),
-            )
-            # NaN (zero-norm) -> NULL so max() ignores it, matching SQL
-            .select(
-                F.col("a.id").alias("id"),
-                F.when(F.isnan(raw_sim), F.lit(None)).otherwise(raw_sim).alias("sim"),
-            )
-            .groupBy("id")
-            .agg(F.round(F.max("sim"), 6).alias("max_sim_lower"))
-        )
-        rounded = assigned.join(pair_sim, "id", "left").select(
-            "id", "cluster_id", "max_sim_lower"
-        )
+        rounded = _expr_rounded(assigned)
     else:
         raise ValueError(f"impl must be matmul|expr, got {impl!r}")
 
@@ -579,32 +658,37 @@ def edit_distance_dedup(
 
     Candidates come from a PREFIX filter on character ``q``-grams: one
     edit destroys at most ``q`` distinct grams, so Ed ≤ d implies at
-    most ``d·q`` distinct grams of x are absent from y — if x's
-    ``d·q + 1`` globally-rarest grams (corpus df, ties by gram) are ALL
-    absent from y, the pair cannot qualify; under the shared rarity
-    order a qualifying pair must collide inside both prefixes (the
-    same prefix-filter lemma as :func:`ngram_jaccard_dedup`).  A
-    length filter rides along; verification is the builtin
-    ``levenshtein`` on surviving pairs only.
+    most ``d·q`` distinct grams of x are absent from y.  When x and y
+    SHARE at least one gram, the globally-rarest shared gram g* sits in
+    both prefixes (every gram of x rarer than g* is absent from y — at
+    most ``d·q`` of those — so rank_x(g*) ≤ d·q+1, symmetrically for
+    y), and the prefix self-join finds the pair; any pair where either
+    side has MORE than ``d·q`` distinct grams must share one.  A length
+    filter rides along; verification is the builtin ``levenshtein`` on
+    surviving pairs only.
 
-    Strings shorter than ``q`` have no grams — they pair with each
-    OTHER via a (tiny) short-string bucket; a short string can never
-    be within ``max_dist < q`` edits of one ≥ ``2q`` long anyway, and
-    the remaining boundary band (length in [q, q+d)) keeps grams, so
-    only short×short needs the bucket when ``max_dist < q`` (the
-    practical regime).
+    The one hole is gram-DEFICIENT pairs: if BOTH strings have
+    ≤ ``d·q`` distinct grams (all strings with ``len < q`` — zero
+    grams — and short or highly repetitive ones), a qualifying pair can
+    share *no* gram at all (``"abcde"``/``"abxde"``, Ed=1, q=3: zero
+    common 3-grams).  Deficient strings therefore pair with each OTHER
+    through a length-banded brute-force bucket (an equi-join on length
+    band, never a cross join); deficient×sufficient pairs need no
+    bucket — a deficient string's prefix is its FULL gram set, and the
+    lemma applied to the sufficient side guarantees a collision.
 
     ``impl``:
 
     - ``"deletion"`` (FastSS, Bocek et al. 2007): candidates share a
       member of their ≤ ``max_dist``-deletion neighborhoods — complete
       for Ed ≤ d (an edit script deletes ≤ d chars from EACH side to a
-      common subsequence).  Neighborhood size is O(len^d), so it is
-      the short-string / small-d algorithm — and it is IMMUNE to the
-      template-degenerate corpora that defeat rarity ordering
-      (deleting one char of "Customer#000000042" collides only with
-      true near-matches; measured 40 s → ~8 s on 15k template names
-      where the gram prefix join fanned out to ~70M candidates).
+      common subsequence).  Neighborhoods are generated recursively to
+      depth ``max_dist``; size is O(len^d), so it is the short-string /
+      small-d algorithm — and it is IMMUNE to the template-degenerate
+      corpora that defeat rarity ordering (deleting one char of
+      "Customer#000000042" collides only with true near-matches;
+      measured 40 s → ~8 s on 15k template names where the gram prefix
+      join fanned out to ~70M candidates).
     - ``"prefix"`` (EDJoin): the gram-prefix plan above — for long
       strings or larger d, where deletion neighborhoods explode.
     - ``"auto"`` (default): deletion when ``max_dist <= 2``, else
@@ -612,6 +696,10 @@ def edit_distance_dedup(
 
     Scale: either way the hot-gram quadratic join never runs;
     verification cost is per-candidate, not per-pair.
+
+    The result is materialized (``localCheckpoint``) before return and
+    every internal cache is released — repeated calls in a long session
+    leave nothing in the cache manager.
     """
     base = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("s"), F.length(text_col).alias("ln")
@@ -637,13 +725,18 @@ def edit_distance_dedup(
                 )
             )
 
-        # variants materialized stage by stage (lambda-copy lesson)
-        v = base.withColumn("d1", one_del(F.col("s")))
-        if max_dist >= 2:
-            d2 = F.flatten(F.transform(F.col("d1"), one_del))
-            variants = F.array_distinct(F.concat(F.array(F.col("s")), F.col("d1"), d2))
-        else:
-            variants = F.array_distinct(F.concat(F.array(F.col("s")), F.col("d1")))
+        # variants materialized level by level (lambda-copy lesson):
+        # each deletion depth is its own column, referenced twice (next
+        # level + final concat) so CollapseProject keeps it shared
+        v = base.withColumn("d1", F.array_distinct(one_del(F.col("s"))))
+        level_cols = [F.col("d1")]
+        for depth in range(2, max_dist + 1):
+            v = v.withColumn(
+                f"d{depth}",
+                F.array_distinct(F.flatten(F.transform(F.col(f"d{depth - 1}"), one_del))),
+            )
+            level_cols.append(F.col(f"d{depth}"))
+        variants = F.array_distinct(F.concat(F.array(F.col("s")), *level_cols))
         ex = v.select("id", F.explode(variants).alias("var"))
         cand = (
             ex.select("var", F.col("id").alias("doc_a"))
@@ -665,7 +758,9 @@ def edit_distance_dedup(
             .withColumn("dist", F.levenshtein("s_a", "s_b"))
             .where(F.col("dist") <= max_dist)
             .select("doc_a", "doc_b", "dist")
+            .localCheckpoint(eager=True)
         )
+        base.unpersist()
         return out
     if impl != "prefix":
         raise ValueError(f"impl must be auto|deletion|prefix, got {impl!r}")
@@ -679,7 +774,10 @@ def edit_distance_dedup(
             Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("gram").asc())
         ),
     )
-    pre = rk.where(F.col("r") <= max_dist * q + 1)
+    # For a gram-deficient doc (≤ d·q distinct grams) this keeps ALL
+    # its grams, which is what makes deficient×sufficient pairs safe
+    # without a bucket (see docstring).
+    pre = rk.where(F.col("r") <= max_dist * q + 1).persist()
     cand = (
         pre.select("gram", F.col("id").alias("doc_a"))
         .join(pre.select("gram", F.col("id").alias("doc_b")), "gram")
@@ -687,17 +785,31 @@ def edit_distance_dedup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    shorts = base.where(F.col("ln") < q)
-    short_cand = (
-        shorts.select(F.col("id").alias("doc_a"), F.col("ln").alias("ln_a"))
-        .crossJoin(shorts.select(F.col("id").alias("doc_b"), F.col("ln").alias("ln_b")))
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= max_dist)
-        )
-        .select("doc_a", "doc_b")
+    # Gram-deficient bucket: docs whose whole gram set can be destroyed
+    # by max_dist edits (gcnt ≤ d·q; len < q docs have no grams at all
+    # and a NULL count after the left join).  Deficient×deficient pairs
+    # may share zero grams, so they meet in a length-banded equi-join:
+    # side a fans out to the band [ln, ln+d], side b joins on its own
+    # length — |Δlen| ≤ d pairs collide in one direction, canonicalized
+    # by least/greatest.  Never a cross join.
+    gcnt = grams.groupBy("id").agg(F.count("*").alias("gcnt"))
+    deficient = (
+        base.join(gcnt, "id", "left")
+        .where(F.coalesce(F.col("gcnt"), F.lit(0)) <= max_dist * q)
+        .select("id", "ln")
     )
-    all_cand = cand.unionByName(short_cand)
+    short_cand = (
+        deficient.select(
+            F.col("id").alias("ida"),
+            F.explode(F.sequence(F.col("ln"), F.col("ln") + max_dist)).alias("lnk"),
+        )
+        .join(deficient.select(F.col("id").alias("idb"), F.col("ln").alias("lnk")), "lnk")
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("doc_a"), F.greatest("ida", "idb").alias("doc_b")
+        )
+    )
+    all_cand = cand.unionByName(short_cand).distinct()
     out = (
         all_cand.join(
             base.select(F.col("id").alias("doc_a"), F.col("s").alias("s_a"), F.col("ln").alias("ln_a")),
@@ -711,5 +823,8 @@ def edit_distance_dedup(
         .withColumn("dist", F.levenshtein("s_a", "s_b"))
         .where(F.col("dist") <= max_dist)
         .select("doc_a", "doc_b", "dist")
+        .localCheckpoint(eager=True)
     )
+    pre.unpersist()
+    base.unpersist()
     return out

@@ -2622,6 +2622,98 @@ def sif_pc_removal(spark, sf_dir):
     return out.select("id", F.round(l2_norm(F.col("vector")), 6).alias("norm"))
 
 
+def _power_iter_sql(iters: int) -> str:
+    """Unrolled power-method CTE chain: w{t} = C·u{t-1}, u{t} =
+    w{t}/|w{t}| — every dot a DuckDB ``list_inner_product`` (sequential,
+    bit-matching the driver-side Python loop in ``first_pc_power``)."""
+    steps = []
+    prev = "u0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"w{t} AS (SELECT list_transform(m, r -> list_inner_product(r, u)) w"
+            f" FROM mat, {prev})"
+        )
+        steps.append(
+            f"u{t} AS (SELECT list_transform(w, x -> x / sqrt(list_inner_product(w, w))) u"
+            f" FROM w{t})"
+        )
+        prev = f"u{t}"
+    return ",\n    ".join(steps)
+
+
+_SIF_PC_MD5_SQL = (
+    _TOKENS_SQL
+    + """
+    , freq AS (SELECT tok, count(*) f FROM lt GROUP BY tok),
+    tot AS (SELECT count(*) t FROM lt),
+    wt AS (SELECT tok, 0.001 / (0.001 + f / (SELECT t FROM tot)) w FROM freq),
+    dims AS (SELECT unnest(generate_series(0, 7)) d),
+    emb AS (SELECT id, d,
+                   sum(w * (CASE d {tok_case} END)) / sum(w) v
+            FROM lt JOIN wt USING (tok) CROSS JOIN dims
+            GROUP BY id, d),
+    vecs AS (SELECT id, list(v ORDER BY d) vec FROM emb GROUP BY id),
+    samp AS (SELECT vec, row_number() OVER (ORDER BY md5(id), id) rn
+             FROM vecs ORDER BY md5(id), id LIMIT 2000),
+    cells AS (SELECT di.d di, dj.d dj,
+                     list_sum(list(vec[di.d + 1] * vec[dj.d + 1] ORDER BY rn)) c
+              FROM samp CROSS JOIN dims di CROSS JOIN dims dj
+              GROUP BY di.d, dj.d),
+    mrows AS (SELECT di, list(c ORDER BY dj) r FROM cells GROUP BY di),
+    mat AS (SELECT list(r ORDER BY di) m FROM mrows),
+    u0 AS (SELECT list_transform(generate_series(1, 8), x -> 1.0 / sqrt(8.0)) u),
+    {power},
+    proj AS (SELECT id, vec, list_inner_product(vec, u) dt FROM vecs, {ulast})
+    SELECT id, round(sqrt(list_inner_product(
+             list_transform(vec, (x, i) -> x - dt * u[i]),
+             list_transform(vec, (x, i) -> x - dt * u[i]))), 5) AS norm
+    FROM proj, {ulast}
+    """
+)
+
+
+@register(
+    "sif_pc_removal_md5",
+    _SIF_PC_MD5_SQL.format(
+        stop=_STOP_SQL,
+        tok_case=" ".join(f"WHEN {d} THEN {_md5_component_sql(d)}" for d in range(8)),
+        power=_power_iter_sql(30),
+        ulast="u30",
+    ),
+)
+def sif_pc_removal_md5_q(spark, sf_dir):
+    """M2 under an EXACT oracle (the last deterministic-izable rows-only
+    query, round-3 verdict #6): SIF md5-hash embeddings → first PC by
+    fixed-iteration power method on the md5-ordered-sample second-moment
+    matrix (``first_pc_power`` — sequential sums/dots bit-matching
+    DuckDB's list primitives) → sign-invariant projection ``v-(v·u)u``
+    → per-entity norm.  Output rounded to 5dp: engine disagreement is
+    ≲1e-12 (vector pooling reassociation ~1e-15 amplified through the
+    2000-row covariance), five orders below the rounding ulp.
+    ``remove_first_pc`` (SVD) stays the default path; this is its
+    cross-checkable twin, same recipe as the 6 existing md5 twins."""
+    from .encoders.hashing import SIFHashingWordEmbedder, first_pc_power
+    from .functions.vectors import l2_norm
+
+    conc = _cust_frame(spark, sf_dir).concat_values()
+    # diamond: the embedding pipeline feeds the PC sample AND the final
+    # projection — materialize once, nothing left persisted
+    emb = (
+        SIFHashingWordEmbedder(dim=8, hash_fn="md5")
+        .encode(conc)
+        .localCheckpoint(eager=True)
+    )
+    u = first_pc_power(emb, sample_n=2000, iters=30)
+    u_col = F.array(*[F.lit(float(x)) for x in u])
+    dot = F.aggregate(
+        F.zip_with("vector", u_col, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pv = F.zip_with(F.col("vector"), u_col, lambda v, uu: v - dot * uu)
+    return emb.select("id", F.round(l2_norm(pv), 5).alias("norm"))
+
+
 @register(
     "corpus_clean_pipeline",
     """

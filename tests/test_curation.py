@@ -667,6 +667,31 @@ def test_line_dedup_split_re_mode(spark):
     assert out[1]["n_lines"] == 2 and out[1]["n_lines_kept"] == 1
 
 
+def test_line_dedup_rejoins_with_original_delimiter(spark):
+    """Round-3 advisory: a plain-delimiter split ("\\n") must rejoin
+    survivors with that delimiter, preserving multi-line structure; a
+    regex split with metacharacters falls back to a space unless
+    join_sep is explicit."""
+    from klinker_spark.ops.curation import line_dedup
+
+    docs = _docs(
+        spark,
+        [(1, "dup line\nkeep a\nkeep b"), (2, "dup line\nother text")],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, line_split_re="\n").collect()}
+    assert out[1]["text_clean"] == "keep a\nkeep b"  # newline preserved
+    regex = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, line_split_re="\\r?\\n").collect()
+    }
+    assert regex[1]["text_clean"] == "keep a keep b"  # metachar split -> space
+    explicit = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, line_split_re="\\r?\\n", join_sep="\n").collect()
+    }
+    assert explicit[1]["text_clean"] == "keep a\nkeep b"
+
+
 # ------------------------------------------------------------------ gopher rules
 def test_gopher_rules_each_rule_and_keep(spark):
     from klinker_spark.ops.curation import gopher_rules
@@ -775,6 +800,40 @@ def test_semdedup_zero_norm_vector_is_null_not_nan(spark):
     assert out[2]["keep"] and out[2]["max_sim_lower"] is None
     # and it never pollutes a real vector's max
     assert not out[3]["keep"] and abs(out[3]["max_sim_lower"] - 1.0) < 1e-6
+
+
+def test_semdedup_giant_cluster_guard_routes_to_expr(spark):
+    """Adversarial single-cluster corpus (n_centroids=1 → EVERY vector
+    lands in one cluster): with ``max_cluster_size`` below the corpus
+    size, the matmul impl must not hand the whole cluster to one
+    applyInPandas task — the oversized cluster runs through the AQE-
+    splittable expr join and the results stay bit-identical to the
+    unguarded run."""
+    from klinker_spark.ops.dedup import semdedup
+
+    import math
+
+    spark.catalog.clearCache()  # other tests share the session
+    rows = [
+        (i, [math.cos(i / 50.0), math.sin(i / 50.0)]) for i in range(120)
+    ]
+    emb = _emb(spark, rows)
+    guarded = {
+        r["vec_id"]: (r["cluster_id"], r["max_sim_lower"], r["keep"])
+        for r in semdedup(
+            emb, n_centroids=1, threshold=0.999, max_cluster_size=10
+        ).collect()
+    }
+    unguarded = {
+        r["vec_id"]: (r["cluster_id"], r["max_sim_lower"], r["keep"])
+        for r in semdedup(
+            emb, n_centroids=1, threshold=0.999, max_cluster_size=None
+        ).collect()
+    }
+    assert guarded == unguarded
+    assert len(guarded) == 120 and any(not v[2] for v in guarded.values())
+    # and the guard leaves no persisted DataFrames behind
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_semdedup_empty_corpus(spark):

@@ -869,6 +869,117 @@ def test_edit_distance_dedup_short_string_bucket(spark):
     assert (1, 4) not in got
 
 
+def test_edit_distance_prefix_gram_deficient_pair(spark):
+    """Round-3 advisory counter-example: "abcde"/"abxde" are Ed=1 but
+    share ZERO 3-grams (each has exactly d·q = 3 distinct grams, and
+    one edit can destroy all of them) — the prefix impl must route
+    gram-deficient strings through the length-banded bucket, not just
+    ``len < q`` ones."""
+    from klinker_spark.ops.dedup import edit_distance_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "abcde"), (2, "abxde"), (3, "zzzzz"), (4, "abcde_longer_tail")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in edit_distance_dedup(docs, max_dist=1, impl="prefix").collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+def test_edit_distance_deletion_depth_three(spark):
+    """impl="deletion" honors max_dist > 2 (round-3 advisory: depth was
+    silently capped at 2) — recursive neighborhoods to depth 3 find an
+    Ed=3 pair, verified against the brute-force model."""
+    from klinker_spark.ops.dedup import edit_distance_dedup
+
+    rows = [(1, "abcdefgh"), (2, "axcdyfgz"), (3, "abcdefg"), (4, "qqqqqqqq")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in edit_distance_dedup(docs, max_dist=3, impl="deletion").collect()
+    }
+    want = {
+        (ia, ib, _lev(ta, tb))
+        for ia, ta in rows
+        for ib, tb in rows
+        if ia < ib and _lev(ta, tb) <= 3
+    }
+    assert (1, 2, 3) in want and got == want
+
+
+def test_minhash_max_bucket_caps_hot_bands(spark):
+    """Adversarial boilerplate corpus: many docs sharing identical text
+    collapse into one band bucket per band.  ``max_bucket`` drops those
+    buckets (bounded fan-out: candidate pairs from capped run ⊆ from
+    uncapped run, and the boilerplate clique is gone), while genuinely
+    distinct near-dups survive."""
+    from klinker_spark.ops.dedup import minhash_lsh_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(i, boiler) for i in range(30)]
+    dup = "completely different unique text about spark catalyst optimizer internals"
+    rows += [(100, dup), (101, dup)]  # identical -> all bands collide, bucket size 2
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_dedup(docs, num_perm=16, bands=4).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(docs, num_perm=16, bands=4, max_bucket=5).collect()
+    }
+    assert capped <= uncapped
+    # the 30-doc boilerplate clique (435 pairs) is dropped by the cap
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # the distinct near-dup pair survives (its bucket has 2 docs)
+    assert (100, 101) in capped
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+
+
+def test_dedup_ops_leave_cache_manager_empty(spark):
+    """Cache contract (round-3 verdict #4): every dedup op releases its
+    internal persists before returning — N calls in one session leave
+    the cache manager empty each time (no storage growth)."""
+    from klinker_spark.ops.dedup import (
+        edit_distance_dedup,
+        minhash_lsh_dedup,
+        ngram_jaccard_dedup,
+        simhash_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared tokens") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    spark.catalog.clearCache()  # other tests share the session
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    for _ in range(2):
+        for op in (minhash_lsh_dedup, simhash_dedup, ngram_jaccard_dedup, edit_distance_dedup):
+            out = op(docs)
+            out.count()
+            assert cm.isEmpty(), f"{op.__name__} left persisted DataFrames behind"
+
+
+def test_dbscan_zero_norm_vector_is_noise_not_hub(spark):
+    """Round-3 advisory: cosine() yields NaN for a zero-norm vector and
+    Spark sorts NaN above every double, so an unguarded ε-join made the
+    zero vector a neighbor of everything — a core point merging the two
+    genuine clusters.  Guarded: the zero vector is noise and the two
+    clusters keep distinct labels."""
+    from klinker_spark.ops.clustering import dbscan_labels
+
+    a = [[1.0, 0.0], [0.999, 0.001], [0.998, 0.002]]
+    b = [[0.0, 1.0], [0.001, 0.999], [0.002, 0.998]]
+    rows = [(str(i), v) for i, v in enumerate(a + b)] + [("z", [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["id", "vector"])
+    got = {r["id"]: r["label"] for r in dbscan_labels(emb, min_sim=0.9, min_pts=3).collect()}
+    assert got["z"] == "-1"
+    labels_a = {got[str(i)] for i in range(3)}
+    labels_b = {got[str(i)] for i in range(3, 6)}
+    assert len(labels_a) == 1 and len(labels_b) == 1 and labels_a != labels_b
+
+
 def test_value_histogram_empty_input(spark):
     from klinker_spark.ops.rollup import value_histogram
 

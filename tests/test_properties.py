@@ -163,11 +163,19 @@ def test_line_dedup_reassembly_invariants(spark, texts):
         assert lax[i]["n_lines_kept"] == lax[i]["n_lines"]
 
 
-@given(st.lists(st.text(alphabet="abc", min_size=0, max_size=8), min_size=2, max_size=10))
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("impl", ["deletion", "prefix"])
+@given(texts=st.lists(st.text(alphabet="abc", min_size=0, max_size=8), min_size=2, max_size=10))
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
-def test_edit_distance_join_complete_on_arbitrary_strings(spark, texts):
-    """FastSS candidates lose no qualifying pair on arbitrary short
-    strings (incl. empties and duplicates)."""
+def test_edit_distance_join_complete_on_arbitrary_strings(spark, impl, texts):
+    """NEITHER candidate filter loses a qualifying pair on arbitrary
+    short strings (incl. empties and duplicates).  The prefix impl is
+    the adversarial one here: short strings are all gram-deficient
+    (≤ d·q distinct 3-grams), exercising the length-banded deficient
+    bucket end to end (round-3 advisory: "abcde"/"abxde" share zero
+    3-grams yet are Ed=1)."""
     from klinker_spark.ops.dedup import edit_distance_dedup
 
     def lev(a, b):
@@ -182,7 +190,7 @@ def test_edit_distance_join_complete_on_arbitrary_strings(spark, texts):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {
         (r["doc_a"], r["doc_b"], r["dist"])
-        for r in edit_distance_dedup(docs, max_dist=1).collect()
+        for r in edit_distance_dedup(docs, max_dist=1, impl=impl).collect()
     }
     want = {
         (ia, ib, lev(ta, tb))
