@@ -3655,58 +3655,55 @@ def semdedup_q(spark, sf_dir):
 # queries already in the prefix, plus a few trivially-green stat
 # lookups whose verdicts were recorded in rounds 1-2.
 _GATE_PRIORITY = [
-    # core blocking / prep / eval (green in r01+r02)
-    "standard_blocking",
-    "token_blocking",
-    "unique_name_blocking",
-    "top_n_filter",
-    "all_pairs_multiplicity",
-    "purge_blocks",
-    "eval_metrics",
-    "minhash_lsh_blocking_md5",
-    "tfidf_token_blocking",
-    "relational_token_blocking",
-    # dedup / text-stats (green in r01+r02)
-    # exact_dedup demoted (recorded green r01+r02; the dedup family
-    # keeps 7 prefix representatives incl. its component/ingest forms)
+    # ROUND-4 ROTATION (verdict r3 task #2).  Driver-record census over
+    # CORRECTNESS_r01..r03: 21 exact-oracled queries had NEVER been in
+    # a driver gate (incl. the new sif_pc_removal_md5), 29 had exactly
+    # one record, 50 had two or more.  21 + 29 = 50 = the gate size, so
+    # this prefix is exactly {never-recorded} ∪ {once-recorded}: after
+    # this round EVERY exact-oracled query in the registry has at least
+    # one driver CORRECTNESS row, and the once-recorded get their
+    # second.  The 50 demoted names (3 records each after r3) stay
+    # registered and judge-checkable via scripts/check_oracle.py.
+    #
+    # --- never driver-recorded (exact oracles) ---
+    "nicdm_topk",
+    "ann_topk_ivf_indexed_md5",
+    "multimodal_resize_features",
+    "windowed_token_blocks",
+    "sif_pc_removal_md5",
+    "corpus_clean_pipeline",
+    "token_blocking_capped",
+    "dedup_components_star",
+    "stratified_sample",
+    "pii_scrub",
+    "dsir_importance",
+    "pack_sequences",
+    "embedding_quantize",
+    "vocab_coverage",
+    "corpus_rollup",
+    "duplicated_span_stats",
+    "token_budget_mix",
+    "incremental_ingest",
+    "normalize_text",
+    "value_histogram",
+    "cm_token_freq",
+    # --- one driver record (r03), second record this round ---
     "edit_distance_dedup",
-    "minhash_dedup_md5",
-    "embedding_signlsh_dedup",
-    "simhash_dedup_md5",
-    "ngram_jaccard_dedup",
-    "embedding_cosine_dedup",
-    # semdedup / line_dedup / gopher_rules promoted over quality_score /
-    # token_frequencies / tfidf_top_tokens (recorded green in BOTH r01
-    # and r02; their family keeps gopher_rules + unigram_logprob +
-    # langid as prefix representatives)
     "semdedup",
     "line_dedup",
     "gopher_rules",
-    # langid demoted (green r01+r02): bigram_logprob is the richer
-    # text-quality representative (word-order-aware LM)
     "bigram_logprob",
-    # vectors / ANN (green in r01+r02)
-    "knn_topk",
-    "knn_topk_sharded",
-    "embedding_knn_blocking_md5",
-    "ann_topk_signlsh",
     "ann_topk_ivf_md5",
     "csls_topk",
     "mutual_rank_topk",
     "dbscan_labels",
     "multimodal_features",
-    # streaming-semantics (green in r01+r02; events_json_extract and
-    # running_user_stats demoted — trivial/recorded-twice rows yield to
-    # the two never-recorded ingestion gates, which ARE streaming ops)
-    "windowed_event_counts",
-    "events_dedup_earliest",
     "bloom_ingest_gate",
     "neardup_ingest_gate",
     "events_asof_join",
     "events_range_join",
     "events_hypertable_rollup",
     "kmv_distinct_sketch",
-    # exact-oracled queries the r02 gate omitted (judge-local MATCH)
     "graph_statistics",
     "sessionize_events",
     "composite_unique_name_blocking",
@@ -3715,18 +3712,10 @@ _GATE_PRIORITY = [
     "gcn_propagation_md5",
     "lightea_propagation_md5",
     "sinkhorn_rerank",
-    # round-3 corpus-curation operators (exact oracles, never
-    # driver-recorded) — promoted over five r01/r02-green rows whose
-    # verdicts are already on record and whose operator families keep
-    # other prefix representatives (token_blocking_capped /
-    # windowed_token_blocks / corpus_clean_pipeline / compare_blockings
-    # / blocks_combine remain registered + judge-checkable)
     "repetition_stats",
     "dedup_components",
     "contamination_check",
     "unigram_logprob",
-    # pack_sequences demoted for heavy_shingles (the CM-sketch family's
-    # exact showcase; packing stays registered + judge-checkable)
     "heavy_shingles",
 ]
 

@@ -352,3 +352,53 @@ def test_neardup_gate_incremental_history_across_batches(spark, tmp_path):
     assert seen[1] is False and seen[2] is False      # empty history
     assert seen[10] is True                            # batch-1 near-dup caught
     assert seen[11] is False
+
+
+def test_streaming_curate_cli_pipeline(spark, tmp_path):
+    """scripts/curate_corpus.py --streaming end-to-end (round-3 verdict
+    #7): two file-batches through the foreachBatch gate chain — quality
+    → PII scrub → exact-ingest gate → near-dup gate → history refresh.
+    Batch 2 re-delivers a batch-1 doc (exact) and a near-dup of one;
+    both are rejected by the refreshed history, the fresh doc lands."""
+    import importlib.util
+    import sys
+    import time as _time
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_corpus", "scripts/curate_corpus.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["curate_corpus"] = mod
+    spec.loader.exec_module(mod)
+
+    base = "the quick brown fox jumps over the lazy dog near the red barn today"
+    rows1 = [
+        (1, base, "en", "srcA", len(base)),
+        (2, "completely different content about parquet row groups and shuffles here", "en", "srcA", 70),
+        (3, "x", "en", "srcA", 1),  # fails the quality gate (min_words)
+    ]
+    near = base.replace("today", "tonight")
+    rows2 = [
+        (10, base, "en", "srcB", len(base)),          # exact re-delivery
+        (11, near, "en", "srcB", len(near)),          # near-dup of doc 1
+        (12, "fresh unrelated words concerning adaptive query execution plans and joins", "en", "srcB", 74),
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    src = tmp_path / "in"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    _time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    out = str(tmp_path / "out")
+    mod.streaming_curate(
+        spark, str(src / "*"), out, str(tmp_path / "hist"), available_now=True
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 1 in got and 2 in got       # batch 1 admitted
+    assert 3 not in got                # quality-rejected
+    assert 10 not in got               # exact gate (refreshed history)
+    assert 11 not in got               # near-dup gate
+    assert 12 in got                   # genuinely new content
+    # history grew to cover every admission
+    fps = {r["fingerprint"] for r in spark.read.parquet(str(tmp_path / "hist" / "fp")).collect()}
+    assert len(fps) == len(got)
