@@ -32,12 +32,12 @@ shape) and keep stages 2-4 unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 
-__all__ = ["dbscan_labels"]
+__all__ = ["dbscan_labels", "hdbscan_labels", "mutual_reachability_edges", "boruvka_mst"]
 
 
 def dbscan_labels(
@@ -114,3 +114,368 @@ def dbscan_labels(
     for cached in (edges, core, core_edges):
         cached.unpersist()
     return out
+
+
+# ------------------------------------------------------------------ HDBSCAN
+# True hierarchical density clustering (Campello, Moulavi, Sander 2013;
+# the hdbscan library's conventions) — closing the semantic gap with
+# reference ``blockers/attribute_clustering.py:18-21``, which runs the
+# hdbscan lib driver-side.  Decomposition for Spark:
+#
+#   1. core distances + mutual-reachability edge weights — DataFrame
+#      algebra (a window over the pair table);
+#   2. the mutual-reachability MST — distributed Borůvka (O(log n)
+#      rounds, each one join + one per-component min);
+#   3. condensation + excess-of-mass cluster selection — driver-side
+#      over the MST's n-1 scalar edges.  This is the SAME collect
+#      boundary as the reference (which collects the full distance
+#      matrix!); the O(n²) distance work stays distributed.
+
+
+def mutual_reachability_edges(
+    emb: DataFrame,
+    min_samples: int = 5,
+    k_graph: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Mutual-reachability graph ``(a, b, w)`` with ``a < b`` and
+    ``w = max(d(a,b), core_a, core_b)`` (euclidean).
+
+    ``core_x`` = distance to the ``min_samples``-th nearest neighbor
+    counting x itself (hdbscan's convention: ``min_samples=1`` ⇒ core
+    0).  ``k_graph=None`` keeps ALL pairs — the exact graph, giving the
+    exact MST (the op targets distinct attribute values, the reference
+    scale); an integer keeps each point's ``k_graph`` nearest neighbors
+    (symmetrized), the standard sparse approximation for large n — same
+    swap as dbscan's ε-join note.  The pair generation broadcasts one
+    side, like :func:`dbscan_labels`.
+    """
+    pts = emb.select(F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v"))
+    other = pts.select(F.col("id").alias("nid"), F.col("v").alias("nv"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "nv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        pts.join(F.broadcast(other), F.col("id") != F.col("nid"))
+        .select("id", "nid", dist.alias("d"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("nid").asc())
+            ),
+        )
+    ).persist()
+    # core distance: (min_samples-1)-th OTHER neighbor = min_samples-th
+    # including self (d(self)=0)
+    if min_samples <= 1:
+        cores = pts.select("id", F.lit(0.0).alias("core"))
+    else:
+        cores = pairs.where(F.col("rk") == min_samples - 1).select("id", F.col("d").alias("core"))
+        # fewer than min_samples-1 neighbors (tiny corpus): core = max d
+        missing = (
+            pairs.groupBy("id").agg(F.max("d").alias("core"))
+            .join(cores.select("id"), "id", "left_anti")
+        )
+        cores = cores.unionByName(missing)
+    cand = pairs.where(F.lit(True) if k_graph is None else (F.col("rk") <= k_graph))
+    canon = (
+        cand.select(
+            F.least("id", "nid").alias("a"), F.greatest("id", "nid").alias("b"), "d"
+        ).distinct()
+    )
+    out = (
+        canon.join(cores.select(F.col("id").alias("a"), F.col("core").alias("core_a")), "a")
+        .join(cores.select(F.col("id").alias("b"), F.col("core").alias("core_b")), "b")
+        .select("a", "b", F.greatest("d", "core_a", "core_b").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
+    return out
+
+
+def boruvka_mst(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Minimum spanning forest of an undirected weighted graph —
+    distributed Borůvka: each round every component selects its
+    minimum outgoing edge under the TOTAL order ``(w, a, b)`` (strict
+    total order ⇒ no cycles even with tied weights), selected edges
+    join the forest, components contract via
+    :func:`~klinker_spark.ops.curation.connected_components`.
+    Components at least halve per round ⇒ ≤ log₂(n) rounds.
+
+    ``edges``: ``(a, b, w)`` canonical ``a < b``; ``vertices``: one
+    column of vertex ids.  Output: the forest edges ``(a, b, w)``
+    (n - #components rows).
+    """
+    from .curation import connected_components
+
+    comp = vertices.select(
+        F.col(vertices.columns[0]).alias("id")
+    ).withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    ed = edges.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    mst = None
+    for _ in range(max_iter):
+        lab_a = comp.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
+        lab_b = comp.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
+        cross = (
+            ed.join(lab_a, "a").join(lab_b, "b").where(F.col("ca") != F.col("cb"))
+        ).localCheckpoint(eager=True)
+        if cross.isEmpty():
+            break
+        wnd = Window.partitionBy("comp").orderBy(
+            F.col("w").asc(), F.col("a").asc(), F.col("b").asc()
+        )
+        sel = (
+            cross.select(F.col("ca").alias("comp"), "a", "b", "w")
+            .unionByName(cross.select(F.col("cb").alias("comp"), "a", "b", "w"))
+            .withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") == 1)
+            .select("a", "b", "w")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        mst = sel if mst is None else mst.unionByName(sel).localCheckpoint(eager=True)
+        contract = (
+            sel.join(lab_a, "a").join(lab_b, "b")
+            .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        )
+        relabel = connected_components(
+            contract, "src", "dst", vertices=comp.select("comp").distinct()
+        )
+        comp = (
+            comp.join(relabel.withColumnRenamed("id", "comp"), "comp")
+            .select("id", F.col("label").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"boruvka_mst did not converge in {max_iter} rounds")
+    if mst is None:
+        return spark.createDataFrame([], "a string, b string, w double")
+    return mst
+
+
+#: λ cap standing in for 1/0 when points coincide (w = 0): finite so
+#: stability sums stay well-defined, huge so zero-distance merges
+#: always outrank real ones.
+_LAMBDA_MAX = 1e12
+
+
+def _condense_and_select(
+    mst_rows, point_ids, min_cluster_size: int, allow_single_cluster: bool
+):
+    """Driver-side single-linkage → condensed tree → excess-of-mass
+    selection (the hdbscan library's pipeline over the collected MST).
+    Returns ``{point_id: cluster_key or None}`` with cluster_key the
+    root-distinguishing integer of the selected cluster."""
+    n = len(point_ids)
+    idx = {p: i for i, p in enumerate(point_ids)}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # single-linkage dendrogram: internal nodes n.. in merge order
+    children: dict[int, tuple[int, int, float]] = {}
+    comp_node = list(range(n))
+    cur = n
+    for a, b, w in sorted(mst_rows, key=lambda r: (r[2], r[0], r[1])):
+        ra, rb = find(idx[a]), find(idx[b])
+        children[cur] = (comp_node[ra], comp_node[rb], float(w))
+        parent[rb] = ra
+        comp_node[ra] = cur
+        cur += 1
+    roots = {comp_node[find(i)] for i in range(n)}
+
+    sizes: dict[int, int] = {}
+
+    def size_of(node):  # iterative subtree leaf count
+        stack = [node]
+        while stack:
+            x = stack.pop()
+            if x in sizes:
+                continue
+            if x < n:
+                sizes[x] = 1
+                continue
+            l, r, _ = children[x]
+            if l in sizes and r in sizes:
+                sizes[x] = sizes[l] + sizes[r]
+            else:
+                stack.extend((x, l, r))
+        return sizes[node]
+
+    def leaves(node):
+        out, stack = [], [node]
+        while stack:
+            x = stack.pop()
+            if x < n:
+                out.append(x)
+            else:
+                l, r, _ = children[x]
+                stack.extend((l, r))
+        return out
+
+    # condensed tree: cluster -> birth λ, parent cluster, point exits
+    birth: dict[int, float] = {}
+    cparent: dict[int, int] = {}
+    exits: dict[int, list[tuple[int, float]]] = {}
+    cchildren: dict[int, list[int]] = {}
+    next_cluster = [0]
+    point_exit: dict[int, tuple[int, float]] = {}  # leaf -> (cluster, λ)
+
+    def new_cluster(parent_c, lam):
+        c = next_cluster[0]
+        next_cluster[0] += 1
+        birth[c] = lam
+        exits[c] = []
+        cchildren[c] = []
+        if parent_c is not None:
+            cparent[c] = parent_c
+            cchildren[parent_c].append(c)
+        return c
+
+    for root in sorted(roots):
+        rc = new_cluster(None, 0.0)
+        stack = [(root, rc)]
+        while stack:
+            node, c = stack.pop()
+            if node < n:  # singleton component / chain end
+                exits[c].append((node, _LAMBDA_MAX))
+                point_exit[node] = (c, _LAMBDA_MAX)
+                continue
+            l, r, w = children[node]
+            lam = (1.0 / w) if w > 0 else _LAMBDA_MAX
+            sl, sr = size_of(l), size_of(r)
+            big_l, big_r = sl >= min_cluster_size, sr >= min_cluster_size
+            if big_l and big_r:  # true split: two child clusters born
+                for ch in (l, r):
+                    stack.append((ch, new_cluster(c, lam)))
+            elif big_l or big_r:  # small side falls out, cluster continues
+                keep, drop = (l, r) if big_l else (r, l)
+                for p in leaves(drop):
+                    exits[c].append((p, lam))
+                    point_exit[p] = (c, lam)
+                stack.append((keep, c))
+            else:  # cluster dissolves: every point leaves here
+                for p in leaves(node):
+                    exits[c].append((p, lam))
+                    point_exit[p] = (c, lam)
+
+    # stability (hdbscan compute_stability): per point-exit row
+    # (λ_exit - λ_birth), plus per child-cluster row
+    # (λ_child_birth - λ_birth) · |child subtree|
+    total_size: dict[int, int] = {}
+    for c in sorted(birth, reverse=True):  # children created after parents
+        total_size[c] = len(exits[c]) + sum(total_size[k] for k in cchildren[c])
+    stability = {
+        c: sum(lam - birth[c] for _, lam in exits[c])
+        + sum((birth[ch] - birth[c]) * total_size[ch] for ch in cchildren[c])
+        for c in birth
+    }
+
+    # excess-of-mass selection, bottom-up (reverse creation order);
+    # roots (λ_birth = 0) are never selectable unless
+    # allow_single_cluster; undersized singleton-root "clusters"
+    # (disconnected k_graph leftovers) never are
+    selected: dict[int, bool] = {}
+    subtree: dict[int, float] = {}
+    for c in sorted(birth, reverse=True):
+        kids = cchildren[c]
+        s_kids = sum(subtree[k] for k in kids)
+        is_root = c not in cparent
+        root_blocked = is_root and (
+            not allow_single_cluster or total_size[c] < min_cluster_size
+        )
+        if not kids:
+            selected[c] = not root_blocked
+            subtree[c] = stability[c]
+        elif s_kids > stability[c] or root_blocked:
+            selected[c] = False
+            subtree[c] = s_kids
+        else:
+            selected[c] = True
+            subtree[c] = stability[c]
+            stack = list(kids)  # deselect all descendants, iteratively
+            while stack:
+                k = stack.pop()
+                selected[k] = False
+                stack.extend(cchildren[k])
+
+    labels: dict[str, int | None] = {}
+    for p, (c, _lam) in point_exit.items():
+        cc: int | None = c
+        while cc is not None and not selected.get(cc, False):
+            cc = cparent.get(cc)
+        labels[point_ids[p]] = cc
+    return labels
+
+
+def hdbscan_labels(
+    emb: DataFrame,
+    min_cluster_size: int = 5,
+    min_samples: int | None = None,
+    k_graph: int | None = None,
+    allow_single_cluster: bool = False,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """HDBSCAN over ``(id, vector)`` → ``(id, label)``; ``label`` is the
+    smallest member id of the selected cluster (the engine's
+    deterministic labeling convention, as :func:`dbscan_labels`), or
+    ``"-1"`` for noise — hdbscan's convention for points in no selected
+    cluster.
+
+    Faithful to the hdbscan library's semantics (ref
+    ``attribute_clustering.py:18-21`` runs that lib driver-side):
+    mutual-reachability single-linkage hierarchy, ``min_cluster_size``
+    condensation (small split sides fall out of the continuing
+    cluster), excess-of-mass cluster selection, root unselectable
+    unless ``allow_single_cluster`` — so a uniform-density blob with
+    ``allow_single_cluster=False`` is ALL noise, and clusters of
+    different densities are found where single-ε DBSCAN cannot.
+    Membership follows the library's default ``do_labelling``: every
+    point climbs to its nearest SELECTED ancestor cluster (early
+    fall-outs of a selected cluster are members); only points whose
+    chain ends at an unselected root are noise.
+
+    ``min_samples`` defaults to ``min_cluster_size`` (the lib default).
+    Scale shape: distances and the Borůvka MST are distributed; only
+    the n-1 MST edges are collected for condensation (vs the
+    reference's full driver distance matrix).  For corpus-scale n, pass
+    ``k_graph`` to sparsify candidate edges (kNN symmetrization).
+    """
+    if min_cluster_size < 2:
+        raise ValueError("min_cluster_size must be >= 2 (hdbscan convention)")
+    ms = min_cluster_size if min_samples is None else min_samples
+    pts = emb.select(F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v"))
+    edges = mutual_reachability_edges(
+        pts, min_samples=ms, k_graph=k_graph, id_col="id", vec_col="v"
+    )
+    mst = boruvka_mst(edges, pts.select("id"))
+    ids = [r["id"] for r in pts.select("id").distinct().collect()]
+    rows = [(r["a"], r["b"], r["w"]) for r in mst.collect()]
+    labels = _condense_and_select(
+        rows, sorted(ids), min_cluster_size, allow_single_cluster
+    )
+    # cluster key -> smallest member id
+    by_cluster: dict[int, list[str]] = {}
+    for p, c in labels.items():
+        if c is not None:
+            by_cluster.setdefault(c, []).append(p)
+    name = {c: min(members) for c, members in by_cluster.items()}
+    out_rows = [
+        (p, name[c] if c is not None else "-1") for p, c in labels.items()
+    ]
+    from ..session import local_df
+
+    return local_df(emb.sparkSession, out_rows, "id string, label string")

@@ -188,3 +188,155 @@ def test_attribute_clustering_dbscan_noise_handling(spark, frame_a, frame_b):
         AttributeClusteringBlocker(noise_handling="bogus")
     with pytest.raises(ValueError, match="method"):
         AttributeClusteringBlocker(method="hdbscan")
+
+
+# ------------------------------------------------------------------ HDBSCAN
+# Invariant tests on fixed 2-D points, mirroring the hdbscan-library
+# conventions the reference relies on (ref attribute_clustering.py:18-21,
+# test_blockbuilder.py:37-138): -1 noise, min_cluster_size condensation,
+# root unselectable without allow_single_cluster, variable-density
+# clusters that a single-eps DBSCAN cannot separate.
+
+def _pts2(spark, rows):
+    return spark.createDataFrame(rows, "id string, vector array<double>")
+
+
+def test_hdbscan_two_blobs_and_noise(spark):
+    """Two well-separated dense blobs + far outliers: two clusters
+    labeled by smallest member id, outliers -1."""
+    from klinker_spark.ops.clustering import hdbscan_labels
+
+    blob_a = [(f"a{i}", [0.0 + 0.01 * i, 0.0 + 0.007 * i]) for i in range(5)]
+    blob_b = [(f"b{i}", [5.0 + 0.01 * i, 5.0 - 0.006 * i]) for i in range(5)]
+    noise = [("z1", [100.0, -40.0]), ("z2", [-80.0, 55.0])]
+    got = {
+        r["id"]: r["label"]
+        for r in hdbscan_labels(
+            _pts2(spark, blob_a + blob_b + noise), min_cluster_size=4, min_samples=3
+        ).collect()
+    }
+    assert {got[f"a{i}"] for i in range(5)} == {"a0"}
+    assert {got[f"b{i}"] for i in range(5)} == {"b0"}
+    assert got["z1"] == "-1" and got["z2"] == "-1"
+
+
+def test_hdbscan_single_blob_root_convention(spark):
+    """A single uniform blob: with allow_single_cluster=False (the
+    hdbscan default) the root is unselectable -> all noise; with True
+    the blob is one cluster."""
+    from klinker_spark.ops.clustering import hdbscan_labels
+
+    rows = [(f"p{i}", [0.01 * i, 0.013 * (i % 3)]) for i in range(8)]
+    strict = {
+        r["id"]: r["label"]
+        for r in hdbscan_labels(_pts2(spark, rows), min_cluster_size=4).collect()
+    }
+    assert set(strict.values()) == {"-1"}
+    loose = {
+        r["id"]: r["label"]
+        for r in hdbscan_labels(
+            _pts2(spark, rows), min_cluster_size=4, allow_single_cluster=True
+        ).collect()
+    }
+    assert set(loose.values()) == {"p0"} and len(loose) == 8
+
+
+def test_hdbscan_min_cluster_size_condensation(spark):
+    """Two big blobs + a 3-point clump: the clump is its OWN cluster at
+    mcs=3 (true split); at mcs=4 it is condensed away — its points fall
+    out of the A-side cluster early and, per the hdbscan library's
+    default do_labelling (points climbing to their nearest SELECTED
+    ancestor), are labeled as members of that cluster; only root
+    fall-outs are noise.  Both big blobs persist either way."""
+    from klinker_spark.ops.clustering import hdbscan_labels
+
+    big_a = [(f"a{i}", [0.01 * i, 0.0]) for i in range(6)]
+    small = [("s1", [5.0, 0.0]), ("s2", [5.01, 0.0]), ("s3", [5.02, 0.0])]
+    big_b = [(f"b{i}", [12.0 + 0.01 * i, 0.0]) for i in range(6)]
+    emb = _pts2(spark, big_a + small + big_b)
+    at3 = {r["id"]: r["label"] for r in hdbscan_labels(emb, min_cluster_size=3, min_samples=2).collect()}
+    assert at3["s1"] == at3["s2"] == at3["s3"] == "s1"
+    assert {at3[f"a{i}"] for i in range(6)} == {"a0"}
+    assert {at3[f"b{i}"] for i in range(6)} == {"b0"}
+    at4 = {r["id"]: r["label"] for r in hdbscan_labels(emb, min_cluster_size=4, min_samples=2).collect()}
+    assert at4["s1"] == at4["s2"] == at4["s3"] == "a0"  # absorbed, not noise
+    assert {at4[f"a{i}"] for i in range(6)} == {"a0"}
+    assert {at4[f"b{i}"] for i in range(6)} == {"b0"}
+
+
+def test_hdbscan_all_structure_in_root_is_noise(spark):
+    """hdbscan convention check: one big blob plus a sub-mcs satellite
+    never true-splits, so ALL structure lives in the unselectable root
+    -> everything is noise (the documented allow_single_cluster=False
+    gotcha), while allow_single_cluster=True selects the root."""
+    from klinker_spark.ops.clustering import hdbscan_labels
+
+    big = [(f"a{i}", [0.01 * i, 0.0]) for i in range(6)]
+    small = [("s1", [5.0, 5.0]), ("s2", [5.01, 5.0]), ("s3", [5.02, 5.0])]
+    emb = _pts2(spark, big + small)
+    strict = {r["id"]: r["label"] for r in hdbscan_labels(emb, min_cluster_size=4, min_samples=2).collect()}
+    assert set(strict.values()) == {"-1"}
+    loose = {
+        r["id"]: r["label"]
+        for r in hdbscan_labels(
+            emb, min_cluster_size=4, min_samples=2, allow_single_cluster=True
+        ).collect()
+    }
+    assert len(set(loose.values())) == 1 and "-1" not in set(loose.values())
+
+
+def test_hdbscan_variable_density(spark):
+    """The HDBSCAN advantage: a tight blob (spacing 0.01) and a loose
+    blob (spacing 1.0) separated by 30 units are BOTH found — no single
+    eps works for that (eps > 1 merges nothing tight-side-specific,
+    eps < 1 dissolves the loose blob)."""
+    from klinker_spark.ops.clustering import hdbscan_labels
+
+    tight = [(f"t{i}", [0.01 * i, 0.0]) for i in range(5)]
+    loose = [(f"l{i}", [30.0 + 1.0 * i, 0.0]) for i in range(5)]
+    got = {
+        r["id"]: r["label"]
+        for r in hdbscan_labels(
+            _pts2(spark, tight + loose), min_cluster_size=4, min_samples=2
+        ).collect()
+    }
+    assert {got[f"t{i}"] for i in range(5)} == {"t0"}
+    assert {got[f"l{i}"] for i in range(5)} == {"l0"}
+
+
+def test_hdbscan_order_and_partition_invariance(spark):
+    """Labels are independent of row order / partition layout
+    (deterministic MST total order + smallest-member naming)."""
+    from klinker_spark.ops.clustering import hdbscan_labels
+
+    rows = (
+        [(f"a{i}", [0.02 * i, 0.01 * i]) for i in range(5)]
+        + [(f"b{i}", [7.0 + 0.02 * i, 0.01 * i]) for i in range(5)]
+        + [("z", [50.0, 50.0])]
+    )
+    base = {
+        r["id"]: r["label"]
+        for r in hdbscan_labels(_pts2(spark, rows), min_cluster_size=4).collect()
+    }
+    perm = _pts2(spark, rows[::-1]).repartition(7)
+    again = {
+        r["id"]: r["label"] for r in hdbscan_labels(perm, min_cluster_size=4).collect()
+    }
+    assert base == again
+
+
+def test_hdbscan_knn_sparsification_agrees(spark):
+    """k_graph sparsification (the corpus-scale path) reproduces the
+    exact-graph labels on well-separated blobs."""
+    from klinker_spark.ops.clustering import hdbscan_labels
+
+    rows = [(f"a{i}", [0.02 * i, 0.0]) for i in range(5)] + [
+        (f"b{i}", [9.0 + 0.02 * i, 0.0]) for i in range(5)
+    ]
+    emb = _pts2(spark, rows)
+    exact = {r["id"]: r["label"] for r in hdbscan_labels(emb, min_cluster_size=4).collect()}
+    sparse = {
+        r["id"]: r["label"]
+        for r in hdbscan_labels(emb, min_cluster_size=4, k_graph=6).collect()
+    }
+    assert exact == sparse
