@@ -135,6 +135,55 @@ def main() -> None:
         curation[name] = round(time.time() - t0, 3)
         print(f"# {name}: {curation[name]}s (curation)", file=sys.stderr)
 
+    # ---- sf1 scale-validation section (round-3 verdict #1) ----
+    # A representative 10x-scale pass: every engine family with
+    # linear/sublinear scaling, plus the round-4 eval_metrics fix.
+    # The three quadratic-OUTPUT blockers and the vocab-degeneracy
+    # dedup pair are excluded with written waivers (SCALE.md §sf1) —
+    # their full-suite sf1 numbers are recorded there.
+    sf1_queries = [
+        "standard_blocking", "token_blocking", "exact_dedup",
+        "minhash_dedup", "simhash_dedup", "knn_topk", "knn_topk_sharded",
+        "ann_topk_ivf_indexed", "langid", "quality_score",
+        "windowed_event_counts", "sessionize_events", "eval_metrics",
+        "semdedup", "line_dedup", "cm_token_freq", "corpus_clean_pipeline",
+    ]
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata_sf1"),
+    )
+    sf1_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        if not os.path.isdir(sf1_dir):
+            # deterministic regeneration (fresh clone): ~90 s once
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "gen_testdata",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts", "gen_testdata.py",
+                ),
+            )
+            gen = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(gen)
+            gen.generate(1.0, sf1_dir, seed=42)
+        for name in sf1_queries:
+            _reset()
+            t0 = time.time()
+            QUERIES[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            sf1_timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {sf1_timings[name]}s (sf1)", file=sys.stderr)
+
+    import math
+
+    base = {**timings, **curation}
+    exponents = {
+        n: round(math.log10(t / base[n]), 2)
+        for n, t in sf1_timings.items()
+        if base.get(n, 0) > 0.05  # sub-50ms bases are all fixed overhead
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -147,6 +196,14 @@ def main() -> None:
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_curation": curation,
                 "curation_total": round(sum(curation.values()), 3),
+                "sf1": {
+                    "dir": sf1_dir,
+                    "queries": sf1_timings,
+                    "total": round(sum(sf1_timings.values()), 3),
+                    # log10(t_sf1 / t_sf0.1): 1.0 = linear in data size,
+                    # < 1 sublinear, 2.0 quadratic
+                    "scaling_exponent_vs_main_sf": exponents,
+                },
                 "load_avg": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -66,16 +66,67 @@ class Evaluation:
             F.col(lcol).cast("string").alias("left_id"),
             F.col(rcol).cast("string").alias("right_id"),
         ).distinct()  # gold is a set of links; dupes would inflate the left-join
-        pairs = blocks.pairs(distinct=distinct)
-        # one job for comparisons + TPs: left-join gold (broadcast — gold
-        # is the small side by construction) and count flag hits
-        marked = pairs.join(
-            F.broadcast(g.withColumn("_g", F.lit(1))), ["left_id", "right_id"], "left"
-        )
-        row = marked.agg(
-            F.count("*").alias("_n"), F.sum(F.coalesce(F.col("_g"), F.lit(0))).alias("_tp")
-        ).first()
-        n_pairs, tp = row["_n"], int(row["_tp"] or 0)
+        n_pairs = tp = None
+        if distinct and blocks.left_keys is not None:
+            # Assignment-frame fast path (the reference's
+            # MinimalEvaluation direction, ``eval.py:22-141``, taken to
+            # its join-only conclusion): a gold pair is COVERED iff the
+            # two sides share ≥ 1 block key — an assignments join
+            # linear in |gold|·keys-per-entity, so TP/FN never touch
+            # the |blocks|² pair space.  When either side assigns every
+            # entity at most ONE key (standard blocking — checked with
+            # one cheap aggregate), cross-block duplicate pairs cannot
+            # exist, so the distinct comparison count is plain
+            # Σ|bl|·|br| from the per-block sizes — the 126 s → 3 s
+            # sf1 fix: the only remaining pair-space scan is the
+            # genuinely multi-key distinct count, and FP stays
+            # comparisons − TP by definition.
+            la = blocks.left_keys.select(
+                "block_key", F.col("id").cast("string").alias("left_id")
+            )
+            ra = blocks.right_keys.select(
+                "block_key", F.col("id").cast("string").alias("right_id")
+            )
+            kmax = (
+                la.groupBy("left_id").count().agg(F.max("count").alias("_ml"))
+                .crossJoin(
+                    ra.groupBy("right_id").count().agg(F.max("count").alias("_mr"))
+                )
+                .first()
+            )
+            single_key = (kmax["_ml"] or 0) <= 1 or (kmax["_mr"] or 0) <= 1
+            covered = (
+                F.broadcast(g)
+                .join(la, "left_id")
+                .join(ra, ["block_key", "right_id"])
+                .select("left_id", "right_id")
+                .distinct()
+            )
+            tp_agg = covered.agg(F.count("*").alias("_tp"))
+            if single_key:
+                sizes = (
+                    la.groupBy("block_key").agg(F.count("*").alias("_nl"))
+                    .join(ra.groupBy("block_key").agg(F.count("*").alias("_nr")), "block_key")
+                    .agg(F.sum(F.col("_nl") * F.col("_nr")).alias("_n"))
+                )
+                row = tp_agg.crossJoin(sizes).first()
+            else:
+                row = tp_agg.crossJoin(
+                    blocks.pairs(distinct=True).agg(F.count("*").alias("_n"))
+                ).first()
+            n_pairs, tp = int(row["_n"] or 0), int(row["_tp"] or 0)
+        else:
+            pairs = blocks.pairs(distinct=distinct)
+            # one job for comparisons + TPs: left-join gold (broadcast —
+            # gold is the small side by construction) and count flag hits
+            marked = pairs.join(
+                F.broadcast(g.withColumn("_g", F.lit(1))), ["left_id", "right_id"], "left"
+            )
+            row = marked.agg(
+                F.count("*").alias("_n"),
+                F.sum(F.coalesce(F.col("_g"), F.lit(0))).alias("_tp"),
+            ).first()
+            n_pairs, tp = row["_n"], int(row["_tp"] or 0)
         small = g.agg(F.count("*").alias("_ng"))
         if isinstance(left_count, DataFrame):
             small = small.crossJoin(left_count.agg(F.count("*").alias("_nl")))

@@ -3644,6 +3644,23 @@ def semdedup_q(spark, sf_dir):
     return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+@register("hdbscan_labels")
+def hdbscan_labels_q(spark, sf_dir):
+    """M14/M15 hierarchy closed (round-4): true HDBSCAN — mutual-
+    reachability Borůvka MST (distributed) + condensed-tree excess-of-
+    mass selection (driver, over the n-1 MST edges).  Iterative MST +
+    hierarchical condensation are not SQL-expressible → rows-only
+    check; label conventions verified against fixed 2-D points in
+    tests/test_attr_clustering_eval.py (the hdbscan-library invariants
+    the reference relies on)."""
+    from .ops.clustering import hdbscan_labels
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 120)
+    return hdbscan_labels(
+        emb, min_cluster_size=4, min_samples=3, id_col="vec_id", vec_col="embedding"
+    )
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,
