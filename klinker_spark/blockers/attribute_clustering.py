@@ -9,10 +9,13 @@ labels; concrete classes ``:154-393``).
 Spark-first differences:
 - embedding = the engine's hash-derived token pooling (deterministic,
   JVM-side) instead of gensim vectors — same dataflow, no model file;
-- clustering: ``method="kmeans"`` (MLlib, no noise concept) or
+- clustering: ``method="kmeans"`` (MLlib, no noise concept),
   ``method="dbscan"`` (``ops.clustering.dbscan_labels`` — distributed
-  density clustering with hdbscan's ``-1`` noise convention).  Either
-  fit runs on the *distinct values* table, orders of magnitude smaller
+  density clustering with hdbscan's ``-1`` noise convention), or
+  ``method="hdbscan"`` (``ops.clustering.hdbscan_labels`` — the REAL
+  hierarchy the reference runs: mutual-reachability Borůvka MST +
+  condensed-tree selection, min_cluster_size semantics, library label
+  conventions).  Any fit runs on the *distinct values* table, orders of magnitude smaller
   than the data — the scalable part, the label join, is a
   broadcastable dimension table exactly like the reference's merge
   (``attribute_clustering.py:62-78``);
@@ -47,9 +50,11 @@ class AttributeClusteringBlocker(Blocker):
         min_sim: float = 0.9,
         min_pts: int = 3,
         noise_handling: str = "keep",
+        min_cluster_size: int = 3,
+        allow_single_cluster: bool = True,
     ):
-        if method not in ("kmeans", "dbscan"):
-            raise ValueError(f"method must be kmeans|dbscan, got {method!r}")
+        if method not in ("kmeans", "dbscan", "hdbscan"):
+            raise ValueError(f"method must be kmeans|dbscan|hdbscan, got {method!r}")
         if noise_handling not in ("keep", "remove", "token"):
             raise ValueError(
                 f"noise_handling must be keep|remove|token, got {noise_handling!r}"
@@ -61,6 +66,11 @@ class AttributeClusteringBlocker(Blocker):
         self.min_sim = min_sim
         self.min_pts = min_pts
         self.noise_handling = noise_handling
+        self.min_cluster_size = min_cluster_size
+        # attribute tables routinely hold ONE dominant value family;
+        # blocking wants that family as a block, not as noise, so the
+        # blocker default diverges from the hdbscan-library default
+        self.allow_single_cluster = allow_single_cluster
 
     def _embed_values(self, values: DataFrame) -> DataFrame:
         return HashingWordEmbedder(dim=self.dim, seed=self.seed).encode(
@@ -70,12 +80,21 @@ class AttributeClusteringBlocker(Blocker):
     def _value_labels(self, values: DataFrame) -> DataFrame:
         """Distinct values → ``(value, block_key='clustering_label_<k>')``."""
         emb = self._embed_values(values)
-        if self.method == "dbscan":
-            from ..ops.clustering import dbscan_labels
+        if self.method in ("dbscan", "hdbscan"):
+            if self.method == "hdbscan":
+                from ..ops.clustering import hdbscan_labels
 
-            labeled = dbscan_labels(
-                emb, min_sim=self.min_sim, min_pts=self.min_pts
-            ).withColumnRenamed("id", "value")
+                labeled = hdbscan_labels(
+                    emb,
+                    min_cluster_size=self.min_cluster_size,
+                    allow_single_cluster=self.allow_single_cluster,
+                ).withColumnRenamed("id", "value")
+            else:
+                from ..ops.clustering import dbscan_labels
+
+                labeled = dbscan_labels(
+                    emb, min_sim=self.min_sim, min_pts=self.min_pts
+                ).withColumnRenamed("id", "value")
             if self.noise_handling == "remove":
                 labeled = labeled.where(F.col("label") != "-1")
             elif self.noise_handling == "token":

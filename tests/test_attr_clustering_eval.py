@@ -340,3 +340,32 @@ def test_hdbscan_knn_sparsification_agrees(spark):
         for r in hdbscan_labels(emb, min_cluster_size=4, k_graph=6).collect()
     }
     assert exact == sparse
+
+
+def test_attribute_clustering_hdbscan_method(spark):
+    """method='hdbscan' runs the real hierarchy over distinct values:
+    two value families cluster, noise handling applies to '-1'."""
+    from klinker_spark.blockers.attribute_clustering import AttributeClusteringBlocker
+    from klinker_spark.data.frames import EntityFrame
+
+    def melt_rows(rows, name):
+        df = spark.createDataFrame(rows, "id string, value string")
+        return EntityFrame(df.select("id", F.lit("attr").alias("attribute"), "value")
+                           if "attribute" not in df.columns else df, name)
+
+    left_rows = [(f"l{i}", f"alpha common {i % 2}") for i in range(4)] + [
+        ("lx", "totally unique left value zzz")
+    ]
+    right_rows = [(f"r{i}", f"alpha common {i % 2}") for i in range(4)] + [
+        ("rx", "different unique right thing qqq")
+    ]
+    left = melt_rows(left_rows, "L")
+    right = melt_rows(right_rows, "R")
+    bm = AttributeClusteringBlocker(
+        method="hdbscan", dim=16, min_cluster_size=2, noise_handling="remove"
+    ).assign(left, right)
+    pairs = {(r["left_id"], r["right_id"]) for r in bm.block_pairs().collect()}
+    # the shared 'alpha common *' family pairs across sides
+    assert any(l.startswith("l") and r.startswith("r") for l, r in pairs)
+    keys = {r["block_key"] for r in bm.block_pairs().collect()}
+    assert all(k.startswith("clustering_label_") for k in keys)
