@@ -412,12 +412,26 @@ def _condense_and_select(
                 stack.extend(cchildren[k])
 
     labels: dict[str, int | None] = {}
-    for p, (c, _lam) in point_exit.items():
+    lam_of: dict[str, float] = {}
+    for p, (c, lam) in point_exit.items():
         cc: int | None = c
         while cc is not None and not selected.get(cc, False):
             cc = cparent.get(cc)
         labels[point_ids[p]] = cc
-    return labels
+        lam_of[point_ids[p]] = lam
+    # membership probability (hdbscan probabilities_): λ_p normalized
+    # by the max exit λ within the selected cluster's subtree — 1.0 for
+    # the densest core, → 0 for points that left right after birth,
+    # 0 for noise
+    lam_max: dict[int, float] = {}
+    for p, c in labels.items():
+        if c is not None:
+            lam_max[c] = max(lam_max.get(c, 0.0), lam_of[p])
+    probs = {
+        p: (min(1.0, lam_of[p] / lam_max[c]) if c is not None and lam_max[c] > 0 else 0.0)
+        for p, c in labels.items()
+    }
+    return labels, probs
 
 
 def hdbscan_labels(
@@ -426,6 +440,7 @@ def hdbscan_labels(
     min_samples: int | None = None,
     k_graph: int | None = None,
     allow_single_cluster: bool = False,
+    probabilities: bool = False,
     id_col: str = "id",
     vec_col: str = "vector",
 ) -> DataFrame:
@@ -433,7 +448,9 @@ def hdbscan_labels(
     smallest member id of the selected cluster (the engine's
     deterministic labeling convention, as :func:`dbscan_labels`), or
     ``"-1"`` for noise — hdbscan's convention for points in no selected
-    cluster.
+    cluster.  ``probabilities=True`` adds the library's membership
+    strength: the point's exit λ normalized by its cluster's max exit λ
+    (1.0 at the densest core, 0.0 for noise).
 
     Faithful to the hdbscan library's semantics (ref
     ``attribute_clustering.py:18-21`` runs that lib driver-side):
@@ -464,7 +481,7 @@ def hdbscan_labels(
     mst = boruvka_mst(edges, pts.select("id"))
     ids = [r["id"] for r in pts.select("id").distinct().collect()]
     rows = [(r["a"], r["b"], r["w"]) for r in mst.collect()]
-    labels = _condense_and_select(
+    labels, probs = _condense_and_select(
         rows, sorted(ids), min_cluster_size, allow_single_cluster
     )
     # cluster key -> smallest member id
@@ -473,9 +490,15 @@ def hdbscan_labels(
         if c is not None:
             by_cluster.setdefault(c, []).append(p)
     name = {c: min(members) for c, members in by_cluster.items()}
-    out_rows = [
-        (p, name[c] if c is not None else "-1") for p, c in labels.items()
-    ]
     from ..session import local_df
 
+    if probabilities:
+        out_rows = [
+            (p, name[c] if c is not None else "-1", round(probs[p], 6))
+            for p, c in labels.items()
+        ]
+        return local_df(
+            emb.sparkSession, out_rows, "id string, label string, probability double"
+        )
+    out_rows = [(p, name[c] if c is not None else "-1") for p, c in labels.items()]
     return local_df(emb.sparkSession, out_rows, "id string, label string")

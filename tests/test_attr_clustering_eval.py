@@ -369,3 +369,27 @@ def test_attribute_clustering_hdbscan_method(spark):
     assert any(l.startswith("l") and r.startswith("r") for l, r in pairs)
     keys = {r["block_key"] for r in bm.block_pairs().collect()}
     assert all(k.startswith("clustering_label_") for k in keys)
+
+
+def test_hdbscan_probabilities(spark):
+    """probabilities=True: densest-core members reach 1.0, an early
+    fall-out scores strictly lower, noise scores 0."""
+    from klinker_spark.ops.clustering import hdbscan_labels
+
+    blob = [(f"a{i}", [0.01 * i, 0.0]) for i in range(5)]
+    straggler = [("a9", [0.5, 0.0])]     # joins the blob late (far)
+    other = [(f"b{i}", [9.0 + 0.01 * i, 0.0]) for i in range(5)]
+    noise = [("z", [100.0, 100.0])]
+    emb = spark.createDataFrame(
+        blob + straggler + other + noise, "id string, vector array<double>"
+    )
+    got = {
+        r["id"]: (r["label"], r["probability"])
+        for r in hdbscan_labels(
+            emb, min_cluster_size=4, min_samples=2, probabilities=True
+        ).collect()
+    }
+    assert got["z"] == ("-1", 0.0)
+    assert got["a9"][0] == "a0" and got["a9"][1] < 1.0
+    assert max(p for l, p in got.values() if l == "a0") == 1.0
+    assert all(0.0 <= p <= 1.0 for _, p in got.values())
