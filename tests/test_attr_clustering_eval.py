@@ -393,3 +393,53 @@ def test_hdbscan_probabilities(spark):
     assert got["a9"][0] == "a0" and got["a9"][1] < 1.0
     assert max(p for l, p in got.values() if l == "a0") == 1.0
     assert all(0.0 <= p <= 1.0 for _, p in got.values())
+
+
+def test_boruvka_mst_matches_kruskal(spark):
+    """Distributed Borůvka produces a minimum spanning forest of the
+    same total weight as a reference Kruskal on random weighted graphs
+    (including a disconnected one), and exactly n - #components edges."""
+    import itertools
+    import random
+
+    from klinker_spark.ops.clustering import boruvka_mst
+
+    def kruskal_weight(n_ids, edges):
+        parent = {i: i for i in n_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        total, used = 0.0, 0
+        for a, b, w in sorted(edges, key=lambda e: (e[2], e[0], e[1])):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                total += w
+                used += 1
+        return total, used
+
+    rng = random.Random(5)
+    for trial, n in ((1, 9), (2, 14)):
+        ids = [f"v{i}" for i in range(n)]
+        # trial 2: two disconnected halves
+        halves = [ids] if trial == 1 else [ids[: n // 2], ids[n // 2:]]
+        edges = []
+        for grp in halves:
+            for a, b in itertools.combinations(grp, 2):
+                if rng.random() < 0.6:
+                    edges.append((min(a, b), max(a, b), round(rng.uniform(0.1, 9.9), 1)))
+        # ensure each half connected: chain edges
+        for grp in halves:
+            for a, b in zip(grp, grp[1:]):
+                edges.append((min(a, b), max(a, b), round(rng.uniform(0.1, 9.9), 1)))
+        edges = list({(a, b): (a, b, w) for a, b, w in sorted(edges, key=lambda e: -e[2])}.values())
+        e_df = spark.createDataFrame(edges, "a string, b string, w double")
+        v_df = spark.createDataFrame([(i,) for i in ids], "id string")
+        got = [(r["a"], r["b"], r["w"]) for r in boruvka_mst(e_df, v_df).collect()]
+        want_total, want_edges = kruskal_weight(ids, edges)
+        assert len(got) == want_edges == n - len(halves)
+        assert abs(sum(w for _, _, w in got) - want_total) < 1e-9
