@@ -3644,6 +3644,57 @@ def semdedup_q(spark, sf_dir):
     return semdedup(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+_PQ_MD5_ORACLE = """
+    WITH ix AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+    samp AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS c, v
+             FROM (SELECT id, v, md5(id::VARCHAR) h FROM ix ORDER BY h, id LIMIT 16)),
+    subs AS (SELECT unnest(generate_series(0, 7)) s),
+    cb AS (SELECT subs.s, samp.c, samp.v[subs.s*8 + 1 : subs.s*8 + 8] cv
+           FROM samp CROSS JOIN subs),
+    encd AS (SELECT ix.id, cb.s, cb.c,
+                    list_sum(list_transform(ix.v[cb.s*8 + 1 : cb.s*8 + 8],
+                             (x, i) -> (x - cb.cv[i]) * (x - cb.cv[i]))) d
+             FROM ix CROSS JOIN cb),
+    enc AS (SELECT id, s, c FROM (
+              SELECT *, row_number() OVER (PARTITION BY id, s
+                                           ORDER BY d ASC, c ASC) rn
+              FROM encd) WHERE rn = 1),
+    qs AS (SELECT id qid, v qv FROM ix WHERE id % 10 = 0),
+    dists AS (SELECT q.qid, e.id nid, e.s,
+                     list_sum(list_transform(q.qv[e.s*8 + 1 : e.s*8 + 8],
+                              (x, i) -> (x - cb.cv[i]) * (x - cb.cv[i]))) d
+              FROM qs q CROSS JOIN enc e JOIN cb ON cb.s = e.s AND cb.c = e.c),
+    agg AS (SELECT qid query_id, nid neighbor_id,
+                   list_sum(list(d ORDER BY s)) dist
+            FROM dists GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, round(dist, 6) AS dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist ASC, neighbor_id ASC) rank
+      FROM agg) WHERE rank <= 10
+    """
+
+
+@register("ann_topk_pq_md5", _PQ_MD5_ORACLE)
+def ann_topk_pq_md5_q(spark, sf_dir):
+    """Product-quantization ANN under an EXACT oracle (net-new family,
+    round 4): hash-sample codebooks (the 16 md5-ranked vectors sliced
+    into 8 subspaces of dim 8) → per-subspace argmin encoding → ADC
+    top-10.  The expr impl's sequential folds are bit-identical to the
+    oracle's indexed-lambda ``list_sum`` (the ``first_pc_power``
+    lesson), so encoding, distance tables, and rank boundaries all
+    value-check; the production ``matmul`` kernel is parity-tested
+    against expr in tests/test_pq.py."""
+    from .ops.pq import ann_topk_pq, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k_codes=16, quantizer="hash_sample")
+    codes = pq_encode(emb, cb)
+    out = ann_topk_pq(
+        emb.where(F.col("vec_id") % 10 == 0), codes, cb, k=10, impl="expr"
+    )
+    return out.withColumn("dist", F.round("dist", 6))
+
+
 @register("hdbscan_labels")
 def hdbscan_labels_q(spark, sf_dir):
     """M14/M15 hierarchy closed (round-4): true HDBSCAN — mutual-
