@@ -381,3 +381,28 @@ def test_cm_and_histogram_aggregate_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     for bad in ("SortMergeJoin", "ShuffledHashJoin"):
         assert bad not in plan, bad
+
+
+def test_pq_encode_and_search_plans(spark, sf_dir):
+    """PQ scale shape: encoding is a stateless zero-Exchange projection
+    (expr mode: pure codegen, no Python); the ADC search's only
+    exchange is the scalar-row merge window, and the codes scan is
+    never shuffled before the mapInPandas search."""
+    from klinker_spark.ops.pq import ann_topk_pq, pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_train(emb, m=8, k_codes=8)
+    enc = pq_encode(emb, cb)
+    p_enc = plan_of(enc)
+    assert "Exchange" not in p_enc
+    assert "BatchEvalPython" not in p_enc and "ArrowEvalPython" not in p_enc
+    assert "MapInPandas" not in p_enc  # literal-budget expr mode
+
+    import re
+
+    q = emb.where(F.col("vec_id") < 20)
+    p_search = plan_of(ann_topk_pq(q, enc, cb, k=5))
+    # exactly one exchange: the candidate merge into the rank window
+    assert len(set(re.findall(r"\((\d+)\) Exchange", p_search))) == 1
+    assert "MapInPandas" in p_search  # the scan-in-place ADC kernel
+    assert "CartesianProduct" not in p_search
