@@ -37,7 +37,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "ann_topk_pq"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "ann_topk_pq",
+    "build_ivfpq_index",
+    "ann_topk_ivfpq",
+]
 
 #: Literal-expression budget for encode/ADC expressions — same guard
 #: family as PROBE_LITERAL_MAX_CENTROIDS (NOTES lesson 7).
@@ -266,5 +272,273 @@ def ann_topk_pq(
 
     cand = codes.mapInPandas(
         search, schema=f"query_id {q_type}, neighbor_id {id_type}, dist double"
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _residual_expr(vec_col, cent_lit):
+    """Elementwise ``vec − centroid`` (sequential ``zip_with``,
+    matching the oracle's indexed-lambda order)."""
+    return F.zip_with(vec_col, cent_lit, lambda a, b: a - b)
+
+
+def build_ivfpq_index(
+    index: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    quantizer: str = "hash_sample",
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF-PQ index (the IVFADC design, Jégou et al. 2011):
+    coarse-quantize, PQ-encode the RESIDUALS ``x − centroid(x)``, and
+    write the inverted lists as parquet PARTITIONED BY centroid id —
+    each list row is just ``(id, codes array<int>)``, m small ints per
+    vector, so the searchable index is 50-400× smaller than the raw
+    float corpus AND a probe is a static partition prune (the
+    ``build_ivf_index`` layout with PQ compression inside the lists).
+
+    ``hash_sample``: coarse centroids = the ``n_centroids`` md5-ranked
+    vectors (as the IVF builder), PQ codebooks = the ``k_codes``
+    md5-ranked vectors' residuals sliced per subspace — the whole
+    build is deterministic and exactly reproducible in SQL
+    (``ann_topk_ivfpq_md5``).  ``kmeans``: MLlib coarse fit + per-
+    subspace residual codebooks (rows-only checkable).
+
+    Sibling tables: ``centroids/`` (cid, cv) and ``codebooks/``
+    (s, c, cv).
+    """
+    from ..session import local_df
+    from .similarity import _probe_centroids
+
+    spark = index.sparkSession
+    ix = index.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vector")
+    )
+    if quantizer == "hash_sample":
+        cent_rows = (
+            ix.withColumn("_h", F.md5(F.col("id").cast("string")))
+            .orderBy("_h", "id")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(cent_rows)]
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = ix.withColumn("features", array_to_vector("vector")).persist()
+        try:
+            model = KMeans(
+                k=n_centroids, seed=seed, featuresCol="features", maxIter=10
+            ).fit(feat)
+        finally:
+            feat.unpersist()
+        centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    else:
+        raise ValueError(f"quantizer must be hash_sample|kmeans, got {quantizer!r}")
+
+    assigned = _probe_centroids(
+        ix.select(F.col("id").alias("query_id"), F.col("vector").alias("qv")), centroids, 1
+    ).select(F.col("centroid_id"), F.col("query_id").alias("id"), F.col("qv").alias("vector"))
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in centroids])
+    resid = assigned.select(
+        "centroid_id",
+        "id",
+        _residual_expr(
+            F.col("vector"), F.element_at(cent_lit, F.col("centroid_id") + 1)
+        ).alias("vector"),
+    )
+    if quantizer == "hash_sample":
+        # codebooks from a SALTED md5-ranked sample of residuals —
+        # bounded collect, deterministic.  The salt matters: the
+        # unsalted rank would pick the SAME ids as the coarse
+        # centroids, whose residuals are exactly zero (each centroid
+        # vector is its own nearest centroid) — all-zero codebooks
+        # would collapse ADC to a per-centroid constant
+        samp = (
+            resid.withColumn(
+                "_h", F.md5(F.concat(F.lit("pq:"), F.col("id").cast("string")))
+            )
+            .orderBy("_h", "id")
+            .limit(k_codes)
+            .collect()
+        )
+        dim = len(samp[0]["vector"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        ds = dim // m
+        codebooks = [
+            [[float(x) for x in r["vector"][s * ds : (s + 1) * ds]] for r in samp]
+            for s in range(m)
+        ]
+    else:
+        codebooks = pq_train(
+            resid, m=m, k_codes=k_codes, quantizer="kmeans", seed=seed,
+            id_col="id", vec_col="vector",
+        )
+    codes = pq_encode(resid, codebooks, id_col="id", vec_col="vector").join(
+        resid.select("id", "centroid_id"), "id"
+    )
+    (
+        codes.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    local_df(spark, centroids, "cid int, cv array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    cb_rows = [
+        (s, c, codebooks[s][c]) for s in range(len(codebooks)) for c in range(len(codebooks[0]))
+    ]
+    local_df(spark, cb_rows, "s int, c int, cv array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebooks")
+
+
+def ann_topk_ivfpq(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "matmul",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Query half of :func:`build_ivfpq_index` — IVFADC search.
+
+    Probe: cosine top-``n_probe`` centroids per query (the engine's
+    IVF probe kernel, literal or broadcast-matmul), materialized once
+    to parquet scratch; the distinct probed ids become a static
+    partition filter so unprobed list directories are never opened.
+    Score: per probed (query, centroid), the RESIDUAL ``q − c`` meets
+    the list's codes — ``matmul``: cogrouped ``applyInPandas`` per
+    centroid, one ``(m,k,|Q_c|)`` distance-table gather per list,
+    local top-k, single scalar-row merge window; ``expr``: the same
+    arithmetic as Catalyst expressions (oracle-shaped, bit-matching
+    the DuckDB oracle's sequential list ops).
+
+    Output: ``(query_id, neighbor_id, dist, rank)``, dist = ADC
+    squared L2 in residual space, rank by ``dist ASC, neighbor_id
+    ASC``.
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    from .similarity import _probe_centroids
+
+    centroids = sorted(
+        (int(r["cid"]), list(r["cv"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["s"] for r in cb_rows)
+    kc = 1 + max(r["c"] for r in cb_rows)
+    codebooks = [[None] * kc for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r["s"]][r["c"]] = [float(x) for x in r["cv"]]
+    ds = len(codebooks[0][0])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    if scratch_dir is None:
+        from ..data.scratch import session_scratch_dir
+
+        scratch_dir = session_scratch_dir("ivfpq_probe_")
+    _probe_centroids(q, centroids, n_probe).write.mode("overwrite").parquet(scratch_dir)
+    probed = spark.read.parquet(scratch_dir)
+    probe_ids = sorted(r[0] for r in probed.select("centroid_id").distinct().collect())
+    lists_raw = spark.read.parquet(f"{path}/lists")
+    lists = lists_raw.where(F.col("centroid_id").isin(probe_ids))
+    n_type = lists_raw.schema["id"].dataType.simpleString()
+    q_type = q.schema["query_id"].dataType.simpleString()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    kk = int(k)
+
+    if impl == "expr":
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in centroids]
+        )
+        rq = _residual_expr(F.col("qv"), F.element_at(cent_lit, F.col("centroid_id") + 1))
+        cand = probed.withColumn("rq", rq).join(
+            lists.select("centroid_id", F.col("id").alias("neighbor_id"), "codes"),
+            "centroid_id",
+        )
+        terms = []
+        for s in range(m):
+            sub = F.slice("rq", s * ds + 1, ds)
+            cb_lit = F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]]
+            )
+            chosen = F.element_at(cb_lit, F.element_at("codes", s + 1) + 1)
+            terms.append(
+                F.aggregate(
+                    F.zip_with(sub, chosen, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        dist = terms[0]
+        for t in terms[1:]:
+            dist = dist + t
+        cand = cand.select("query_id", "neighbor_id", dist.alias("dist"))
+        return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if impl != "matmul":
+        raise ValueError(f"impl must be matmul|expr, got {impl!r}")
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    cents = {cid: np.asarray(cv, dtype=np.float64) for cid, cv in centroids}
+
+    def search_list(qpdf, lpdf):
+        import pandas as pd
+
+        if len(qpdf) == 0 or len(lpdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []})
+        cid = int(qpdf["centroid_id"].iloc[0])
+        qmat = np.stack(qpdf["qv"].to_numpy()).astype(np.float64) - cents[cid][None, :]
+        # T[s][c][qi] over residuals
+        T = np.stack(
+            [
+                (
+                    (qmat[:, s * ds : (s + 1) * ds][:, None, :] - cb[s][None, :, :]) ** 2
+                ).sum(axis=2).T
+                for s in range(cb.shape[0])
+            ]
+        )
+        c = np.stack(lpdf["codes"].to_numpy()).astype(np.int64)
+        gathered = T[np.arange(cb.shape[0])[:, None], c.T, :]  # (m, B, |Q_c|)
+        d = gathered.sum(axis=0)  # (B, |Q_c|)
+        nids = lpdf["id"].to_numpy()
+        qids = qpdf["query_id"].to_numpy()
+        nb = min(kk, d.shape[0])
+        part = np.argpartition(d, nb - 1, axis=0)[:nb]
+        frames = []
+        for qi in range(d.shape[1]):
+            rows_i = part[:, qi]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": [qids[qi]] * len(rows_i),
+                        "neighbor_id": nids[rows_i],
+                        "dist": d[rows_i, qi],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (
+        probed.groupBy("centroid_id")
+        .cogroup(lists.groupBy("centroid_id"))
+        .applyInPandas(
+            search_list, schema=f"query_id {q_type}, neighbor_id {n_type}, dist double"
+        )
     )
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

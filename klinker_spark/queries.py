@@ -3674,6 +3674,90 @@ _PQ_MD5_ORACLE = """
     """
 
 
+_IVFPQ_MD5_ORACLE = """
+    WITH ix AS (SELECT vec_id id, embedding::DOUBLE[] v FROM embeddings),
+    cents AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS cv
+              FROM (SELECT id, v, md5(id::VARCHAR) h FROM ix ORDER BY h, id LIMIT 16)),
+    assign AS (SELECT id, v, cid FROM (
+        SELECT ix.id, ix.v, c.cid,
+               row_number() OVER (PARTITION BY ix.id
+                                  ORDER BY {cos_iv} DESC, c.cid ASC) rn
+        FROM ix CROSS JOIN cents c) WHERE rn = 1),
+    res AS (SELECT a.id, a.cid, list_transform(a.v, (x, i) -> x - c.cv[i]) rv
+            FROM assign a JOIN cents c ON c.cid = a.cid),
+    samp AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS c, rv
+             FROM (SELECT id, rv, md5('pq:' || id::VARCHAR) h FROM res
+                   ORDER BY h, id LIMIT 16)),
+    subs AS (SELECT unnest(generate_series(0, 7)) s),
+    cb AS (SELECT subs.s, samp.c, samp.rv[subs.s*8 + 1 : subs.s*8 + 8] cv
+           FROM samp CROSS JOIN subs),
+    encd AS (SELECT r.id, cb.s, cb.c,
+                    list_sum(list_transform(r.rv[cb.s*8 + 1 : cb.s*8 + 8],
+                             (x, i) -> (x - cb.cv[i]) * (x - cb.cv[i]))) d
+             FROM res r CROSS JOIN cb),
+    enc AS (SELECT id, s, c FROM (
+              SELECT *, row_number() OVER (PARTITION BY id, s
+                                           ORDER BY d ASC, c ASC) rn
+              FROM encd) WHERE rn = 1),
+    probes AS (SELECT qid, qv, cid FROM (
+        SELECT q.id qid, q.v qv, c.cid,
+               row_number() OVER (PARTITION BY q.id
+                                  ORDER BY {cos_qv} DESC, c.cid ASC) rn
+        FROM (SELECT id, v FROM ix WHERE id % 10 = 0) q CROSS JOIN cents c)
+      WHERE rn <= 4),
+    qres AS (SELECT p.qid, p.cid, list_transform(p.qv, (x, i) -> x - c.cv[i]) rq
+             FROM probes p JOIN cents c ON c.cid = p.cid),
+    dists AS (SELECT qr.qid, a.id nid, e.s,
+                     list_sum(list_transform(qr.rq[e.s*8 + 1 : e.s*8 + 8],
+                              (x, i) -> (x - cb.cv[i]) * (x - cb.cv[i]))) d
+              FROM qres qr
+              JOIN assign a ON a.cid = qr.cid
+              JOIN enc e ON e.id = a.id
+              JOIN cb ON cb.s = e.s AND cb.c = e.c),
+    agg AS (SELECT qid query_id, nid neighbor_id,
+                   list_sum(list(d ORDER BY s)) dist
+            FROM dists GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, round(dist, 6) AS dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist ASC, neighbor_id ASC) rank
+      FROM agg) WHERE rank <= 10
+    """
+
+
+@register(
+    "ann_topk_ivfpq_md5",
+    _IVFPQ_MD5_ORACLE.format(
+        cos_iv=_COS_SQL.format(a="ix.v", b="c.cv"),
+        cos_qv=_COS_SQL.format(a="q.v", b="c.cv"),
+    ),
+)
+def ann_topk_ivfpq_md5_q(spark, sf_dir):
+    """IVF-PQ (IVFADC, Jégou et al. 2011) under an EXACT oracle: coarse
+    hash-sample quantizer → residual PQ codebooks (salted md5 sample) →
+    partitioned-parquet code lists → cosine probe with static partition
+    prune → residual ADC top-10.  The oracle recomputes the whole
+    build+search pipeline from the base table (as the IVF indexed
+    oracle does), value-checking coarse assignment, residual encoding,
+    probe selection, distance tables, and rank boundaries."""
+    import os
+    import shutil
+    import tempfile
+
+    from .ops.pq import ann_topk_ivfpq, build_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfpq_")
+    try:
+        build_ivfpq_index(emb, path, n_centroids=16, m=8, k_codes=16,
+                          quantizer="hash_sample")
+        out = ann_topk_ivfpq(
+            emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4, impl="expr"
+        )
+        return out.withColumn("dist", F.round("dist", 6)).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @register("ann_topk_pq_md5", _PQ_MD5_ORACLE)
 def ann_topk_pq_md5_q(spark, sf_dir):
     """Product-quantization ANN under an EXACT oracle (net-new family,

@@ -110,3 +110,53 @@ def test_pq_train_validates_divisibility(spark):
     emb, _ = _emb(spark, dim=10)
     with pytest.raises(ValueError, match="divisible"):
         pq_train(emb, m=4)
+
+
+def test_ivfpq_build_search_parity_and_pruning(spark, tmp_path):
+    """IVF-PQ: matmul and expr impls agree exactly; the probed scan
+    partition-prunes (unprobed list directories never open); most
+    queries find their own vector in the ADC top-k."""
+    import io
+    import contextlib
+
+    from klinker_spark.ops.pq import ann_topk_ivfpq, build_ivfpq_index
+
+    emb, _ = _emb(spark, n=60, dim=16, seed=9)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_centroids=4, m=4, k_codes=8)
+    q = emb.where(F.col("vec_id") % 6 == 0)
+
+    def rows(impl):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["dist"], 9))
+            for r in ann_topk_ivfpq(q, path, k=5, n_probe=2, impl=impl).collect()
+        }
+
+    got = rows("matmul")
+    assert rows("expr") == got
+    assert len({k[0] for k in got}) == 10
+    # with n_probe = all centroids, every query's own vector is in its
+    # top-k (its ADC dist is the pure quantization error)
+    full = ann_topk_ivfpq(q, path, k=5, n_probe=4).collect()
+    by_q: dict = {}
+    for r in full:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for qid, nbrs in by_q.items() if qid in nbrs)
+    assert hits >= 8  # PQ is approximate; codes can collide
+
+    # partition pruning visible in the scan plan
+    df = ann_topk_ivfpq(q, path, k=5, n_probe=1, impl="expr")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+
+def test_ivfpq_kmeans_quantizer_runs(spark, tmp_path):
+    from klinker_spark.ops.pq import ann_topk_ivfpq, build_ivfpq_index
+
+    emb, _ = _emb(spark, n=40, dim=8, seed=1)
+    path = str(tmp_path / "ivfpq_km")
+    build_ivfpq_index(emb, path, n_centroids=3, m=2, k_codes=4, quantizer="kmeans")
+    out = ann_topk_ivfpq(emb.where(F.col("vec_id") < 4), path, k=3, n_probe=2)
+    assert out.count() == 12
