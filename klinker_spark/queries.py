@@ -3779,6 +3779,47 @@ def ann_topk_pq_md5_q(spark, sf_dir):
     return out.withColumn("dist", F.round("dist", 6))
 
 
+# the matmul kernel computes the same distances as the expr path
+# (parity-tested bit-for-bit at 9dp in tests/test_pq.py), so the
+# production path shares the md5 oracle
+@register("ann_topk_pq", _PQ_MD5_ORACLE)
+def ann_topk_pq_q(spark, sf_dir):
+    """The production PQ search kernel (broadcast queries + codebooks,
+    codes scanned in place by mapInPandas, (m,k,Q) distance-table
+    gather) against the same exact oracle as its expr twin."""
+    from .ops.pq import ann_topk_pq, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k_codes=16, quantizer="hash_sample")
+    codes = pq_encode(emb, cb)
+    out = ann_topk_pq(
+        emb.where(F.col("vec_id") % 10 == 0), codes, cb, k=10, impl="matmul"
+    )
+    return out.withColumn("dist", F.round("dist", 6))
+
+
+@register("ann_topk_ivfpq")
+def ann_topk_ivfpq_q(spark, sf_dir):
+    """IVF-PQ with the production quantizers (MLlib coarse KMeans +
+    per-subspace residual KMeans codebooks) and the cogrouped numpy ADC
+    kernel — stochastic fits → rows-only check; the hash-sample twin
+    (`ann_topk_ivfpq_md5`) carries the exact oracle."""
+    import shutil
+    import tempfile
+
+    from .ops.pq import ann_topk_ivfpq, build_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfpq_km_")
+    try:
+        build_ivfpq_index(emb, path, n_centroids=16, m=8, k_codes=16,
+                          quantizer="kmeans")
+        out = ann_topk_ivfpq(emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4)
+        return out.withColumn("dist", F.round("dist", 6)).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @register("hdbscan_labels")
 def hdbscan_labels_q(spark, sf_dir):
     """M14/M15 hierarchy closed (round-4): true HDBSCAN — mutual-
