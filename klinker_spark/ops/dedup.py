@@ -83,9 +83,12 @@ def minhash_lsh_dedup(
     b² candidate pairs, and a bucket that hot is boilerplate collision,
     not near-dup signal (every surviving pair is still verified
     downstream by whoever consumes the candidates).  The cap is a
-    window count over the banded table — no extra shuffle beyond the
-    band key the join needs anyway.  ``None`` (default) keeps every
-    bucket: exact banded-LSH semantics.
+    ``groupBy`` count + anti-join against the oversized keys — map-side
+    partial aggregation absorbs the hot key (a window count would
+    funnel the entire hot bucket through one task, the very skew being
+    capped), and the oversized-key table is by construction tiny (only
+    keys above the cap), so AQE broadcasts the anti-join.  ``None``
+    (default) keeps every bucket: exact banded-LSH semantics.
 
     The result is materialized (``localCheckpoint``) and the internal
     signature cache released before return — long sessions accumulate
@@ -118,9 +121,13 @@ def minhash_lsh_dedup(
     # signature pipeline — without it signatures compute twice
     banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key")).persist()
     if max_bucket is not None:
-        banded_joinable = banded.withColumn(
-            "_n", F.count("*").over(Window.partitionBy("band_key"))
-        ).where(F.col("_n") <= max_bucket).drop("_n")
+        oversized = (
+            banded.groupBy("band_key")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band_key")
+        )
+        banded_joinable = banded.join(oversized, "band_key", "left_anti")
     else:
         banded_joinable = banded
     other = banded_joinable.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
