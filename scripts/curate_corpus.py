@@ -165,18 +165,26 @@ def streaming_curate(
                        band index (`incremental_neardup_docs`):
                        per-row expressions only, state = the Bloom
                        bitmap (m_bits), independent of history size;
-    5. append        — survivors to ``out``; their fingerprints AND
-                       band keys appended to ``history_dir`` — the
+    5. write         — survivors to ``out/batch=N``; their
+                       fingerprints AND band keys to
+                       ``history_dir/{fp,bands}/batch=N`` — the
                        incremental history refresh: batch N+1's gates
                        see batch N's admissions.
 
-    History lives as two parquet dirs (``fp/``, ``bands/``) re-read at
-    each batch: the Bloom fold is one aggregate over the band table —
-    at 100 TB corpus scale, keep the folded bitmap itself as the
-    persisted artifact and refresh it with the batch's new keys
-    instead of re-folding (the fold is associative; `bloom_build`
-    merges), which makes per-batch cost independent of corpus size.
-    Here the re-fold keeps the demo honest and restart-safe with zero
+    Restart safety: foreachBatch is at-least-once, so EVERY sink write
+    is an overwrite of the batch's own ``batch=N`` directory and the
+    gates read only ``batch < N`` — a replayed batch sees exactly the
+    pre-batch history, recomputes identical survivors, and rewrites
+    identical content (a plain append would duplicate on replay; a
+    gate that saw the crashed attempt's own fingerprints would erase
+    the batch).
+
+    History is re-read per batch: the Bloom fold is one aggregate over
+    the band table — at 100 TB corpus scale, keep the folded bitmap
+    itself as the persisted artifact and refresh it with the batch's
+    new keys instead of re-folding (the fold is associative;
+    `bloom_build` merges), which makes per-batch cost independent of
+    corpus size.  Here the re-fold keeps the demo honest with zero
     extra bookkeeping.
 
     ``bootstrap_dir``: existing-corpus parquet whose fingerprints/bands
@@ -200,27 +208,37 @@ def streaming_curate(
     bands_dir = os.path.join(history_dir, "bands")
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
-    def _append_history(docs_df):
-        docs_df.select(F.md5("text").alias("fingerprint")).write.mode("append").parquet(
-            fp_dir
+    # History is BATCH-KEYED (batch=N partition dirs) and every batch
+    # write is an OVERWRITE of its own directory: foreachBatch replays
+    # under at-least-once delivery, and batch N's gates read only
+    # batch < N — a replayed batch sees exactly the pre-batch history,
+    # recomputes identical survivors, and rewrites identical content.
+    # A plain append (or gating against a history that already holds
+    # the crashed attempt's own fingerprints) would either duplicate or
+    # silently erase the batch.
+    def _write_history(docs_df, batch_id: int):
+        docs_df.select(F.md5("text").alias("fingerprint")).write.mode(
+            "overwrite"
+        ).parquet(f"{fp_dir}/batch={batch_id}")
+        neardup_band_keys(docs_df).select("band_key").write.mode("overwrite").parquet(
+            f"{bands_dir}/batch={batch_id}"
         )
-        neardup_band_keys(docs_df).select("band_key").write.mode("append").parquet(
-            bands_dir
-        )
+
+    def _read_history(dir_: str, batch_id: int):
+        return spark.read.parquet(dir_).where(F.col("batch") < batch_id).drop("batch")
 
     if bootstrap_dir is not None:
         boot = spark.read.parquet(f"{bootstrap_dir}/documents.parquet")
-        boot.select(F.md5("text").alias("fingerprint")).write.mode("overwrite").parquet(
-            fp_dir
-        )
-        neardup_band_keys(boot).select("band_key").write.mode("overwrite").parquet(
-            bands_dir
-        )
+        _write_history(boot, -1)
     elif not os.path.isdir(fp_dir):  # empty history bootstrap
         from klinker_spark.session import local_df
 
-        local_df(spark, [], "fingerprint string").write.mode("overwrite").parquet(fp_dir)
-        local_df(spark, [], "band_key string").write.mode("overwrite").parquet(bands_dir)
+        local_df(spark, [], "fingerprint string").write.mode("overwrite").parquet(
+            f"{fp_dir}/batch=-1"
+        )
+        local_df(spark, [], "band_key string").write.mode("overwrite").parquet(
+            f"{bands_dir}/batch=-1"
+        )
 
     def process_batch(batch_df, batch_id: int):
         # 1-2: stateless quality + scrub
@@ -234,20 +252,21 @@ def streaming_curate(
         scrubbed = good.drop("text").join(
             pii_scrub(good).select("doc_id", F.col("clean_text").alias("text")), "doc_id"
         )
-        # 3: exact-content gate vs history
-        hist_fp = spark.read.parquet(fp_dir)
+        # 3: exact-content gate vs history (strictly earlier batches)
+        hist_fp = _read_history(fp_dir, batch_id)
         fresh = incremental_new_docs(scrubbed, hist_fp)
         # 4: near-dup gate vs history band index (Bloom-folded)
-        hist_bands = spark.read.parquet(bands_dir)
+        hist_bands = _read_history(bands_dir, batch_id)
         gated = incremental_neardup_docs(fresh, hist_bands).where(
             ~F.col("maybe_neardup")
         )
         survivors = gated.select(
             "doc_id", "text", "lang", "source", "n_chars"
         ).localCheckpoint(eager=True)  # one computation feeds 3 writes
-        # 5: append survivors + refresh history for the NEXT batch
-        survivors.write.mode("append").parquet(out)
-        _append_history(survivors)
+        # 5: idempotent output + history refresh (both batch-keyed
+        # overwrites — see the history comment above)
+        survivors.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        _write_history(survivors, batch_id)
 
     stream = (
         spark.readStream.schema(schema)
