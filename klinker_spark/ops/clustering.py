@@ -198,6 +198,15 @@ def mutual_reachability_edges(
     return out
 
 
+#: Below this many selected contraction edges per Borůvka round, the
+#: component relabeling runs as a driver-side union-find (the edge set
+#: is ≤ #components rows — it SHRINKS geometrically) instead of the
+#: iterative distributed CC, cutting ~5 Spark jobs per round to one
+#: broadcast join.  Above it (billion-vertex regime), the distributed
+#: large-graph path takes over.
+BORUVKA_DRIVER_CONTRACT_MAX = 100_000
+
+
 def boruvka_mst(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 30
 ) -> DataFrame:
@@ -205,14 +214,17 @@ def boruvka_mst(
     distributed Borůvka: each round every component selects its
     minimum outgoing edge under the TOTAL order ``(w, a, b)`` (strict
     total order ⇒ no cycles even with tied weights), selected edges
-    join the forest, components contract via
-    :func:`~klinker_spark.ops.curation.connected_components`.
+    join the forest, components contract (driver union-find on the
+    ≤ #components selected edges while they fit
+    ``BORUVKA_DRIVER_CONTRACT_MAX``, else the distributed
+    :func:`~klinker_spark.ops.curation.connected_components`).
     Components at least halve per round ⇒ ≤ log₂(n) rounds.
 
     ``edges``: ``(a, b, w)`` canonical ``a < b``; ``vertices``: one
     column of vertex ids.  Output: the forest edges ``(a, b, w)``
     (n - #components rows).
     """
+    from ..session import local_df
     from .curation import connected_components
 
     comp = vertices.select(
@@ -233,27 +245,54 @@ def boruvka_mst(
             F.col("w").asc(), F.col("a").asc(), F.col("b").asc()
         )
         sel = (
-            cross.select(F.col("ca").alias("comp"), "a", "b", "w")
-            .unionByName(cross.select(F.col("cb").alias("comp"), "a", "b", "w"))
+            cross.select(F.col("ca").alias("comp"), "a", "b", "w", "ca", "cb")
+            .unionByName(cross.select(F.col("cb").alias("comp"), "a", "b", "w", "ca", "cb"))
             .withColumn("rn", F.row_number().over(wnd))
             .where(F.col("rn") == 1)
-            .select("a", "b", "w")
+            .select("a", "b", "w", "ca", "cb")
             .distinct()
             .localCheckpoint(eager=True)
         )
-        mst = sel if mst is None else mst.unionByName(sel).localCheckpoint(eager=True)
-        contract = (
-            sel.join(lab_a, "a").join(lab_b, "b")
-            .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        mst = (
+            sel.select("a", "b", "w")
+            if mst is None
+            else mst.unionByName(sel.select("a", "b", "w")).localCheckpoint(eager=True)
         )
-        relabel = connected_components(
-            contract, "src", "dst", vertices=comp.select("comp").distinct()
-        )
-        comp = (
-            comp.join(relabel.withColumnRenamed("id", "comp"), "comp")
-            .select("id", F.col("label").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
+        n_sel = sel.count()
+        if n_sel <= BORUVKA_DRIVER_CONTRACT_MAX:
+            # driver union-find over the selected component pairs
+            parent: dict = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            pairs_local = sel.select("ca", "cb").collect()
+            for r in pairs_local:
+                ra, rb = find(r["ca"]), find(r["cb"])
+                if ra != rb:  # deterministic label: smaller root wins
+                    lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                    parent[hi] = lo
+            mapping = [(c, find(c)) for c in list(parent)]
+            ctype = comp.schema["comp"].dataType.simpleString()
+            relabel = local_df(spark, mapping, f"comp {ctype}, label {ctype}")
+            comp = (
+                comp.join(F.broadcast(relabel), "comp", "left")
+                .select("id", F.coalesce("label", "comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            contract = sel.select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+            relabel_df = connected_components(
+                contract, "src", "dst", vertices=comp.select("comp").distinct()
+            )
+            comp = (
+                comp.join(relabel_df.withColumnRenamed("id", "comp"), "comp")
+                .select("id", F.col("label").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
     else:
         raise RuntimeError(f"boruvka_mst did not converge in {max_iter} rounds")
     if mst is None:
