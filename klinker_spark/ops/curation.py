@@ -580,7 +580,7 @@ def pack_sequences(
         # realistic n_groups (4 chars would skew ~17% at n_groups=10k
         # and cap the group count at 65536)
         (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_groups).alias("pack_group"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
         h.alias("h"),
     )
     w = (
@@ -780,7 +780,7 @@ def token_budget_mix(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
-        ws_token_count(text_col).alias("n_tokens"),
+        ws_token_count(text_col).cast("bigint").alias("n_tokens"),
         budget_expr.alias("budget"),
     ).where(F.col("budget").isNotNull())
     return (

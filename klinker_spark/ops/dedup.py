@@ -27,8 +27,12 @@ DataFrame (ContextCleaner), so long sessions accumulate no storage.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from ..functions.text import minhash_signatures, simhash, tokenize, word_shingles
 from ..functions.vectors import cosine, topk_cosine_join
@@ -125,10 +129,30 @@ def minhash_lsh_dedup(
             banded.groupBy("band_key")
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > max_bucket)
-            .select("band_key")
+            .select("band_key", "_n")
+            .persist()
         )
-        banded_joinable = banded.join(oversized, "band_key", "left_anti")
+        # no silent caps: surface how much the skew cap discarded so
+        # recall loss is observable (banded is persisted — this extra
+        # aggregate is a cheap scan of the cache)
+        drop = oversized.agg(
+            F.count("*").alias("n_buckets"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_assignments"),
+        ).collect()[0]
+        if drop["n_buckets"]:
+            logger.warning(
+                "minhash_lsh_dedup: max_bucket=%d dropped %d band bucket(s) "
+                "covering %d doc-band assignments — pairs whose only "
+                "collision was in a dropped bucket are lost",
+                max_bucket,
+                drop["n_buckets"],
+                drop["n_assignments"],
+            )
+        banded_joinable = banded.join(
+            oversized.select("band_key"), "band_key", "left_anti"
+        )
     else:
+        oversized = None
         banded_joinable = banded
     other = banded_joinable.select(F.col("band_key"), F.col("doc_id").alias("doc_b"))
     out = (
@@ -139,6 +163,8 @@ def minhash_lsh_dedup(
         .localCheckpoint(eager=True)
     )
     banded.unpersist()
+    if oversized is not None:
+        oversized.unpersist()
     return out
 
 

@@ -325,6 +325,11 @@ def build_ivfpq_index(
             .limit(n_centroids)
             .collect()
         )
+        if not cent_rows:
+            raise ValueError(
+                "build_ivfpq_index: empty index DataFrame — cannot sample "
+                "coarse centroids (need at least one vector)"
+            )
         centroids = [(i, [float(x) for x in r["vector"]]) for i, r in enumerate(cent_rows)]
     elif quantizer == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -367,6 +372,11 @@ def build_ivfpq_index(
             .limit(k_codes)
             .collect()
         )
+        if not samp:
+            raise ValueError(
+                "build_ivfpq_index: empty index DataFrame — cannot sample "
+                "PQ codebooks (need at least one vector)"
+            )
         dim = len(samp[0]["vector"])
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")

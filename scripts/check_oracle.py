@@ -27,22 +27,63 @@ TABLES = [
 ]
 
 
+def cell(v):
+    """Exact, driver-faithful cell rendering: NO float snapping.  A
+    last-ulp double divergence or an int128-vs-int64 payload must show
+    up here, not be collapsed by lossy formatting (r4 lesson: the old
+    ``f"{v:.6f}"`` masked the HUGEINT oracle bug the driver caught)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(cell(x) for x in v) + "]"
+    return str(v)
+
+
 def value_hash(rows, cols):
-    """Order-insensitive hash: sort columns by name, stringify every
-    cell (floats via repr of round-trip), sort row strings, md5."""
+    """Order-insensitive hash: sort columns by name, exact-render every
+    cell, sort row strings, md5."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def cell(v):
-        if v is None:
-            return "NULL"
-        if isinstance(v, float):
-            return f"{v:.6f}"
-        if isinstance(v, bool):
-            return str(int(v))
-        return str(v)
-
     lines = sorted("|".join(cell(r[i]) for i in order) for r in rows)
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def arrow_type_key(t):
+    """Normalized Arrow type name for parity checks.  String/binary/list
+    width variants, timestamp units, and machine-int widths (int8..64 —
+    the driver hashes 1:int32 and 1:int64 identically; Spark's
+    row_number/size are int32 where DuckDB's are int64 and those queries
+    pass the driver gate) are equivalent across engines; everything
+    ELSE must match exactly — in particular int vs decimal128(38,0)
+    (DuckDB HUGEINT, the r4 six-red-rows bug), int vs double, and
+    float32 vs float64."""
+    import pyarrow.types as pt
+
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "bin"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return f"list<{arrow_type_key(t.value_type)}>"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_signed_integer(t) or pt.is_unsigned_integer(t):
+        return "int"
+    return str(t)
+
+
+def spark_arrow_types(sdf):
+    """Arrow schema the driver would see for a Spark result, derived
+    from the Spark schema (no second job)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    sch = to_arrow_schema(sdf.schema)
+    return {f.name: arrow_type_key(f.type) for f in sch}
 
 
 def main():
@@ -65,6 +106,7 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = spark_arrow_types(sdf)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             results[name] = {"status": "SPARK_ERROR", "error": str(ex)[:500]}
@@ -77,23 +119,43 @@ def main():
             print(f"rows  {name}: {len(srows)} rows ({spark_s:.1f}s, no oracle)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            otbl = con.execute(oracles[name]).fetch_arrow_table()
+            ocols = otbl.schema.names
+            otypes = {
+                f.name: arrow_type_key(f.type) for f in otbl.schema
+            }
+            odicts = otbl.to_pylist()
+            orows = [tuple(d[c] for c in ocols) for d in odicts]
         except Exception as ex:
             results[name] = {"status": "ORACLE_ERROR", "error": str(ex)[:500]}
             n_fail += 1
             print(f"FAIL  {name}: oracle error {str(ex)[:200]}")
             continue
         ok_cols = sorted(scols) == sorted(ocols)
+        ok_types = ok_cols and all(
+            stypes.get(c) == otypes.get(c) for c in scols
+        )
         ok_count = len(srows) == len(orows)
         ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
-        status = "MATCH" if (ok_cols and ok_count and ok_hash) else "MISMATCH"
+        status = (
+            "MATCH" if (ok_cols and ok_types and ok_count and ok_hash) else "MISMATCH"
+        )
         if status != "MATCH":
             n_fail += 1
+            type_diff = (
+                ""
+                if ok_types
+                else " types: "
+                + "; ".join(
+                    f"{c}: spark={stypes.get(c)} oracle={otypes.get(c)}"
+                    for c in scols
+                    if stypes.get(c) != otypes.get(c)
+                )
+            )
             print(
                 f"FAIL  {name}: cols={ok_cols} ({sorted(scols)} vs {sorted(ocols)}) "
                 f"count={ok_count} ({len(srows)} vs {len(orows)}) hash={ok_hash}"
+                f"{type_diff}"
             )
             if ok_cols and not ok_hash:
                 order = sorted(range(len(scols)), key=lambda i: scols[i])

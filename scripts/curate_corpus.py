@@ -260,7 +260,31 @@ def streaming_curate(
         gated = incremental_neardup_docs(fresh, hist_bands).where(
             ~F.col("maybe_neardup")
         )
-        survivors = gated.select(
+        # 4b: INTRA-batch gates (r4 advice): the history gates see only
+        # batch < N, so exact/near duplicates arriving within the SAME
+        # micro-batch would all be admitted (and behavior would depend
+        # on file packing).  Exact: keep the lowest doc_id per content
+        # hash.  Near-dup: greedy LSH — drop any doc one of whose band
+        # buckets contains a smaller surviving doc_id (same band
+        # construction as the history index, so the two gates agree).
+        first_exact = (
+            gated.groupBy(F.md5("text").alias("_fp"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        batch_unique = gated.join(first_exact, "doc_id", "left_semi")
+        bk = neardup_band_keys(batch_unique)
+        intra_dropped = (
+            bk.join(
+                bk.groupBy("band_key").agg(F.min("doc_id").alias("_keep")),
+                "band_key",
+            )
+            .where(F.col("doc_id") > F.col("_keep"))
+            .select("doc_id")
+            .distinct()
+        )
+        admitted = batch_unique.join(intra_dropped, "doc_id", "left_anti")
+        survivors = admitted.select(
             "doc_id", "text", "lang", "source", "n_chars"
         ).localCheckpoint(eager=True)  # one computation feeds 3 writes
         # 5: idempotent output + history refresh (both batch-keyed

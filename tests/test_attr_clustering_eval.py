@@ -187,7 +187,7 @@ def test_attribute_clustering_dbscan_noise_handling(spark, frame_a, frame_b):
     with pytest.raises(ValueError, match="noise_handling"):
         AttributeClusteringBlocker(noise_handling="bogus")
     with pytest.raises(ValueError, match="method"):
-        AttributeClusteringBlocker(method="hdbscan")
+        AttributeClusteringBlocker(method="bogus")
 
 
 # ------------------------------------------------------------------ HDBSCAN
