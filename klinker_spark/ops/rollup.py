@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hypertable_rollup", "value_histogram"]
+__all__ = ["hypertable_rollup", "value_histogram", "grouped_quantiles"]
 
 
 def hypertable_rollup(
@@ -129,3 +129,44 @@ def value_histogram(
             "cnt",
         )
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantiles of a numeric column — the other half of the
+    distribution profile (:func:`value_histogram` shows shape; this
+    pins the cut points a curation pipeline thresholds on: doc-length
+    p95, quality-score median, event-value p99).
+
+    Output: ``(<group_cols...>, n, p25, p50, ...)`` — one column per
+    requested quantile, named ``p{100q}``, linear-interpolation
+    PERCENTILE_CONT semantics (identical in Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` — exact-oracle checkable).
+
+    ``approx=False`` (default) is Spark's exact ``percentile``: it
+    buffers each group's values in the aggregation buffer, which is
+    right for profiling bounded-cardinality groups (sources, langs,
+    shards — the sort is per-group, not global).  At 100 TB with huge
+    groups, pass ``approx=True`` for ``percentile_approx`` — a
+    bounded-memory mergeable quantile sketch (map-side partials
+    compose, memory O(accuracy) per group regardless of group size),
+    at the cost of approximation → rows-only checkable.
+    """
+    c = F.col(value_col).cast("double")
+    aggs = [F.count(c).cast("bigint").alias("n")]
+    for q in quantiles:
+        name = f"p{q * 100:g}".replace(".", "_")
+        if approx:
+            expr = F.percentile_approx(c, F.lit(float(q)), F.lit(accuracy)).cast(
+                "double"
+            )
+        else:
+            expr = F.percentile(c, F.lit(float(q)))
+        aggs.append(F.round(expr, 6).alias(name))
+    return df.groupBy(*group_cols).agg(*aggs)

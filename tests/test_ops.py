@@ -766,6 +766,43 @@ def test_value_histogram_fixed_range_and_degenerate(spark):
     assert len(rows) == 1 and rows[0]["bucket"] == 0 and rows[0]["cnt"] == 5
 
 
+def test_grouped_quantiles_exact_matches_numpy(spark):
+    """Exact path reproduces numpy's linear-interpolation percentiles
+    (the PERCENTILE_CONT convention both Spark and DuckDB implement);
+    NULLs excluded from n and the cut points."""
+    import numpy as np
+
+    from klinker_spark.ops.rollup import grouped_quantiles
+
+    vals_a = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]
+    vals_b = [10.0, 20.0]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b] + [("a", None)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {
+        r["g"]: r
+        for r in grouped_quantiles(df, ["g"], "v", (0.25, 0.5, 0.95)).collect()
+    }
+    assert out["a"]["n"] == 7 and out["b"]["n"] == 2
+    for g, vals in (("a", vals_a), ("b", vals_b)):
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95")):
+            assert out[g][col] == round(float(np.percentile(vals, q * 100)), 6), (g, col)
+
+
+def test_grouped_quantiles_approx_bounded_error(spark):
+    """The sketch path (percentile_approx) stays within rank tolerance
+    of exact on a larger column and keeps the same output schema."""
+    from klinker_spark.ops.rollup import grouped_quantiles
+
+    df = spark.createDataFrame([("g", float(i)) for i in range(1000)], ["g", "v"])
+    exact = grouped_quantiles(df, ["g"], "v", (0.5, 0.95)).collect()[0]
+    approx = grouped_quantiles(
+        df, ["g"], "v", (0.5, 0.95), approx=True, accuracy=10_000
+    ).collect()[0]
+    assert approx["n"] == exact["n"] == 1000
+    for col in ("p50", "p95"):
+        assert abs(approx[col] - exact[col]) <= 1.0  # within one rank unit
+
+
 def test_normalize_text_unicode_forms(spark):
     from klinker_spark.ops.textstats import normalize_text
 

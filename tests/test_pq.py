@@ -160,3 +160,15 @@ def test_ivfpq_kmeans_quantizer_runs(spark, tmp_path):
     build_ivfpq_index(emb, path, n_centroids=3, m=2, k_codes=4, quantizer="kmeans")
     out = ann_topk_ivfpq(emb.where(F.col("vec_id") < 4), path, k=3, n_probe=2)
     assert out.count() == 12
+
+
+def test_build_ivfpq_empty_input_raises(spark, tmp_path):
+    """Empty index frame fails with a descriptive ValueError at the
+    coarse-centroid sample, not a bare IndexError (r4 advice)."""
+    import pytest
+
+    from klinker_spark.ops.pq import build_ivfpq_index
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        build_ivfpq_index(emb, str(tmp_path / "ix"), n_centroids=4, m=4, k_codes=8)

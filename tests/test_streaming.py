@@ -402,3 +402,40 @@ def test_streaming_curate_cli_pipeline(spark, tmp_path):
     # history grew to cover every admission
     fps = {r["fingerprint"] for r in spark.read.parquet(str(tmp_path / "hist" / "fp")).collect()}
     assert len(fps) == len(got)
+
+
+def test_streaming_curate_intra_batch_dedup(spark, tmp_path):
+    """A single micro-batch containing an exact-duplicate pair and a
+    near-dup pair admits only the smallest doc_id of each group — the
+    r4-advice intra-batch gates (the history gates see only batch < N,
+    so without them same-batch duplicates all pass and the result
+    depends on file packing)."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_corpus_ib", "scripts/curate_corpus.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["curate_corpus_ib"] = mod
+    spec.loader.exec_module(mod)
+
+    base = "the quick brown fox jumps over the lazy dog near the red barn today"
+    near = base.replace("today", "tonight")
+    other = "completely different content about parquet row groups and shuffles here"
+    rows = [
+        (4, other, "en", "srcA", len(other)),
+        (7, base, "en", "srcA", len(base)),
+        (8, base, "en", "srcA", len(base)),   # exact dup of 7, SAME batch
+        (9, near, "en", "srcA", len(near)),   # near-dup of 7, SAME batch
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    src = tmp_path / "in"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "f1"))
+
+    out = str(tmp_path / "out")
+    mod.streaming_curate(
+        spark, str(src / "*"), out, str(tmp_path / "hist"), available_now=True
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {4, 7}
