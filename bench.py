@@ -84,6 +84,17 @@ CURATION_QUERIES = [
 ]
 
 
+#: Round-5 additions — benched separately (headline + curation suites
+#: stay fixed for round-over-round comparability).  The IVF-PQ entry is
+#: SEARCH-ONLY once the persisted index exists (first invocation per
+#: machine builds it; every later run measures the probe kernel).
+EXTRA_QUERIES = [
+    "ann_topk_ivfpq_indexed_md5",
+    "hdbscan_mst_stats",
+    "doc_length_quantiles",
+]
+
+
 def main() -> None:
     from klinker_spark.queries import QUERIES
     from klinker_spark.session import get_spark
@@ -135,6 +146,14 @@ def main() -> None:
         curation[name] = round(time.time() - t0, 3)
         print(f"# {name}: {curation[name]}s (curation)", file=sys.stderr)
 
+    extras = {}
+    for name in EXTRA_QUERIES:
+        _reset()
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        extras[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {extras[name]}s (extra)", file=sys.stderr)
+
     # ---- sf1 scale-validation section (round-3 verdict #1) ----
     # A representative 10x-scale pass: every engine family with
     # linear/sublinear scaling, plus the round-4 eval_metrics fix.
@@ -144,7 +163,8 @@ def main() -> None:
     sf1_queries = [
         "standard_blocking", "token_blocking", "exact_dedup",
         "minhash_dedup", "simhash_dedup", "knn_topk", "knn_topk_sharded",
-        "ann_topk_ivf_indexed", "langid", "quality_score",
+        "ann_topk_ivf_indexed", "ann_topk_ivfpq_indexed_md5",
+        "langid", "quality_score",
         "windowed_event_counts", "sessionize_events", "eval_metrics",
         "semdedup", "line_dedup", "cm_token_freq", "corpus_clean_pipeline",
     ]
@@ -177,7 +197,7 @@ def main() -> None:
 
     import math
 
-    base = {**timings, **curation}
+    base = {**timings, **curation, **extras}
     exponents = {
         n: round(math.log10(t / base[n]), 2)
         for n, t in sf1_timings.items()
@@ -196,6 +216,7 @@ def main() -> None:
                 "warm_total": round(sum(warm.values()), 3),
                 "queries_curation": curation,
                 "curation_total": round(sum(curation.values()), 3),
+                "queries_extra": extras,
                 "sf1": {
                     "dir": sf1_dir,
                     "queries": sf1_timings,

@@ -290,10 +290,21 @@ def canonical_dedup(
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     algorithm: str = "propagation",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate *pairs* into per-document canonical
     assignments: the transitive closure of the pair graph, each doc
-    mapped to the smallest id in its duplicate cluster.
+    mapped to its cluster's canonical survivor.
+
+    ``priority_col=None``: the survivor is the smallest id (the
+    engine's deterministic default).  With ``priority_col`` naming a
+    numeric column of ``docs`` (a quality score, a length, a source
+    rank), the survivor is the cluster member with the HIGHEST
+    priority, ties by smallest id — "keep the best copy, not the
+    first" — the policy production curation pipelines actually want
+    when duplicates differ in quality.  One extra aggregate + one
+    broadcast-friendly join over the (tiny) cluster-survivor table;
+    the closure itself is unchanged.
 
     Output: ``(doc_id, canonical_id, is_duplicate)`` over the FULL
     corpus — docs in no pair map to themselves; ``is_duplicate`` = 1
@@ -303,6 +314,31 @@ def canonical_dedup(
     comp = connected_components(pairs, *pair_cols, algorithm=algorithm).withColumnRenamed(
         "id", id_col
     )
+    if priority_col is not None:
+        # per-cluster argmax(priority, tie min id): structs compare
+        # lexicographically, so max((priority, -id)) is one map-side-
+        # partial aggregate — no window over the cluster
+        member = comp.withColumnRenamed(id_col, "doc_id").join(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(priority_col).cast("double").alias("_prio"),
+            ),
+            "doc_id",
+        )
+        best = (
+            member.groupBy("label")
+            .agg(
+                F.max(
+                    F.struct(F.col("_prio"), (-F.col("doc_id")).alias("_nid"))
+                ).alias("_b")
+            )
+            .select("label", (-F.col("_b._nid")).alias("_survivor"))
+        )
+        comp = (
+            member.select("doc_id", "label")
+            .join(best, "label")
+            .select("doc_id", F.col("_survivor").alias("label"))
+        )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed(id_col, "doc_id"), "doc_id", "left")

@@ -2886,6 +2886,47 @@ def dedup_components_star_q(spark, sf_dir):
 
 
 @register(
+    "dedup_components_priority",
+    "WITH RECURSIVE "
+    + _NGRAM_PAIRS_SQL
+    + """
+    , edges AS (SELECT doc_a AS id, doc_b AS nid FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT id, id AS lab FROM (SELECT DISTINCT id FROM edges)
+              UNION
+              SELECT e.id, r.lab FROM edges e JOIN reach r ON r.id = e.nid),
+    comp AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+    best AS (
+      SELECT lab, doc_id AS survivor FROM (
+        SELECT c.lab, d.doc_id,
+               row_number() OVER (PARTITION BY c.lab
+                                  ORDER BY d.n_chars DESC, d.doc_id ASC) rn
+        FROM comp c JOIN documents d ON d.doc_id = c.id) WHERE rn = 1)
+    SELECT d.doc_id,
+           coalesce(b.survivor, d.doc_id) AS canonical_id,
+           CASE WHEN coalesce(b.survivor, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END
+             AS is_duplicate
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN best b ON b.lab = c.lab
+    """,
+)
+def dedup_components_priority_q(spark, sf_dir):
+    """Priority survivor selection: same transitive closure, but each
+    duplicate cluster keeps its LONGEST member (``n_chars``), ties by
+    smallest id — "keep the best copy, not the first", the survivor
+    policy production pipelines want when duplicates differ in quality.
+    The argmax is one struct-max aggregate (map-side partials), no
+    window over the cluster."""
+    from .ops.curation import canonical_dedup
+    from .ops.dedup import ngram_jaccard_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(docs, shingle_k=3, threshold=0.4).select("doc_a", "doc_b")
+    return canonical_dedup(docs, pairs, priority_col="n_chars")
+
+
+@register(
     "stratified_sample",
     """
     SELECT doc_id, lang, source, rk FROM (
@@ -4017,6 +4058,7 @@ _GATE_PRIORITY = [
     "ann_topk_ivfpq_indexed_md5",
     "hdbscan_mst_stats",
     "doc_length_quantiles",
+    "dedup_components_priority",
     # --- r4 additions, exact oracles, never driver-recorded ---
     "ann_topk_pq",
     "ann_topk_pq_md5",
@@ -4062,7 +4104,6 @@ _GATE_PRIORITY = [
     "token_count",
     "purge_blocks",
     "unique_name_blocking",
-    "compare_blockings",
 ]
 
 

@@ -143,6 +143,32 @@ def test_canonical_dedup_full_corpus(spark):
     }
 
 
+def test_canonical_dedup_priority_survivor(spark):
+    """priority_col keeps the highest-priority cluster member (ties by
+    smallest id); pairless docs stay their own canonical."""
+    rows = [(1, 10.0), (2, 5.0), (3, 30.0), (4, 30.0), (5, 7.0), (9, 1.0)]
+    docs = spark.createDataFrame(rows, ["doc_id", "quality"])
+    # cluster {1,3,5} (best: 3) and cluster {2,4} (best: 4); 9 alone
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (2, 4)], ["doc_a", "doc_b"])
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in canonical_dedup(docs, pairs, priority_col="quality").collect()
+    }
+    assert out == {
+        1: (3, 1), 3: (3, 0), 5: (3, 1), 2: (4, 1), 4: (4, 0), 9: (9, 0),
+    }
+    # tie on priority falls back to the smallest id: make 1 tie with 3
+    docs2 = spark.createDataFrame(
+        [(1, 30.0), (2, 5.0), (3, 30.0), (4, 30.0), (5, 7.0), (9, 1.0)],
+        ["doc_id", "quality"],
+    )
+    out2 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_dedup(docs2, pairs, priority_col="quality").collect()
+    }
+    assert out2[1] == 1 and out2[3] == 1 and out2[5] == 1
+
+
 # ------------------------------------------------------------------ sampling
 def test_stratified_sample_quota_and_determinism(spark):
     rows = [(i, ["en", "de"][i % 2], f"s{i % 3}") for i in range(60)]
