@@ -406,3 +406,33 @@ def test_pq_encode_and_search_plans(spark, sf_dir):
     assert len(set(re.findall(r"\((\d+)\) Exchange", p_search))) == 1
     assert "MapInPandas" in p_search  # the scan-in-place ADC kernel
     assert "CartesianProduct" not in p_search
+
+
+def test_grouped_quantiles_plan_single_aggregate(spark, sf_dir):
+    """Exact per-group quantiles: one hash-partial aggregate pair, no
+    Window, no Python eval — the profile runs in a single pass."""
+    from klinker_spark.ops.rollup import grouped_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(grouped_quantiles(docs, ["source"], "n_chars"))
+    assert "Window" not in p
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in p, bad
+    # partial + final aggregate around exactly one data exchange
+    import re
+
+    assert len(set(re.findall(r"\((\d+)\) Exchange", p))) <= 2
+
+
+def test_canonical_dedup_priority_plan_no_window(spark):
+    """Priority survivor selection is a struct-max AGGREGATE (map-side
+    partials), never a window over cluster members."""
+    from klinker_spark.ops.curation import canonical_dedup
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], ["doc_id", "quality"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    p = plan_of(canonical_dedup(docs, pairs, priority_col="quality"))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
