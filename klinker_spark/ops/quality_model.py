@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
-__all__ = ["train_quality_scores"]
+__all__ = ["train_quality_scores", "train_quality_scores_deterministic"]
 
 
 def train_quality_scores(
@@ -79,4 +79,112 @@ def train_quality_scores(
         .localCheckpoint(eager=True)
     )
     feat.unpersist()
+    return out
+
+
+def train_quality_scores_deterministic(
+    docs: DataFrame,
+    positive_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 8,
+    n_train: int = 200,
+    iters: int = 4,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Exact-oracle twin of :func:`train_quality_scores`: the same
+    hashed-bag-of-words → logistic-regression → score-everything
+    pipeline, made bit-reproducible on any engine (the
+    ``first_pc_power`` recipe — SURVEY-era lesson that DuckDB list
+    primitives match sequential Python float64 loops bit-for-bit).
+
+    Differences from the production path, each forced by determinism:
+
+    - fixed-iteration FULL-BATCH gradient descent (``iters`` × one
+      pass) instead of L-BFGS — no line search, no convergence test,
+      no distributed float reduction;
+    - the training slice is the first ``n_train`` docs in md5(id)
+      order (a uniform deterministic sample), and the gradient is
+      accumulated SEQUENTIALLY in that order on the driver —
+      n_train × (n_features+2) floats, a bounded collect like the
+      SIF-PC sample;
+    - features are whitespace-token counts hashed by md5-prefix into
+      ``n_features`` buckets, L1-normalized per doc, plus a bias —
+      integer counts and one exact division, so the feature matrix is
+      bit-identical across engines.
+
+    Scoring is fully distributed: the trained weight vector is a
+    literal array and every document's probability is a sequential
+    fold — one projection, no shuffle.  Output: ``(doc_id, label,
+    prob)``, prob rounded to 6 dp.
+
+    The production path (MLlib HashingTF 1024-dim + L-BFGS) remains
+    the quality recommendation; this twin exists so the TRAINED-model
+    family has a value-checked member (same contract as
+    ``sif_pc_removal_md5`` for the PCA family).
+    """
+    import math
+
+    D = n_features
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).alias("tok"),
+    )
+    j_expr = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint") % D
+    )
+    ht = toks.select("doc_id", j_expr.alias("j"))
+    per_doc = ht.groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("j") == jj).cast("double")).alias(f"c{jj}")
+            for jj in range(D)
+        ],
+        F.count("*").cast("double").alias("n"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        positive_filter.cast("double").alias("y"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    feats = base.join(per_doc, "doc_id", "left")
+    x_cols = [
+        F.when(
+            F.col("n").isNotNull() & (F.col("n") > 0), F.col(f"c{jj}") / F.col("n")
+        ).otherwise(F.lit(0.0))
+        for jj in range(D)
+    ] + [F.lit(1.0)]
+    fx = feats.select("doc_id", "y", "h", F.array(*x_cols).alias("x")).persist()
+
+    train_rows = fx.orderBy("h", "doc_id").limit(n_train).collect()
+    m = len(train_rows)
+    if m == 0:
+        fx.unpersist()
+        raise ValueError("train_quality_scores_deterministic: empty corpus")
+    w = [0.0] * (D + 1)
+    for _ in range(iters):
+        g = [0.0] * (D + 1)
+        for r in train_rows:  # md5 order — matches the oracle's ORDER BY
+            x = r["x"]
+            z = 0.0
+            for j in range(D + 1):
+                z += w[j] * x[j]
+            e = 1.0 / (1.0 + math.exp(-z)) - r["y"]
+            for j in range(D + 1):
+                g[j] += e * x[j]
+        for j in range(D + 1):
+            w[j] = w[j] - lr * g[j] / m
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    dot = F.aggregate(
+        F.zip_with(w_lit, F.col("x"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    out = fx.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-dot)), 6).alias("prob"),
+    ).localCheckpoint(eager=True)
+    fx.unpersist()
     return out

@@ -3176,6 +3176,87 @@ def corpus_rollup_q(spark, sf_dir):
     return corpus_rollup(_t(spark, sf_dir, "documents"))
 
 
+def _qcls_oracle(D: int = 8, n_train: int = 200, iters: int = 4, lr: str = "0.5") -> str:
+    """Unrolled fixed-iteration logistic-GD oracle (see
+    ``train_quality_scores_deterministic``): per-iteration CTEs compute
+    p (sigmoid of a sequential dot), g (per-feature ORDERED sums over
+    the md5-ranked train slice), and the next weight list."""
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN j = {jj} THEN 1.0 ELSE 0.0 END) AS c{jj}" for jj in range(D)
+    )
+    zeros = ", ".join(["0.0"] * (D + 1))
+    xs = ", ".join(f"p.c{jj} / p.n" for jj in range(D))
+    it_ctes = []
+    prev_w = "w0"
+    for k in range(1, iters + 1):
+        it_ctes.append(
+            f"""
+    p{k} AS (SELECT t.*,
+             1.0 / (1.0 + exp(-(list_sum(list_transform(list_zip(w.w, t.x),
+                                                        q -> q[1] * q[2]))))) AS p
+             FROM train t CROSS JOIN {prev_w} w),
+    g{k} AS (SELECT s.j,
+             list_sum(list((p{k}.p - p{k}.y) * p{k}.x[s.j]
+                           ORDER BY p{k}.h, p{k}.doc_id)) AS gj
+             FROM p{k}, unnest(generate_series(1, {D + 1})) s(j) GROUP BY s.j),
+    w{k} AS (SELECT list(w.w[g.j] - {lr} * g.gj / t.m ORDER BY g.j) AS w
+             FROM g{k} g CROSS JOIN {prev_w} w CROSS JOIN tn t)"""
+        )
+        prev_w = f"w{k}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents),
+    ht AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 9),
+                  i -> (strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1)
+                       * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT) % {D} AS j
+      FROM toks),
+    pd AS (
+      SELECT doc_id,
+             {sums},
+             count(*)::DOUBLE AS n
+      FROM ht GROUP BY doc_id),
+    fx AS (
+      SELECT d.doc_id,
+             CASE WHEN d.source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+             md5(CAST(d.doc_id AS VARCHAR)) AS h,
+             CASE WHEN p.n IS NULL OR p.n = 0 THEN [{zeros[:-3]}1.0]
+                  ELSE [{xs}, 1.0] END AS x
+      FROM documents d LEFT JOIN pd p USING (doc_id)),
+    train AS (
+      SELECT doc_id, y, h, x FROM (
+        SELECT fx.*, row_number() OVER (ORDER BY h, doc_id) rn FROM fx)
+      WHERE rn <= {n_train}),
+    tn AS (SELECT count(*)::DOUBLE AS m FROM train),
+    w0 AS (SELECT [{zeros}] AS w),{",".join(it_ctes)}
+    SELECT f.doc_id, CAST(f.y AS INT) AS label,
+           round(1.0 / (1.0 + exp(-(list_sum(list_transform(list_zip(w.w, f.x),
+                                                            q -> q[1] * q[2]))))), 6)
+             AS prob
+    FROM fx f CROSS JOIN {prev_w} w
+    """
+
+
+@register("quality_classifier_md5", _qcls_oracle())
+def quality_classifier_md5_q(spark, sf_dir):
+    """TRAINED quality model under an EXACT oracle: deterministic
+    logistic regression (md5-ordered train slice, fixed-iteration
+    full-batch GD with sequential float accumulation) on md5-hashed
+    L1-normalized bag-of-words; every document scored by a distributed
+    sequential-fold sigmoid.  The oracle re-trains the model in SQL —
+    per-iteration CTEs with ordered ``list_sum`` gradients — so the
+    learned weights themselves are value-checked, not just the
+    scoring pass (the ``sif_pc_removal_md5`` contract extended to a
+    supervised model)."""
+    from .ops.quality_model import train_quality_scores_deterministic
+
+    return train_quality_scores_deterministic(
+        _t(spark, sf_dir, "documents"), F.col("source") == "src0"
+    )
+
+
 @register("quality_classifier")
 def quality_classifier_q(spark, sf_dir):
     """Trainable fasttext-style quality model: src0 as the trusted
@@ -4059,6 +4140,7 @@ _GATE_PRIORITY = [
     "hdbscan_mst_stats",
     "doc_length_quantiles",
     "dedup_components_priority",
+    "quality_classifier_md5",
     # --- r4 additions, exact oracles, never driver-recorded ---
     "ann_topk_pq",
     "ann_topk_pq_md5",
@@ -4101,7 +4183,6 @@ _GATE_PRIORITY = [
     "ngram_jaccard_dedup",
     "embedding_cosine_dedup",
     "quality_score",
-    "token_count",
     "purge_blocks",
     "unique_name_blocking",
 ]

@@ -486,6 +486,38 @@ def test_quality_classifier_separates_obvious_corpora(spark):
     assert min(good) > 0.9 and max(junk) < 0.1
 
 
+def test_quality_classifier_deterministic_twin(spark):
+    """The exact-oracle twin separates the same corpora (weaker margin
+    — 4 GD steps, 8 hash buckets), is deterministic across calls, and
+    keeps probabilities in (0, 1)."""
+    from klinker_spark.ops.quality_model import train_quality_scores_deterministic
+
+    rng = random.Random(7)
+    good_words = ["science", "history", "theorem", "literature", "analysis"]
+    junk_words = ["zzz", "spamspam", "clickbait", "xxxx", "garbage"]
+    rows = []
+    for i in range(40):
+        w = good_words if i % 2 == 0 else junk_words
+        text = " ".join(rng.choice(w) for _ in range(12))
+        rows.append((i, text, i % 2 == 0))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "trusted"])
+
+    def run():
+        return {
+            r["doc_id"]: r["prob"]
+            for r in train_quality_scores_deterministic(
+                docs, F.col("trusted"), n_train=40
+            ).collect()
+        }
+
+    out = run()
+    assert len(out) == 40 and all(0.0 < p < 1.0 for p in out.values())
+    good = [out[i] for i in range(0, 40, 2)]
+    junk = [out[i] for i in range(1, 40, 2)]
+    assert min(good) > max(junk)  # separable even with 4 steps
+    assert out == run()  # bit-deterministic across invocations
+
+
 # ------------------------------------------------------------------ empty-corpus sweep
 def test_curation_ops_handle_empty_corpus(spark):
     """Every curation operator must return an empty (or
