@@ -32,6 +32,7 @@ __all__ = [
     "SIFHashingWordEmbedder",
     "initialize_and_fill",
     "first_pc_power",
+    "topk_pc_power",
 ]
 
 
@@ -235,6 +236,80 @@ def first_pc_power(
             break
         u = [x / n for x in w]
     return u
+
+
+def topk_pc_power(
+    embeddings: DataFrame, k: int = 2, sample_n: int = 2000, iters: int = 20
+) -> list[list[float]]:
+    """Top-``k`` principal directions via fixed-iteration power method
+    with Hotelling deflation — the k-component extension of
+    :func:`first_pc_power`, same cross-engine determinism contract:
+    md5-ordered sample, SEQUENTIAL second-moment sums, sequential
+    dots, and after each extracted component ``u`` the deflation
+    ``C[i][j] -= λ·u[i]·u[j]`` with ``λ = u·(C·u)`` — every operation
+    expressible as DuckDB list primitives (indexed-lambda
+    ``list_transform`` for the rank-one update), so a k-dim PCA
+    projection can carry an exact oracle.  Components are NOT
+    re-orthogonalized beyond deflation (20 iterations on a deflated
+    matrix reproduce identically on both engines whether or not they
+    have converged — determinism needs the same recurrence, not a
+    spectral gap)."""
+    import math
+
+    rows = (
+        embeddings.select(F.col("id").cast("string").alias("sid"), "vector")
+        .withColumn("_h", F.md5(F.col("sid")))
+        .orderBy("_h", "sid")
+        .limit(sample_n)
+        .collect()
+    )
+    vecs = [[float(x) for x in r["vector"]] for r in rows]
+    if not vecs:
+        return []
+    d = len(vecs[0])
+    C = [[0.0] * d for _ in range(d)]
+    for v in vecs:
+        for i in range(d):
+            vi = v[i]
+            ci = C[i]
+            for j in range(d):
+                ci[j] += vi * v[j]
+    comps: list[list[float]] = []
+    for _ in range(k):
+        u = [1.0 / math.sqrt(d)] * d
+        for _ in range(iters):
+            w = []
+            for i in range(d):
+                s = 0.0
+                ci = C[i]
+                for j in range(d):
+                    s += ci[j] * u[j]
+                w.append(s)
+            n2 = 0.0
+            for x in w:
+                n2 += x * x
+            n = math.sqrt(n2)
+            if n == 0.0:
+                break
+            u = [x / n for x in w]
+        comps.append(u)
+        # Hotelling deflation: C -= λ u uᵀ, λ = u·(C·u) — sequential
+        w = []
+        for i in range(d):
+            s = 0.0
+            ci = C[i]
+            for j in range(d):
+                s += ci[j] * u[j]
+            w.append(s)
+        lam = 0.0
+        for i in range(d):
+            lam += u[i] * w[i]
+        for i in range(d):
+            ci = C[i]
+            ui = u[i]
+            for j in range(d):
+                ci[j] = ci[j] - lam * ui * u[j]
+    return comps
 
 
 def initialize_and_fill(

@@ -1330,6 +1330,130 @@ def embedding_knn_blocking_md5(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+def _power_iter_named(iters: int, mat: str, prefix: str) -> str:
+    """`_power_iter_sql` with addressable matrix/vector CTE names, so a
+    deflation chain can run the power method on successive matrices."""
+    steps = [
+        f"{prefix}0 AS (SELECT list_transform(generate_series(1, 8),"
+        f" x -> 1.0 / sqrt(8.0)) u)"
+    ]
+    prev = f"{prefix}0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"{prefix}w{t} AS (SELECT list_transform(m, r -> list_inner_product(r, u)) w"
+            f" FROM {mat}, {prev})"
+        )
+        # the terminal u is referenced by several downstream CTEs —
+        # materialize it so the whole chain evaluates exactly once
+        mark = " MATERIALIZED" if t == iters else ""
+        steps.append(
+            f"{prefix}{t} AS{mark} (SELECT list_transform(w, x -> x / sqrt(list_inner_product(w, w))) u"
+            f" FROM {prefix}w{t})"
+        )
+        prev = f"{prefix}{t}"
+    return ",\n    ".join(steps)
+
+
+_DEEPBLOCKER_MD5_SQL = (
+    _TOKENS_SQL
+    + """
+    , dims AS (SELECT unnest(generate_series(0, {dmax})) d),
+    lv AS (SELECT id, d, avg(CASE d {lcase} END) v
+           FROM lt CROSS JOIN dims GROUP BY id, d),
+    rv AS (SELECT id, d, avg(CASE d {lcase} END) v
+           FROM rt CROSS JOIN dims GROUP BY id, d),
+    lvecs AS (SELECT id, list(v ORDER BY d) vec FROM lv GROUP BY id),
+    rvecs AS (SELECT id, list(v ORDER BY d) vec FROM rv GROUP BY id),
+    uv AS (SELECT 'L:' || id AS sid, vec FROM lvecs
+           UNION ALL SELECT 'R:' || id, vec FROM rvecs),
+    samp AS (SELECT vec, row_number() OVER (ORDER BY md5(sid), sid) rn
+             FROM uv ORDER BY md5(sid), sid LIMIT 2000),
+    cells AS (SELECT di.d di, dj.d dj,
+                     list_sum(list(vec[di.d + 1] * vec[dj.d + 1] ORDER BY rn)) c
+              FROM samp CROSS JOIN dims di CROSS JOIN dims dj
+              GROUP BY di.d, dj.d),
+    mrows AS (SELECT di, list(c ORDER BY dj) r FROM cells GROUP BY di),
+    -- MATERIALIZED: mat0 is referenced by all 20 power steps AND the
+    -- deflation; the nested reference chain (power_b -> mat1 -> ua20
+    -- -> ... -> mat0) otherwise inlines into a plan whose size is the
+    -- product of the two chains and planning never finishes
+    mat0 AS MATERIALIZED (SELECT list(r ORDER BY di) m FROM mrows),
+    {power_a},
+    defw AS (SELECT list_transform(m, r -> list_inner_product(r, u)) w
+             FROM mat0, {ua}),
+    defl AS (SELECT list_inner_product(u, w) l FROM {ua}, defw),
+    mat1 AS MATERIALIZED (SELECT list_transform(m, (r, i) ->
+                      list_transform(r, (c, j) -> c - l * u[i] * u[j])) m
+             FROM mat0, {ua}, defl),
+    {power_b},
+    lp AS (SELECT l.id, [list_inner_product(l.vec, a.u),
+                         list_inner_product(l.vec, b.u)] p
+           FROM lvecs l, {ua} a, {ub} b),
+    rp AS (SELECT r.id, [list_inner_product(r.vec, a.u),
+                         list_inner_product(r.vec, b.u)] p
+           FROM rvecs r, {ua} a, {ub} b),
+    sims AS (SELECT l.id qid, r.id nid,
+                    list_inner_product(l.p, r.p)
+                    / (sqrt(list_inner_product(l.p, l.p))
+                       * sqrt(list_inner_product(r.p, r.p))) sim
+             FROM lp l CROSS JOIN rp r)
+    SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) rank
+      FROM sims) WHERE rank <= 3
+    """
+)
+
+
+@register(
+    "deepblocker_knn_blocking_md5",
+    _DEEPBLOCKER_MD5_SQL.format(
+        stop=_STOP_SQL,
+        dmax=7,
+        lcase=" ".join(f"WHEN {d} THEN {_md5_component_sql(d)}" for d in range(8)),
+        power_a=_power_iter_named(20, "mat0", "ua"),
+        power_b=_power_iter_named(20, "mat1", "ub"),
+        ua="ua20",
+        ub="ub20",
+    ),
+)
+def deepblocker_knn_blocking_md5_q(spark, sf_dir):
+    """M6 (DeepBlocker linear autoencoder) under an EXACT oracle: the
+    AE optimum is the PCA subspace, and the top-2 principal directions
+    come from ``topk_pc_power`` — fixed-iteration power method with
+    Hotelling deflation (``C -= λuuᵀ``) on the md5-ordered union
+    sample, every step sequential floats, so the oracle re-derives the
+    learned projection itself (power chain → rank-one deflation via
+    indexed-lambda list_transform → second power chain) and then the
+    projected top-3 cosine join.  The stochastic-SVD production path
+    (`deepblocker_knn_blocking`) stays rows-only; this is its
+    value-checked twin — with this, every M-family (pooling, SIF/PC,
+    DeepBlocker, GCN, LightEA, clustering) has an exact-oracled
+    member."""
+    from .encoders.deepblocker import _project_expr
+    from .encoders.hashing import HashingWordEmbedder, topk_pc_power
+    from .functions.vectors import topk_cosine_join
+
+    enc = HashingWordEmbedder(dim=8, hash_fn="md5")
+    left = enc.encode(_cust_frame(spark, sf_dir).concat_values()).persist()
+    right = enc.encode(_supp_frame(spark, sf_dir).concat_values()).persist()
+    both = left.select(
+        F.concat(F.lit("L:"), F.col("id").cast("string")).alias("id"), "vector"
+    ).unionByName(
+        right.select(
+            F.concat(F.lit("R:"), F.col("id").cast("string")).alias("id"), "vector"
+        )
+    )
+    comps = topk_pc_power(both, k=2, sample_n=2000, iters=20)
+    proj = lambda df: df.select(
+        "id", _project_expr(F.col("vector"), comps).alias("vector")
+    )
+    out = topk_cosine_join(proj(left), proj(right), k=3, impl="expr")
+    left.unpersist()
+    right.unpersist()
+    return out.withColumn("sim", F.round("sim", 6))
+
+
 @register(
     "ann_topk_signlsh",
     """
@@ -4141,6 +4265,7 @@ _GATE_PRIORITY = [
     "doc_length_quantiles",
     "dedup_components_priority",
     "quality_classifier_md5",
+    "deepblocker_knn_blocking_md5",
     # --- r4 additions, exact oracles, never driver-recorded ---
     "ann_topk_pq",
     "ann_topk_pq_md5",
@@ -4183,7 +4308,6 @@ _GATE_PRIORITY = [
     "ngram_jaccard_dedup",
     "embedding_cosine_dedup",
     "quality_score",
-    "purge_blocks",
     "unique_name_blocking",
 ]
 

@@ -66,3 +66,28 @@ def test_hybrid_stack(spark, conc_pair):
     lv = {r["id"]: r["vector"] for r in le.collect()}
     assert all(len(v) == 3 for v in lv.values())
     assert set(lv) == {"a1", "a2", "a3", "a4"}
+
+
+def test_topk_pc_power_matches_numpy_svd(spark):
+    """The deterministic power+deflation components align with numpy's
+    top singular vectors on a cloud with clear spectral gaps (the
+    convergence half; the determinism half is the exact DuckDB oracle
+    on deepblocker_knn_blocking_md5)."""
+    import numpy as np
+
+    from klinker_spark.encoders.hashing import topk_pc_power
+
+    rng = np.random.RandomState(0)
+    basis = np.linalg.qr(rng.randn(6, 6))[0]
+    scales = np.array([10.0, 5.0, 1.0, 0.5, 0.2, 0.1])
+    pts = (rng.randn(300, 6) * scales) @ basis.T
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "id long, vector array<double>",
+    )
+    comps = topk_pc_power(df, k=2, sample_n=300, iters=60)
+    _, _, vt = np.linalg.svd(pts, full_matrices=False)
+    for c, v in zip(comps, vt[:2]):
+        assert abs(abs(float(np.dot(c, v))) - 1.0) < 1e-3
+    # deflation leaves the second component orthogonal to the first
+    assert abs(float(np.dot(comps[0], comps[1]))) < 1e-6
