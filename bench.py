@@ -92,6 +92,7 @@ EXTRA_QUERIES = [
     "ann_topk_ivfpq_indexed_md5",
     "hdbscan_mst_stats",
     "doc_length_quantiles",
+    "quality_classifier_md5",
 ]
 
 

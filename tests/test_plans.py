@@ -234,18 +234,45 @@ def test_range_join_is_equi_join(spark, sf_dir):
         assert bad not in plan, bad
 
 
-def test_gate_prefix_is_fully_oracled():
+#: Rows-only queries DELIBERATELY rotated into the round-5 gate so the
+#: driver records at least one (weaker, rows-only) row for each — every
+#: exact-oracled query already has a driver record from r1-r4, these
+#: nine never had any.  Every other gate slot must stay exact-oracled.
+GATE_ROWS_ONLY_ALLOWED = {
+    "gcn_embedding_blocking",
+    "deepblocker_knn_blocking",
+    "lightea_embedding_blocking",
+    "attribute_clustering_blocking",
+    "sif_pc_removal",
+    "quality_classifier",
+    "neardup_ingest_gate_fast",
+    "ann_topk_ivfpq",
+    "hdbscan_labels",
+}
+
+
+def test_gate_prefix_oracle_policy():
     """The driver's correctness gate records a fixed-size prefix of the
-    registry; every one of those slots must carry an exact DuckDB
-    oracle, and the curated priority list must stay consistent."""
+    registry; every slot must carry an exact DuckDB oracle unless it is
+    one of the nine documented rows-only coverage rotations, and the
+    curated priority list must stay consistent."""
     from klinker_spark.queries import ORACLES, QUERIES, _GATE_PRIORITY
 
     names = list(QUERIES)
-    missing = [n for n in names[:50] if n not in ORACLES]
+    missing = [
+        n for n in names[:50] if n not in ORACLES and n not in GATE_ROWS_ONLY_ALLOWED
+    ]
     assert not missing, f"gate-prefix queries without oracle: {missing}"
     unknown = [n for n in _GATE_PRIORITY if n not in QUERIES]
     assert not unknown, f"_GATE_PRIORITY names not registered: {unknown}"
     assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) == 50
+    # the six r4 hash-red rows (oracles fixed in r5) must stay in the
+    # gate until they record green
+    for n in (
+        "corpus_clean_pipeline", "pack_sequences", "vocab_coverage",
+        "corpus_rollup", "duplicated_span_stats", "token_budget_mix",
+    ):
+        assert n in _GATE_PRIORITY[:10], n
 
 
 def test_curation_plan_shapes(spark, sf_dir):
