@@ -52,6 +52,7 @@ class AttributeClusteringBlocker(Blocker):
         noise_handling: str = "keep",
         min_cluster_size: int = 3,
         allow_single_cluster: bool = True,
+        hash_fn: str = "xxhash64",
     ):
         if method not in ("kmeans", "dbscan", "hdbscan"):
             raise ValueError(f"method must be kmeans|dbscan|hdbscan, got {method!r}")
@@ -71,9 +72,15 @@ class AttributeClusteringBlocker(Blocker):
         # blocking wants that family as a block, not as noise, so the
         # blocker default diverges from the hdbscan-library default
         self.allow_single_cluster = allow_single_cluster
+        # "md5" swaps the value embedder into its deterministic
+        # SQL-reproducible mode, giving the density path an exact
+        # oracle (attribute_clustering_blocking_md5)
+        self.hash_fn = hash_fn
 
     def _embed_values(self, values: DataFrame) -> DataFrame:
-        return HashingWordEmbedder(dim=self.dim, seed=self.seed).encode(
+        return HashingWordEmbedder(
+            dim=self.dim, seed=self.seed, hash_fn=self.hash_fn
+        ).encode(
             values.select(F.col("value").alias("id"), F.col("value").alias("text"))
         )
 

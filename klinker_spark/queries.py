@@ -2743,6 +2743,111 @@ def attribute_clustering_blocking(spark, sf_dir):
     )
 
 
+_ATTR_CLUSTER_MD5_SQL = """
+    WITH RECURSIVE vals AS (
+      SELECT DISTINCT p_name AS value FROM part),
+    vt AS (SELECT DISTINCT value, tok FROM (
+             SELECT value, unnest(regexp_split_to_array(lower(value), '[^a-z0-9]+')) tok
+             FROM vals)
+           WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
+    dims AS (SELECT unnest(generate_series(0, 7)) d),
+    vv AS (SELECT value, d, avg(CASE d {lcase} END) v
+           FROM vt CROSS JOIN dims GROUP BY value, d),
+    vec AS (SELECT value, list(v ORDER BY d) vec FROM vv GROUP BY value),
+    edges AS (
+      SELECT a.value id, b.value nid FROM vec a JOIN vec b ON a.value <> b.value
+      WHERE {cos} >= 0.8),
+    deg AS (SELECT id, count(*) + 1 deg FROM edges GROUP BY id),
+    core AS (SELECT p.value AS id FROM vec p LEFT JOIN deg ON deg.id = p.value
+             WHERE coalesce(deg, 1) >= 2),
+    core_edges AS (SELECT e.id, e.nid FROM edges e
+                   JOIN core c1 ON e.id = c1.id JOIN core c2 ON e.nid = c2.id),
+    reach AS (
+      SELECT id, id AS label FROM core
+      UNION
+      SELECT ce.id, r.label FROM core_edges ce JOIN reach r ON r.id = ce.nid),
+    core_label AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+    border AS (
+      SELECT e.id, min(cl.label) AS label
+      FROM edges e JOIN core_label cl ON cl.id = e.nid
+      WHERE e.id NOT IN (SELECT id FROM core)
+      GROUP BY e.id),
+    labels AS (
+      SELECT id, label FROM core_label
+      UNION ALL SELECT id, label FROM border
+      UNION ALL
+      SELECT p.value, '-1' FROM vec p
+      WHERE p.value NOT IN (SELECT id FROM core_label)
+        AND p.value NOT IN (SELECT id FROM border)),
+    keys AS (
+      -- noise_handling='token': each noise value becomes its own block
+      SELECT id AS value,
+             'clustering_label_' ||
+             CASE WHEN label = '-1' THEN id ELSE label END AS block_key
+      FROM labels),
+    lk AS (SELECT DISTINCT k.block_key, p.p_partkey id
+           FROM part p JOIN keys k ON k.value = p.p_name
+           WHERE p.p_partkey % 2 = 0),
+    rk AS (SELECT DISTINCT k.block_key, p.p_partkey id
+           FROM part p JOIN keys k ON k.value = p.p_name
+           WHERE p.p_partkey % 2 = 1),
+    lb AS (SELECT block_key, count(*) n_left FROM lk GROUP BY 1),
+    rb AS (SELECT block_key, count(*) n_right FROM rk GROUP BY 1)
+    SELECT block_key, n_left, n_right FROM lb JOIN rb USING (block_key)
+    """
+
+
+@register(
+    "attribute_clustering_blocking_md5",
+    _ATTR_CLUSTER_MD5_SQL.format(
+        stop=_STOP_SQL,
+        lcase=" ".join(f"WHEN {d} THEN {_md5_component_sql(d)}" for d in range(8)),
+        cos=(
+            "list_sum(list_transform(list_zip(a.vec, b.vec),"
+            " p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+            " / (sqrt(list_sum(list_transform(a.vec, x -> x::DOUBLE * x::DOUBLE)))"
+            "    * sqrt(list_sum(list_transform(b.vec, x -> x::DOUBLE * x::DOUBLE))))"
+        ),
+    ),
+)
+def attribute_clustering_blocking_md5_q(spark, sf_dir):
+    """M15 under an EXACT oracle: the attribute-value clustering
+    blocker on its deterministic density path — md5-mode hash
+    embeddings of the DISTINCT part-name universe ('red plate',
+    'small widget', … — adjective/noun tokens give genuine cluster
+    structure, and splitting parts even/odd-key gives two sides that
+    share values so blocks span sides), distributed DBSCAN (ε-join
+    cosine ≥ 0.8, min_pts 2, token noise-handling: every noise value
+    keeps its own block), value→label keys broadcast back to both
+    sides, per-block side sizes.  The oracle reproduces value
+    embedding, the density fixpoint (recursive CTE), the reference's
+    ``_handle_noise_cluster`` token fallback, and the block assembly —
+    the KMeans production variant (`attribute_clustering_blocking`)
+    stays rows-only."""
+    from .blockers.attribute_clustering import AttributeClusteringBlocker
+    from .data.frames import EntityFrame
+
+    part = _t(spark, sf_dir, "part")
+    def side(parity, name):
+        return EntityFrame.from_triples(
+            part.where(F.col("p_partkey") % 2 == parity).select(
+                F.col("p_partkey").alias("head"),
+                F.lit("name").alias("rel"),
+                F.col("p_name").alias("tail"),
+            ),
+            name,
+        )
+    bm = AttributeClusteringBlocker(
+        dim=8, method="dbscan", min_sim=0.8, min_pts=2,
+        noise_handling="token", hash_fn="md5",
+    ).assign(side(0, "even"), side(1, "odd"))
+    return bm.df.select(
+        "block_key",
+        F.size("even").alias("n_left"),
+        F.size("odd").alias("n_right"),
+    )
+
+
 @register("sif_pc_removal")
 def sif_pc_removal(spark, sf_dir):
     """M2: SIF-weighted hash embeddings + first-principal-component
@@ -4266,6 +4371,7 @@ _GATE_PRIORITY = [
     "dedup_components_priority",
     "quality_classifier_md5",
     "deepblocker_knn_blocking_md5",
+    "attribute_clustering_blocking_md5",
     # --- r4 additions, exact oracles, never driver-recorded ---
     "ann_topk_pq",
     "ann_topk_pq_md5",
@@ -4308,7 +4414,6 @@ _GATE_PRIORITY = [
     "ngram_jaccard_dedup",
     "embedding_cosine_dedup",
     "quality_score",
-    "unique_name_blocking",
 ]
 
 

@@ -546,6 +546,21 @@ def test_curation_ops_handle_empty_corpus(spark):
     assert corpus_rollup(empty).count() == 0
     assert contamination_check(empty, F.col("source") == "x").count() == 0
 
+    from klinker_spark.encoders.hashing import topk_pc_power
+    from klinker_spark.ops.curation import canonical_dedup
+    from klinker_spark.ops.rollup import grouped_quantiles
+
+    assert grouped_quantiles(empty, ["source"], "doc_id").count() == 0
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    docs3 = spark.createDataFrame([(1, 2.0), (2, 1.0)], ["doc_id", "q"])
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_dedup(docs3, empty_pairs, priority_col="q").collect()
+    }
+    assert out == {1: 1, 2: 2}  # no pairs → everyone canonical
+    empty_emb = spark.createDataFrame([], "id long, vector array<double>")
+    assert topk_pc_power(empty_emb, k=2, sample_n=10, iters=3) == []
+
 
 def test_canonical_dedup_no_pairs(spark):
     from klinker_spark.ops.curation import canonical_dedup
