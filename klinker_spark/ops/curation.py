@@ -61,7 +61,74 @@ __all__ = [
     "gopher_rules",
     "GOPHER_STOPWORDS",
     "bigram_logprob_quality",
+    "chunk_documents",
 ]
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with optional
+    overlap — the context-window preparation step every RAG/embedding/
+    long-document pipeline runs before encoding.
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_size)``
+    with ``stride = chunk_size − overlap``; the last chunk may be
+    short, and a trailing window that would start at-or-past the end
+    of the document is not emitted (every chunk holds ≥ 1 new token).
+    Tokens are whitespace units (empties dropped), rejoined by single
+    spaces — byte-exact round-trip is NOT the goal, deterministic
+    windows are.
+
+    Output: ``(doc_id, chunk_idx, n_tokens, chunk_text)``, one row per
+    chunk, ``chunk_idx`` 0-based.
+
+    Scale shape: one stateless projection + ``explode`` of a
+    per-document ``sequence`` — no shuffle, no UDF; a 100 TB corpus
+    chunks at scan speed and the output is already partitioned like
+    the input.  Empty/whitespace-only docs yield no chunks.
+    """
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    if not (0 <= overlap < chunk_size):
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("tk")
+    ).withColumn("n", F.size("tk"))
+    # chunk starts: 0, stride, 2·stride, … strictly below n
+    n_chunks = F.when(
+        F.col("n") <= 0, F.lit(0)
+    ).otherwise(F.floor((F.col("n") - 1) / stride) + 1)
+    out = (
+        base.where(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "tk",
+            "n",
+            F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                F.col("tk"), F.col("chunk_idx") * stride + 1, chunk_size
+            ).alias("chunk"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
 
 
 def repetition_stats(

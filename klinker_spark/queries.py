@@ -3557,6 +3557,36 @@ def token_budget_mix_q(spark, sf_dir):
 
 
 @register(
+    "chunk_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') tk
+      FROM documents),
+    nn AS (SELECT doc_id, tk, len(tk) n FROM base WHERE len(tk) > 0),
+    ch AS (
+      SELECT doc_id, tk, n,
+             unnest(generate_series(0, CAST(floor((n - 1) / 24) AS INT))) AS chunk_idx
+      FROM nn),
+    sl AS (SELECT doc_id, chunk_idx,
+                  tk[chunk_idx * 24 + 1 : chunk_idx * 24 + 32] chunk
+           FROM ch)
+    SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM sl
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """Fixed-window document chunking with overlap (size 32, overlap 8
+    → stride 24) — the RAG/embedding context-window prep step as one
+    stateless explode-of-sequence projection, no shuffle, no UDF."""
+    from .ops.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+
+
+@register(
     "incremental_ingest",
     """
     WITH hist AS (SELECT DISTINCT md5(text) fp FROM documents WHERE doc_id % 3 = 0)
@@ -4372,6 +4402,7 @@ _GATE_PRIORITY = [
     "quality_classifier_md5",
     "deepblocker_knn_blocking_md5",
     "attribute_clustering_blocking_md5",
+    "chunk_documents",
     # --- r4 additions, exact oracles, never driver-recorded ---
     "ann_topk_pq",
     "ann_topk_pq_md5",
@@ -4413,7 +4444,6 @@ _GATE_PRIORITY = [
     "exact_dedup",
     "ngram_jaccard_dedup",
     "embedding_cosine_dedup",
-    "quality_score",
 ]
 
 

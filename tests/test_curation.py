@@ -1107,3 +1107,32 @@ def test_semdedup_oracle_parity_with_malformed_vectors(spark):
         for a, b, c, d in con.execute(ORACLES["semdedup"]).fetchall()
     )
     assert got == want
+
+
+def test_chunk_documents_windows(spark):
+    """Window arithmetic: stride = size − overlap, last chunk short,
+    every chunk introduces ≥ 1 new token, empty docs vanish."""
+    import pytest as _pytest
+
+    from klinker_spark.ops.curation import chunk_documents
+
+    text = " ".join(str(i) for i in range(10))  # tokens 0..9
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, ""), (4, None)], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_size=4, overlap=1)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: stride 3 → starts 0,3,6,9 → windows of ≤4
+    assert rows[(1, 0)] == (4, "0 1 2 3")
+    assert rows[(1, 1)] == (4, "3 4 5 6")
+    assert rows[(1, 2)] == (4, "6 7 8 9")
+    assert rows[(1, 3)] == (1, "9")
+    assert rows[(2, 0)] == (2, "a b")
+    assert {k[0] for k in rows} == {1, 2}  # empty/null docs: no chunks
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_size=4, overlap=4)
+    with _pytest.raises(ValueError, match="chunk_size"):
+        chunk_documents(docs, chunk_size=0)
