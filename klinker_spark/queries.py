@@ -2154,6 +2154,38 @@ def graph_statistics_q(spark, sf_dir):
 
 
 @register(
+    "attribution_interval_join",
+    """
+    WITH l AS (SELECT user_id AS key, event_id AS left_id, ts AS lts
+               FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id AS key, event_id AS right_id, ts AS rts
+          FROM events WHERE event_type = 'purchase')
+    SELECT l.key, l.left_id, r.right_id,
+           CAST(floor((epoch_us(r.rts) - epoch_us(l.lts)) / 1000) AS BIGINT)
+             AS lag_ms
+    FROM l JOIN r ON l.key = r.key
+     AND r.rts >= l.lts
+     AND r.rts <= l.lts + INTERVAL 300 SECONDS
+    """,
+)
+def attribution_interval_join_q(spark, sf_dir):
+    """Stream-stream interval join, batch form: every purchase within
+    5 minutes after a click by the same user, with the event-time lag.
+    On unbounded inputs the identical builder runs as a watermarked
+    Structured Streaming stream-stream join (state bounded by
+    watermark + horizon); the batch plan is the same condition as a
+    range join, value-checked here."""
+    from .streaming.join import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    return stream_interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon="5 minutes",
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH e AS (SELECT user_id, epoch_ms(ts) ts_ms FROM events),
@@ -4403,6 +4435,7 @@ _GATE_PRIORITY = [
     "deepblocker_knn_blocking_md5",
     "attribute_clustering_blocking_md5",
     "chunk_documents",
+    "attribution_interval_join",
     # --- r4 additions, exact oracles, never driver-recorded ---
     "ann_topk_pq",
     "ann_topk_pq_md5",
@@ -4443,7 +4476,6 @@ _GATE_PRIORITY = [
     "tfidf_token_blocking",
     "exact_dedup",
     "ngram_jaccard_dedup",
-    "embedding_cosine_dedup",
 ]
 
 

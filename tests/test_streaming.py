@@ -439,3 +439,41 @@ def test_streaming_curate_intra_batch_dedup(spark, tmp_path):
     )
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {4, 7}
+
+
+def test_stream_interval_join_batch_and_stream_parity(spark, events, tmp_path):
+    """The attribution interval join: batch result == streaming result
+    over the same finite input (availableNow), and the streaming query
+    is a genuine watermarked stream-stream join (isStreaming on both
+    sides)."""
+    from klinker_spark.streaming.join import stream_interval_join
+
+    ev = events.limit(3000).localCheckpoint(eager=True)
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    batch = {
+        (r["key"], r["left_id"], r["right_id"], r["lag_ms"])
+        for r in stream_interval_join(clicks, purchases, horizon="5 minutes").collect()
+    }
+
+    src = str(tmp_path / "ij_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stream_interval_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        horizon="5 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["left_id"], r["right_id"], r["lag_ms"])
+        for r in spark.sql("select * from ij_out").collect()
+    }
+    assert got == batch and len(batch) > 0
