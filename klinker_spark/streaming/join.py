@@ -61,11 +61,16 @@ def stream_interval_join(
         & (rf["rts"] >= lf["lts"])
         & (rf["rts"] <= lf["lts"] + F.expr(f"INTERVAL {horizon_s} SECONDS"))
     )
+    # cast("timestamp") is a no-op for TIMESTAMP and a session-tz
+    # reinterpretation for TIMESTAMP_NTZ parquet (both sides shift
+    # identically, and lag is a DIFFERENCE — unaffected); unix_micros
+    # itself rejects NTZ input
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
     return lf.join(rf, cond, "inner").select(
         lf["key"],
         "left_id",
         "right_id",
-        (
-            (F.unix_micros(F.col("rts")) - F.unix_micros(F.col("lts"))) / 1000
-        ).cast("bigint").alias("lag_ms"),
+        ((_us("rts") - _us("lts")) / 1000).cast("bigint").alias("lag_ms"),
     )

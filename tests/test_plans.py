@@ -463,3 +463,35 @@ def test_canonical_dedup_priority_plan_no_window(spark):
     p = plan_of(canonical_dedup(docs, pairs, priority_col="quality"))
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_chunk_documents_plan_zero_exchange(spark, sf_dir):
+    """Chunking is a stateless explode projection: no shuffle, no
+    Python eval — a 100 TB corpus chunks at scan speed."""
+    from klinker_spark.ops.curation import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(chunk_documents(docs, chunk_size=32, overlap=8))
+    assert "Exchange" not in p
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"):
+        assert bad not in p, bad
+
+
+def test_stream_interval_join_plan_no_cartesian(spark, sf_dir):
+    """Batch form of the interval join: an equi-join on the key with
+    the time bounds as residual conditions — never a cartesian or
+    broadcast-nested-loop over the event table."""
+    from klinker_spark.streaming.join import stream_interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = plan_of(
+        stream_interval_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+            horizon="5 minutes",
+        )
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert (
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    )
