@@ -29,7 +29,40 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
-__all__ = ["train_quality_scores", "train_quality_scores_deterministic"]
+__all__ = [
+    "train_quality_scores",
+    "train_quality_scores_deterministic",
+    "sequential_logistic_gd",
+]
+
+
+def sequential_logistic_gd(
+    rows: list[tuple[list[float], float]], d1: int, iters: int, lr: float
+) -> list[float]:
+    """Fixed-iteration full-batch logistic GD with STRICTLY SEQUENTIAL
+    float64 accumulation — the trainer behind every exact-oracle
+    trained-model twin (`quality_classifier_md5`, the CTT twin).
+    ``rows``: (x, y) in the md5 order the oracle's ``ORDER BY``
+    reproduces; ``d1`` = len(x) including the appended bias.  Every
+    operation (sequential dot, per-feature in-order gradient sums,
+    ``w - lr*g/m`` update) maps 1:1 onto the unrolled DuckDB CTE chain
+    (`_gd_iter_ctes`)."""
+    import math
+
+    m = len(rows)
+    w = [0.0] * d1
+    for _ in range(iters):
+        g = [0.0] * d1
+        for x, y in rows:
+            z = 0.0
+            for j in range(d1):
+                z += w[j] * x[j]
+            e = 1.0 / (1.0 + math.exp(-z)) - y
+            for j in range(d1):
+                g[j] += e * x[j]
+        for j in range(d1):
+            w[j] = w[j] - lr * g[j] / m
+    return w
 
 
 def train_quality_scores(
@@ -123,8 +156,6 @@ def train_quality_scores_deterministic(
     family has a value-checked member (same contract as
     ``sif_pc_removal_md5`` for the PCA family).
     """
-    import math
-
     D = n_features
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -158,23 +189,13 @@ def train_quality_scores_deterministic(
     fx = feats.select("doc_id", "y", "h", F.array(*x_cols).alias("x")).persist()
 
     train_rows = fx.orderBy("h", "doc_id").limit(n_train).collect()
-    m = len(train_rows)
-    if m == 0:
+    if not train_rows:
         fx.unpersist()
         raise ValueError("train_quality_scores_deterministic: empty corpus")
-    w = [0.0] * (D + 1)
-    for _ in range(iters):
-        g = [0.0] * (D + 1)
-        for r in train_rows:  # md5 order — matches the oracle's ORDER BY
-            x = r["x"]
-            z = 0.0
-            for j in range(D + 1):
-                z += w[j] * x[j]
-            e = 1.0 / (1.0 + math.exp(-z)) - r["y"]
-            for j in range(D + 1):
-                g[j] += e * x[j]
-        for j in range(D + 1):
-            w[j] = w[j] - lr * g[j] / m
+    # md5 order — matches the oracle's ORDER BY
+    w = sequential_logistic_gd(
+        [(r["x"], r["y"]) for r in train_rows], D + 1, iters, lr
+    )
     w_lit = F.array(*[F.lit(float(v)) for v in w])
     dot = F.aggregate(
         F.zip_with(w_lit, F.col("x"), lambda a, b: a * b),

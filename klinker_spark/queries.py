@@ -1454,6 +1454,204 @@ def deepblocker_knn_blocking_md5_q(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+def _gd_iter_ctes(iters: int, dim1: int, lr: str) -> tuple[str, str]:
+    """Unrolled fixed-iteration logistic-GD CTE chain (shared by the
+    quality-classifier and CTT exact twins).  Expects CTEs ``train``
+    (columns ``h, doc_id, y, x`` — x a ``dim1``-element list with the
+    bias appended) and ``tn(m)``; per iteration computes p (sigmoid of
+    a sequential dot), g (per-feature ORDERED sums over the md5-ranked
+    slice), and the next weight list.  Returns (ctes_sql, final_w)."""
+    it_ctes = []
+    prev_w = "w0"
+    for k in range(1, iters + 1):
+        mark = " MATERIALIZED" if k == iters else ""
+        it_ctes.append(
+            f"""
+    p{k} AS (SELECT t.*,
+             1.0 / (1.0 + exp(-(list_sum(list_transform(list_zip(w.w, t.x),
+                                                        q -> q[1] * q[2]))))) AS p
+             FROM train t CROSS JOIN {prev_w} w),
+    g{k} AS (SELECT s.j,
+             list_sum(list((p{k}.p - p{k}.y) * p{k}.x[s.j]
+                           ORDER BY p{k}.h, p{k}.doc_id)) AS gj
+             FROM p{k}, unnest(generate_series(1, {dim1})) s(j) GROUP BY s.j),
+    w{k} AS{mark} (SELECT list(w.w[g.j] - {lr} * g.gj / t.m ORDER BY g.j) AS w
+             FROM g{k} g CROSS JOIN {prev_w} w CROSS JOIN tn t)"""
+        )
+        prev_w = f"w{k}"
+    return ",".join(it_ctes), prev_w
+
+
+
+_CTT_GATE_SQL = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substr(md5(tok || ':' || uid || ':42'), "
+    "CAST(i AS INT), 1)) - 1) * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT) "
+    "% 100 >= 20"
+)
+
+_CTT_MD5_SQL = (
+    _TOKENS_SQL
+    + """
+    , ut AS (SELECT 'L:' || id AS uid, tok FROM lt
+             UNION ALL SELECT 'R:' || id, tok FROM rt),
+    dims AS (SELECT unnest(generate_series(0, 7)) d),
+    oe AS (SELECT uid, d, avg(CASE d {lcase} END) v
+           FROM ut CROSS JOIN dims GROUP BY uid, d),
+    ovec AS MATERIALIZED (SELECT uid, list(v ORDER BY d) vec FROM oe GROUP BY uid),
+    pt AS (SELECT uid, tok FROM ut WHERE {gate}),
+    pe AS (SELECT uid, d, avg(CASE d {lcase} END) v
+           FROM pt CROSS JOIN dims GROUP BY uid, d),
+    pvec AS MATERIALIZED (SELECT uid, list(v ORDER BY d) vec FROM pe GROUP BY uid),
+    rk AS (SELECT uid, row_number() OVER (ORDER BY md5(uid), uid) rn FROM ovec),
+    cnt AS (SELECT count(*) c FROM rk),
+    pos AS (
+      SELECT 'P:' || o.uid AS pair_key, 1.0 AS y,
+             list_transform(list_zip(o.vec, p.vec), q -> abs(q[1] - q[2]))
+               || [1.0] AS x
+      FROM ovec o JOIN pvec p USING (uid)),
+    neg AS (
+      SELECT 'N:' || a.uid AS pair_key, 0.0 AS y,
+             list_transform(list_zip(oa.vec, ob.vec), q -> abs(q[1] - q[2]))
+               || [1.0] AS x
+      FROM rk a
+      JOIN rk b ON b.rn = (a.rn % (SELECT c FROM cnt)) + 1
+      JOIN ovec oa ON oa.uid = a.uid
+      JOIN ovec ob ON ob.uid = b.uid),
+    allp AS (SELECT pair_key, y, x, md5(pair_key) h FROM pos
+             UNION ALL SELECT pair_key, y, x, md5(pair_key) FROM neg),
+    train AS MATERIALIZED (
+      SELECT pair_key AS doc_id, y, h, x FROM (
+        SELECT allp.*, row_number() OVER (ORDER BY h, pair_key) rn FROM allp)
+      WHERE rn <= 400),
+    tn AS (SELECT count(*)::DOUBLE AS m FROM train),
+    w0 AS (SELECT [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS w),{gd}
+    , lw AS (SELECT substr(uid, 3) id,
+                    list_transform(vec, (x, i) -> x * abs(w.w[i])) rv
+             FROM ovec, {wlast} w WHERE uid LIKE 'L:%'),
+    rw AS (SELECT substr(uid, 3) id,
+                  list_transform(vec, (x, i) -> x * abs(w.w[i])) rv
+           FROM ovec, {wlast} w WHERE uid LIKE 'R:%'),
+    sims AS (SELECT l.id qid, r.id nid,
+                    list_sum(list_transform(list_zip(l.rv, r.rv),
+                                            q -> q[1] * q[2]))
+                    / (sqrt(list_sum(list_transform(l.rv, x -> x * x)))
+                       * sqrt(list_sum(list_transform(r.rv, x -> x * x)))) sim
+             FROM lw l CROSS JOIN rw r)
+    SELECT qid AS query_id, nid AS neighbor_id, round(sim, 5) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) rank
+      FROM sims) WHERE rank <= 3
+    """
+)
+
+
+def _ctt_oracle() -> str:
+    gd_sql, wlast = _gd_iter_ctes(4, 9, "0.5")
+    return _CTT_MD5_SQL.format(
+        stop=_STOP_SQL,
+        lcase=" ".join(f"WHEN {d} THEN {_md5_component_sql(d)}" for d in range(8)),
+        gate=_CTT_GATE_SQL,
+        gd=gd_sql,
+        wlast=wlast,
+    )
+
+
+@register("deepblocker_ctt_knn_md5", _ctt_oracle())
+def deepblocker_ctt_knn_md5_q(spark, sf_dir):
+    """M7 (DeepBlocker cross-tuple training) under an EXACT oracle:
+    positives pair each entity's md5 embedding with a DETERMINISTIC
+    hash-gated token-dropout perturbation of itself; negatives pair it
+    with the next entity in md5 order (the pseudo-random partner);
+    the siamese head is the sequential-GD logistic trainer on |u−v|
+    features (weights value-checked via the shared unrolled CTE
+    chain), and its |coefficients| re-weight the embedding dimensions
+    before the exact top-3 cosine join — the full reference CTT
+    dataflow (perturb → pair → train → summarize → search,
+    ref ``encoders/deepblocker.py:181-357``) with every float
+    reproducible.  The MLlib production variant stays in
+    ``CrossTupleTrainingEncoder``; rank/sims rounded to 5dp (pooled
+    doubles drift ~1e-13 through training).  The global md5-order
+    window runs over ENTITIES (bounded per md5 sample contract)."""
+    from pyspark.sql import Window
+
+    from .encoders.hashing import HashingWordEmbedder
+    from .functions.text import tokenize
+    from .functions.vectors import topk_cosine_join
+    from .ops.quality_model import sequential_logistic_gd
+
+    enc = HashingWordEmbedder(dim=8, hash_fn="md5")
+    lconc = _cust_frame(spark, sf_dir).concat_values()
+    rconc = _supp_frame(spark, sf_dir).concat_values()
+
+    def perturbed(conc, prefix):
+        uid = F.concat(F.lit(prefix), F.col("id").cast("string"))
+        kept = F.filter(
+            tokenize("text", 3),
+            lambda t: F.conv(
+                F.substring(F.md5(F.concat_ws(":", t, uid, F.lit("42"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+            >= 20,
+        )
+        return conc.select("id", F.array_join(kept, " ").alias("text"))
+
+    left = enc.encode(lconc).persist()
+    right = enc.encode(rconc).persist()
+    lpert = enc.encode(perturbed(lconc, "L:"))
+    rpert = enc.encode(perturbed(rconc, "R:"))
+
+    def u(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("id").cast("string")).alias("uid"),
+            F.col("vector"),
+        )
+
+    orig = u(left, "L:").unionByName(u(right, "R:"))
+    pert = u(lpert, "L:").unionByName(u(rpert, "R:"))
+    absdiff = lambda a, b: F.concat(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)), F.array(F.lit(1.0))
+    )
+    pos = orig.alias("o").join(pert.alias("p"), "uid").select(
+        F.concat(F.lit("P:"), F.col("uid")).alias("pair_key"),
+        F.lit(1.0).alias("y"),
+        absdiff(F.col("o.vector"), F.col("p.vector")).alias("x"),
+    )
+    rk = orig.select(
+        "uid", "vector", F.row_number().over(
+            Window.orderBy(F.md5("uid"), F.col("uid"))
+        ).alias("rn"),
+    ).persist()
+    n_ent = rk.count()
+    partner = rk.select(
+        F.col("rn").alias("prn"), F.col("vector").alias("pv")
+    )
+    neg = rk.join(
+        partner, (F.col("rn") % F.lit(n_ent)) + 1 == F.col("prn")
+    ).select(
+        F.concat(F.lit("N:"), F.col("uid")).alias("pair_key"),
+        F.lit(0.0).alias("y"),
+        absdiff(F.col("vector"), F.col("pv")).alias("x"),
+    )
+    pairs = pos.unionByName(neg).withColumn("h", F.md5("pair_key"))
+    rows = [
+        (r["x"], r["y"])
+        for r in pairs.orderBy("h", "pair_key").limit(400).collect()
+    ]
+    w = sequential_logistic_gd(rows, 9, 4, 0.5)
+    aw = F.array(*[F.lit(abs(float(v))) for v in w[:8]])
+    rewt = lambda df: df.select(
+        "id", F.zip_with("vector", aw, lambda x, a: x * a).alias("vector")
+    )
+    out = topk_cosine_join(rewt(left), rewt(right), k=3, impl="expr")
+    left.unpersist()
+    right.unpersist()
+    rk.unpersist()
+    return out.withColumn("sim", F.round("sim", 5))
+
+
 @register(
     "ann_topk_signlsh",
     """
@@ -3438,32 +3636,14 @@ def corpus_rollup_q(spark, sf_dir):
 
 
 def _qcls_oracle(D: int = 8, n_train: int = 200, iters: int = 4, lr: str = "0.5") -> str:
-    """Unrolled fixed-iteration logistic-GD oracle (see
-    ``train_quality_scores_deterministic``): per-iteration CTEs compute
-    p (sigmoid of a sequential dot), g (per-feature ORDERED sums over
-    the md5-ranked train slice), and the next weight list."""
+    """Oracle for ``train_quality_scores_deterministic`` — features +
+    train slice + the shared GD chain + distributed scoring."""
     sums = ",\n             ".join(
         f"sum(CASE WHEN j = {jj} THEN 1.0 ELSE 0.0 END) AS c{jj}" for jj in range(D)
     )
     zeros = ", ".join(["0.0"] * (D + 1))
     xs = ", ".join(f"p.c{jj} / p.n" for jj in range(D))
-    it_ctes = []
-    prev_w = "w0"
-    for k in range(1, iters + 1):
-        it_ctes.append(
-            f"""
-    p{k} AS (SELECT t.*,
-             1.0 / (1.0 + exp(-(list_sum(list_transform(list_zip(w.w, t.x),
-                                                        q -> q[1] * q[2]))))) AS p
-             FROM train t CROSS JOIN {prev_w} w),
-    g{k} AS (SELECT s.j,
-             list_sum(list((p{k}.p - p{k}.y) * p{k}.x[s.j]
-                           ORDER BY p{k}.h, p{k}.doc_id)) AS gj
-             FROM p{k}, unnest(generate_series(1, {D + 1})) s(j) GROUP BY s.j),
-    w{k} AS (SELECT list(w.w[g.j] - {lr} * g.gj / t.m ORDER BY g.j) AS w
-             FROM g{k} g CROSS JOIN {prev_w} w CROSS JOIN tn t)"""
-        )
-        prev_w = f"w{k}"
+    gd_sql, prev_w = _gd_iter_ctes(iters, D + 1, lr)
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
@@ -3491,7 +3671,7 @@ def _qcls_oracle(D: int = 8, n_train: int = 200, iters: int = 4, lr: str = "0.5"
         SELECT fx.*, row_number() OVER (ORDER BY h, doc_id) rn FROM fx)
       WHERE rn <= {n_train}),
     tn AS (SELECT count(*)::DOUBLE AS m FROM train),
-    w0 AS (SELECT [{zeros}] AS w),{",".join(it_ctes)}
+    w0 AS (SELECT [{zeros}] AS w),{gd_sql}
     SELECT f.doc_id, CAST(f.y AS INT) AS label,
            round(1.0 / (1.0 + exp(-(list_sum(list_transform(list_zip(w.w, f.x),
                                                             q -> q[1] * q[2]))))), 6)
@@ -4436,6 +4616,7 @@ _GATE_PRIORITY = [
     "attribute_clustering_blocking_md5",
     "chunk_documents",
     "attribution_interval_join",
+    "deepblocker_ctt_knn_md5",
     # --- r4 additions, exact oracles, never driver-recorded ---
     "ann_topk_pq",
     "ann_topk_pq_md5",
@@ -4475,7 +4656,6 @@ _GATE_PRIORITY = [
     "minhash_lsh_blocking_md5",
     "tfidf_token_blocking",
     "exact_dedup",
-    "ngram_jaccard_dedup",
 ]
 
 

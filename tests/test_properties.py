@@ -199,3 +199,32 @@ def test_edit_distance_join_complete_on_arbitrary_strings(spark, impl, texts):
         if ia < ib and lev(ta, tb) <= 1
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_tokens=st.integers(min_value=0, max_value=40),
+    chunk_size=st.integers(min_value=1, max_value=10),
+    overlap=st.integers(min_value=0, max_value=9),
+)
+def test_chunk_documents_matches_python_model(spark, n_tokens, chunk_size, overlap):
+    """Window arithmetic vs a direct Python model: same chunk count,
+    same per-chunk token windows, full coverage, for arbitrary sizes."""
+    if overlap >= chunk_size:
+        return
+    from klinker_spark.ops.curation import chunk_documents
+
+    toks = [f"t{i}" for i in range(n_tokens)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    got = {
+        r["chunk_idx"]: (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_size=chunk_size, overlap=overlap).collect()
+    }
+    stride = chunk_size - overlap
+    want = {}
+    i = 0
+    while i * stride < n_tokens:
+        w = toks[i * stride : i * stride + chunk_size]
+        want[i] = (len(w), " ".join(w))
+        i += 1
+    assert got == want
