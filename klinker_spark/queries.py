@@ -1483,6 +1483,26 @@ def _gd_iter_ctes(iters: int, dim1: int, lr: str) -> tuple[str, str]:
 
 
 
+def _ctt_perturbed(conc, prefix):
+    """Deterministic hash-gated token dropout (the CTT perturbation):
+    token survives iff md5-prefix(token:uid:42) % 100 >= 20 — the SQL
+    twin is ``_CTT_GATE_SQL``."""
+    from .functions.text import tokenize
+
+    uid = F.concat(F.lit(prefix), F.col("id").cast("string"))
+    kept = F.filter(
+        tokenize("text", 3),
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat_ws(":", t, uid, F.lit("42"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        >= 20,
+    )
+    return conc.select("id", F.array_join(kept, " ").alias("text"))
+
+
 _CTT_GATE_SQL = (
     "CAST(list_sum(list_transform(range(1, 9), i -> "
     "(strpos('0123456789abcdef', substr(md5(tok || ':' || uid || ':42'), "
@@ -1583,21 +1603,7 @@ def deepblocker_ctt_knn_md5_q(spark, sf_dir):
     enc = HashingWordEmbedder(dim=8, hash_fn="md5")
     lconc = _cust_frame(spark, sf_dir).concat_values()
     rconc = _supp_frame(spark, sf_dir).concat_values()
-
-    def perturbed(conc, prefix):
-        uid = F.concat(F.lit(prefix), F.col("id").cast("string"))
-        kept = F.filter(
-            tokenize("text", 3),
-            lambda t: F.conv(
-                F.substring(F.md5(F.concat_ws(":", t, uid, F.lit("42"))), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 100
-            >= 20,
-        )
-        return conc.select("id", F.array_join(kept, " ").alias("text"))
-
+    perturbed = _ctt_perturbed
     left = enc.encode(lconc).persist()
     right = enc.encode(rconc).persist()
     lpert = enc.encode(perturbed(lconc, "L:"))
@@ -1649,6 +1655,189 @@ def deepblocker_ctt_knn_md5_q(spark, sf_dir):
     left.unpersist()
     right.unpersist()
     rk.unpersist()
+    return out.withColumn("sim", F.round("sim", 5))
+
+
+_HYBRID_MD5_SQL = (
+    _TOKENS_SQL
+    + """
+    , dims AS (SELECT unnest(generate_series(0, {dmax})) d),
+    lv AS (SELECT id, d, avg(CASE d {lcase} END) v
+           FROM lt CROSS JOIN dims GROUP BY id, d),
+    rv AS (SELECT id, d, avg(CASE d {lcase} END) v
+           FROM rt CROSS JOIN dims GROUP BY id, d),
+    lvecs AS (SELECT id, list(v ORDER BY d) vec FROM lv GROUP BY id),
+    rvecs AS (SELECT id, list(v ORDER BY d) vec FROM rv GROUP BY id),
+    uv AS MATERIALIZED (SELECT 'L:' || id AS uid, vec FROM lvecs
+           UNION ALL SELECT 'R:' || id, vec FROM rvecs),
+    samp AS (SELECT vec, row_number() OVER (ORDER BY md5(uid), uid) rn
+             FROM uv ORDER BY md5(uid), uid LIMIT 2000),
+    cells AS (SELECT di.d di, dj.d dj,
+                     list_sum(list(vec[di.d + 1] * vec[dj.d + 1] ORDER BY rn)) c
+              FROM samp CROSS JOIN dims di CROSS JOIN dims dj
+              GROUP BY di.d, dj.d),
+    mrows AS (SELECT di, list(c ORDER BY dj) r FROM cells GROUP BY di),
+    hmat0 AS MATERIALIZED (SELECT list(r ORDER BY di) m FROM mrows),
+    {power_a},
+    hdefw AS (SELECT list_transform(m, r -> list_inner_product(r, u)) w
+              FROM hmat0, {ua}),
+    hdefl AS (SELECT list_inner_product(u, w) l FROM {ua}, hdefw),
+    hmat1 AS MATERIALIZED (SELECT list_transform(m, (r, i) ->
+                      list_transform(r, (c, j) -> c - l * u[i] * u[j])) m
+             FROM hmat0, {ua}, hdefl),
+    {power_b},
+    po AS MATERIALIZED (
+      SELECT uid, [list_inner_product(vec, a.u), list_inner_product(vec, b.u)] p
+      FROM uv, {ua} a, {ub} b),
+    ptok AS (SELECT 'L:' || id AS uid, tok FROM lt
+             UNION ALL SELECT 'R:' || id, tok FROM rt),
+    pkept AS (SELECT uid, tok FROM ptok WHERE {gate}),
+    pe AS (SELECT uid, d, avg(CASE d {lcase} END) v
+           FROM pkept CROSS JOIN dims GROUP BY uid, d),
+    pvec8 AS (SELECT uid, list(v ORDER BY d) vec FROM pe GROUP BY uid),
+    pp AS MATERIALIZED (
+      SELECT uid, [list_inner_product(vec, a.u), list_inner_product(vec, b.u)] p
+      FROM pvec8, {ua} a, {ub} b),
+    rk AS (SELECT uid, row_number() OVER (ORDER BY md5(uid), uid) rn FROM po),
+    cnt AS (SELECT count(*) c FROM rk),
+    pos AS (
+      SELECT 'P:' || o.uid AS pair_key, 1.0 AS y,
+             list_transform(list_zip(o.p, q.p), z -> abs(z[1] - z[2]))
+               || [1.0] AS x
+      FROM po o JOIN pp q USING (uid)),
+    neg AS (
+      SELECT 'N:' || a.uid AS pair_key, 0.0 AS y,
+             list_transform(list_zip(oa.p, ob.p), z -> abs(z[1] - z[2]))
+               || [1.0] AS x
+      FROM rk a
+      JOIN rk b ON b.rn = (a.rn % (SELECT c FROM cnt)) + 1
+      JOIN po oa ON oa.uid = a.uid
+      JOIN po ob ON ob.uid = b.uid),
+    allp AS (SELECT pair_key, y, x, md5(pair_key) h FROM pos
+             UNION ALL SELECT pair_key, y, x, md5(pair_key) FROM neg),
+    train AS MATERIALIZED (
+      SELECT pair_key AS doc_id, y, h, x FROM (
+        SELECT allp.*, row_number() OVER (ORDER BY h, pair_key) rn FROM allp)
+      WHERE rn <= 400),
+    tn AS (SELECT count(*)::DOUBLE AS m FROM train),
+    w0 AS (SELECT [0.0, 0.0, 0.0] AS w),{gd}
+    , lw AS (SELECT substr(uid, 3) id,
+                    list_transform(p, (x, i) -> x * abs(w.w[i])) rv
+             FROM po, {wlast} w WHERE uid LIKE 'L:%'),
+    rw AS (SELECT substr(uid, 3) id,
+                  list_transform(p, (x, i) -> x * abs(w.w[i])) rv
+           FROM po, {wlast} w WHERE uid LIKE 'R:%'),
+    sims AS (SELECT l.id qid, r.id nid,
+                    list_sum(list_transform(list_zip(l.rv, r.rv),
+                                            q -> q[1] * q[2]))
+                    / (sqrt(list_sum(list_transform(l.rv, x -> x * x)))
+                       * sqrt(list_sum(list_transform(r.rv, x -> x * x)))) sim
+             FROM lw l CROSS JOIN rw r)
+    SELECT qid AS query_id, nid AS neighbor_id, round(sim, 5) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid ASC) rank
+      FROM sims) WHERE rank <= 3
+    """
+)
+
+
+def _hybrid_oracle() -> str:
+    gd_sql, wlast = _gd_iter_ctes(4, 3, "0.5")
+    return _HYBRID_MD5_SQL.format(
+        stop=_STOP_SQL,
+        dmax=7,
+        lcase=" ".join(f"WHEN {d} THEN {_md5_component_sql(d)}" for d in range(8)),
+        gate=_CTT_GATE_SQL,
+        power_a=_power_iter_named(20, "hmat0", "hua"),
+        power_b=_power_iter_named(20, "hmat1", "hub"),
+        ua="hua20",
+        ub="hub20",
+        gd=gd_sql,
+        wlast=wlast,
+    )
+
+
+@register("deepblocker_hybrid_knn_md5", _hybrid_oracle())
+def deepblocker_hybrid_knn_md5_q(spark, sf_dir):
+    """M8 (DeepBlocker hybrid) under an EXACT oracle — the M6 + M7
+    composition with every float reproducible: deterministic top-2 PCA
+    (power + Hotelling deflation) projects both sides AND each
+    entity's hash-gated perturbation into 2-d; the CTT sequential-GD
+    siamese head trains on the PROJECTED |u−v| features; its
+    |coefficients| re-weight the projected dimensions before the exact
+    top-3 cosine join.  One oracle re-derives the whole stack: two
+    power chains, the rank-one deflation, the perturbed projections,
+    the unrolled GD, the re-weighting, and the rank boundaries.  With
+    this, M6, M7, AND M8 are all value-checked — the entire DeepBlocker
+    family."""
+    from pyspark.sql import Window
+
+    from .encoders.deepblocker import _project_expr
+    from .encoders.hashing import HashingWordEmbedder, topk_pc_power
+    from .functions.vectors import topk_cosine_join
+    from .ops.quality_model import sequential_logistic_gd
+
+    enc = HashingWordEmbedder(dim=8, hash_fn="md5")
+    lconc = _cust_frame(spark, sf_dir).concat_values()
+    rconc = _supp_frame(spark, sf_dir).concat_values()
+    left = enc.encode(lconc).persist()
+    right = enc.encode(rconc).persist()
+    lpert = enc.encode(_ctt_perturbed(lconc, "L:"))
+    rpert = enc.encode(_ctt_perturbed(rconc, "R:"))
+
+    def u(df, prefix):
+        return df.select(
+            F.concat(F.lit(prefix), F.col("id").cast("string")).alias("uid"),
+            F.col("vector"),
+        )
+
+    both = u(left, "L:").unionByName(u(right, "R:")).persist()
+    comps = topk_pc_power(
+        both.select(F.col("uid").alias("id"), "vector"), k=2, sample_n=2000, iters=20
+    )
+    proj = lambda df: df.select(
+        "uid", _project_expr(F.col("vector"), comps).alias("p")
+    )
+    po = proj(both).persist()
+    pp = proj(u(lpert, "L:").unionByName(u(rpert, "R:")))
+    absdiff = lambda a, b: F.concat(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)), F.array(F.lit(1.0))
+    )
+    pos = po.alias("o").join(pp.alias("q"), "uid").select(
+        F.concat(F.lit("P:"), F.col("uid")).alias("pair_key"),
+        F.lit(1.0).alias("y"),
+        absdiff(F.col("o.p"), F.col("q.p")).alias("x"),
+    )
+    rk = po.select(
+        "uid", "p",
+        F.row_number().over(Window.orderBy(F.md5("uid"), F.col("uid"))).alias("rn"),
+    ).persist()
+    n_ent = rk.count()
+    partner = rk.select(F.col("rn").alias("prn"), F.col("p").alias("pb"))
+    neg = rk.join(
+        partner, (F.col("rn") % F.lit(n_ent)) + 1 == F.col("prn")
+    ).select(
+        F.concat(F.lit("N:"), F.col("uid")).alias("pair_key"),
+        F.lit(0.0).alias("y"),
+        absdiff(F.col("p"), F.col("pb")).alias("x"),
+    )
+    pairs = pos.unionByName(neg).withColumn("h", F.md5("pair_key"))
+    rows = [
+        (r["x"], r["y"])
+        for r in pairs.orderBy("h", "pair_key").limit(400).collect()
+    ]
+    w = sequential_logistic_gd(rows, 3, 4, 0.5)
+    aw = F.array(*[F.lit(abs(float(v))) for v in w[:2]])
+
+    def rewt(prefix):
+        return po.where(F.col("uid").startswith(prefix)).select(
+            F.expr("substr(uid, 3)").alias("id"),
+            F.zip_with("p", aw, lambda x, a: x * a).alias("vector"),
+        )
+
+    out = topk_cosine_join(rewt("L:"), rewt("R:"), k=3, impl="expr")
+    for df in (left, right, both, po, rk):
+        df.unpersist()
     return out.withColumn("sim", F.round("sim", 5))
 
 
@@ -4617,6 +4806,7 @@ _GATE_PRIORITY = [
     "chunk_documents",
     "attribution_interval_join",
     "deepblocker_ctt_knn_md5",
+    "deepblocker_hybrid_knn_md5",
     # --- r4 additions, exact oracles, never driver-recorded ---
     "ann_topk_pq",
     "ann_topk_pq_md5",
@@ -4655,7 +4845,6 @@ _GATE_PRIORITY = [
     "eval_metrics",
     "minhash_lsh_blocking_md5",
     "tfidf_token_blocking",
-    "exact_dedup",
 ]
 
 
