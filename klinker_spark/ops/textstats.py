@@ -21,6 +21,7 @@ __all__ = [
     "doc_fingerprint",
     "langid_by_profile",
     "normalize_text",
+    "readability_stats",
 ]
 
 
@@ -54,6 +55,52 @@ def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         ws_token_count(text_col).alias("n_tokens"),
         bpe_token_count(text_col).alias("n_bpe_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def readability_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-Kincaid-style readability signals per document — the
+    classic curation proxy for "is this text written for humans"
+    (reading ease separates prose from boilerplate/logs/code).
+
+    Heuristics (deterministic, engine-portable):
+    - words = whitespace tokens (empties dropped);
+    - sentences = runs of ``[.!?]`` (min 1 — unpunctuated text is one
+      sentence);
+    - syllables = per word, vowel-GROUP count ``[aeiouy]+`` of the
+      lowercased word, min 1 (the standard cheap approximation).
+
+    Output: ``(doc_id, n_words, n_sentences, n_syllables, fk_grade)``
+    with ``fk_grade = 0.39·(words/sentences) + 11.8·(syllables/words)
+    − 15.59`` rounded to 6dp.  Zero-word docs are excluded (no grade
+    to compute).  Pure per-row expressions — scan-speed at 100 TB.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    syl = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(F.lower(w), F.lit(r"[aeiouy]+")), F.lit(1)),
+    )
+    sent = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("bigint").alias("n_words"),
+        sent.cast("bigint").alias("n_sentences"),
+        syl.cast("bigint").alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    return base.withColumn(
+        "fk_grade",
+        F.round(
+            F.lit(0.39) * (F.col("n_words") / F.col("n_sentences"))
+            + F.lit(11.8) * (F.col("n_syllables") / F.col("n_words"))
+            - F.lit(15.59),
+            6,
+        ),
     )
 
 

@@ -4049,6 +4049,37 @@ def edit_distance_dedup_q(spark, sf_dir):
 
 
 @register(
+    "readability_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) n_sentences
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(list_sum(list_transform(words,
+                  x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+             AS BIGINT) AS n_syllables,
+           round(0.39 * (len(words) / n_sentences)
+                 + 11.8 * (list_sum(list_transform(words,
+                     x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+                     / len(words))
+                 - 15.59, 6) AS fk_grade
+    FROM w WHERE len(words) > 0
+    """,
+)
+def readability_stats_q(spark, sf_dir):
+    """Flesch-Kincaid readability per document (vowel-group syllable
+    heuristic, punctuation-run sentences) — the human-prose-vs-
+    boilerplate curation signal, pure per-row expressions."""
+    from .ops.textstats import readability_stats
+
+    return readability_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "normalize_text",
     """
     SELECT doc_id,
@@ -4807,6 +4838,7 @@ _GATE_PRIORITY = [
     "attribution_interval_join",
     "deepblocker_ctt_knn_md5",
     "deepblocker_hybrid_knn_md5",
+    "readability_stats",
     # --- r4 additions, exact oracles, never driver-recorded ---
     "ann_topk_pq",
     "ann_topk_pq_md5",
@@ -4844,7 +4876,6 @@ _GATE_PRIORITY = [
     "standard_blocking",
     "eval_metrics",
     "minhash_lsh_blocking_md5",
-    "tfidf_token_blocking",
 ]
 
 

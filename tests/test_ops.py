@@ -1045,3 +1045,25 @@ def test_cm_heavy_hitters_exact_vs_plain_groupby(spark):
         for r in df.where(F.col("k").isNotNull()).groupBy("k").count().where("count >= 5").collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_readability_stats_punctuated(spark):
+    """Sentence/syllable heuristics on punctuated prose (the synthetic
+    corpus has no punctuation, so the oracle only exercises the
+    one-sentence path — this pins the rest)."""
+    from klinker_spark.ops.textstats import readability_stats
+
+    rows = [
+        (1, "The cat sat. The dog ran! Did it?"),   # 3 sentences, 8 words
+        (2, "xyzzy qwrt"),                          # y counts; qwrt hits the min-1 floor
+        (3, ""),                                    # zero words: excluded
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in readability_stats(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_sentences"] == 3 and out[1]["n_words"] == 8
+    # the/cat/sat/the/dog/ran/did/it -> one vowel group each
+    assert out[1]["n_syllables"] == 8
+    assert out[1]["fk_grade"] == round(0.39 * (8 / 3) + 11.8 * (8 / 8) - 15.59, 6)
+    # xyzzy: two 'y' vowel groups = 2; qwrt: zero groups -> min-1 floor
+    assert out[2]["n_syllables"] == 3
