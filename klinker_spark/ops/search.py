@@ -1,0 +1,134 @@
+"""Full-text retrieval operators — BM25 top-k keyword search.
+
+The reference library blocks entities by shared tokens; a production
+corpus pipeline additionally needs *ranked* keyword retrieval over the
+document store (inspecting dedup clusters, pulling eval slices,
+debugging contamination hits).  BM25 (Robertson/Spärck Jones; the
+Lucene ``k1``/``b`` parameterisation) is the standard scoring function.
+
+Spark-first design
+------------------
+Everything is DataFrame algebra — no Python UDFs:
+
+- the query set is a handful of rows → **broadcast** to both the
+  postings build and the scoring join; the corpus side never shuffles
+  on anything but its own aggregation keys;
+- document frequencies are computed **only for the query vocabulary**
+  (semi-join before the ``groupBy``), not for the whole corpus — at
+  100 TB the df table for a 10-term query set is 10 rows;
+- per-(query, doc) score summation uses **integer micro-nats**
+  (``round(score * 1e6)`` summed as BIGINT) so the result is
+  independent of shuffle order and bit-identical across engines
+  (same recipe as ``unigram_logprob_quality``);
+- top-k per query is a rank window over ``(score DESC, doc_id)`` — a
+  total order, tie-safe.  One query matching the whole corpus makes
+  that query's partition hot; AQE skew-split handles the sort, and the
+  aggregated input is one row per (query, matched doc), already the
+  minimum the semantics allow.
+
+Shuffles: corpus tokenisation aggregates once on ``(doc_id, term)``
+(map-side partials), once on ``doc_id`` for lengths, then the scoring
+join is broadcast and the final aggregate shuffles on
+``(query_id, doc_id)``.  Nothing shuffles the raw token stream twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-``k`` documents for each query in ``queries``.
+
+    ``queries`` is a small list of ``(query_id, query_text)`` pairs;
+    query terms are the distinct whitespace tokens of ``query_text``
+    (standard BM25 with unit query-term frequency).  Documents are
+    tokenised by whitespace to preserve term occurrences (tf), matching
+    the curation-family oracles.
+
+    Output: ``(query_id, rank, doc_id, n_terms_matched, score)`` with
+    ``rank`` 1-based per query ordered by ``(score DESC, doc_id)`` and
+    ``score`` the micro-nat-summed BM25 value rounded to 6 dp.
+
+    IDF is the Lucene-style non-negative form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+    """
+    spark = docs.sparkSession
+    qterms = (
+        spark.createDataFrame(queries, "query_id long, query_text string")
+        .select("query_id", F.explode(F.split("query_text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+
+    # per-doc length over ALL tokens (BM25 length normalisation is
+    # corpus-wide, not query-vocabulary-relative)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+
+    # postings restricted to the query vocabulary BEFORE aggregating —
+    # the broadcast semi-join prunes the token stream map-side
+    qvocab = qterms.select("term").distinct()
+    tf = (
+        tok.join(F.broadcast(qvocab), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl") / n_docs
+    idf = F.log(F.lit(1.0) + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avgdl))
+    score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(score * 1e6).cast("bigint").alias("s_micro"),
+        )
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.sum("s_micro").alias("score_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "n_terms_matched",
+            F.round(F.col("score_micro") / 1e6, 6).alias("score"),
+        )
+    )

@@ -4798,6 +4798,59 @@ def hdbscan_labels_q(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = [(0, "spark join"), (1, "dup scan"), (2, "hash table window")]
+
+_BM25_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, text in _BM25_QUERIES for t in text.split(" ")
+)
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH tw AS (
+      SELECT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''),
+    dl AS (SELECT doc_id, count(*) dl FROM tw GROUP BY 1),
+    st AS (SELECT count(*) n_docs, CAST(sum(dl) AS DOUBLE) sum_dl FROM dl),
+    q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+    tf AS (SELECT doc_id, token AS term, count(*) tf FROM tw
+           WHERE token IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+    sc AS (SELECT q.query_id, tf.doc_id,
+                  CAST(round(1e6 * ln(1.0 + (CAST(st.n_docs AS DOUBLE) - dfreq.df + 0.5)
+                                            / (dfreq.df + 0.5))
+                             * (tf.tf * (1.2 + 1.0))
+                             / (tf.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * (dl.dl / (st.sum_dl / CAST(st.n_docs AS DOUBLE)))))
+                       ) AS BIGINT) s
+           FROM q JOIN tf ON q.term = tf.term
+                  JOIN dfreq ON tf.term = dfreq.term
+                  JOIN dl ON tf.doc_id = dl.doc_id, st),
+    agg AS (SELECT query_id, doc_id, count(*) n_terms_matched,
+                   CAST(sum(s) AS BIGINT) score_micro
+            FROM sc GROUP BY 1, 2),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_micro DESC, doc_id) rank
+           FROM agg)
+    SELECT query_id, rank, doc_id, n_terms_matched,
+           round(score_micro / 1e6, 6) AS score
+    FROM rk WHERE rank <= 10
+    """,
+)
+def bm25_search_q(spark, sf_dir):
+    """BM25 top-10 keyword retrieval (Lucene k1/b parameterisation)
+    over the document store — broadcast query vocabulary, df computed
+    only for query terms, micro-nat integer score summation (shuffle-
+    order-free), tie-safe rank window.  Net-new vs the reference
+    (its token ops only BLOCK on shared tokens; ranked retrieval is the
+    corpus-debugging counterpart)."""
+    from .ops.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,
