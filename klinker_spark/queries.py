@@ -4851,6 +4851,51 @@ def bm25_search_q(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
 
 
+def _zinterleave_sql(xs: str, ys: str, bits: int) -> str:
+    """Unrolled Morton interleave, identical shape to
+    ``ops.layout._interleave``."""
+    return " + ".join(
+        f"((({xs} >> {i}) & 1) << {2 * i + 1}) + ((({ys} >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+
+
+@register(
+    "zorder_layout_stats",
+    f"""
+    WITH e AS (SELECT epoch_us(ts) x, user_id y FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    b AS (SELECT min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax FROM e),
+    s AS (SELECT x, y,
+                 CAST(floor((CASE WHEN xmax - xmin > 0
+                             THEN CAST(x - xmin AS DOUBLE) / CAST(xmax - xmin AS DOUBLE)
+                             ELSE 0.0 END) * 65535.0) AS BIGINT) xs,
+                 CAST(floor((CASE WHEN ymax - ymin > 0
+                             THEN CAST(y - ymin AS DOUBLE) / CAST(ymax - ymin AS DOUBLE)
+                             ELSE 0.0 END) * 65535.0) AS BIGINT) ys
+          FROM e, b),
+    z AS (SELECT ({_zinterleave_sql("xs", "ys", 16)}) >> 22 AS zbin, x, y FROM s)
+    SELECT zbin, CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_layout_stats_q(spark, sf_dir):
+    """Z-order (Morton) layout audit over events (ts µs × user_id):
+    per-bin bounding boxes for the top-10-bit key ranges — the
+    write-time clustering layout (Delta/Iceberg OPTIMIZE ZORDER) that
+    makes parquet min/max pruning work on BOTH dimensions at 100 TB.
+    Pure integer/IEEE Catalyst expressions, one 1-row bounds broadcast,
+    one ≤1024-group aggregate."""
+    from .ops.layout import zorder_bin_stats
+
+    ev = load_events(spark, sf_dir).select(
+        F.unix_micros("ts").alias("ts_us"), "user_id"
+    )
+    return zorder_bin_stats(ev, "ts_us", "user_id", bits=16, bin_bits=10)
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,
