@@ -442,6 +442,63 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential-sort / A-ES): the classic one-pass distributed
+    algorithm — each row draws a uniform ``u`` and the ``k`` smallest
+    ``-ln(u) / w`` keys form an exact weighted sample.  The pipeline
+    use is importance-weighted subcorpus selection (e.g. ``w`` =
+    token count, or exp of a DSIR log-ratio).
+
+    Deterministic and seedless: ``u`` is derived from the first 12 hex
+    digits of ``md5(id)`` (a 48-bit uniform any engine reproduces;
+    ``+0.5`` keeps it strictly inside (0, 1)), and the sort key is
+    rounded to integer **micro-units** so ranking is bit-stable with a
+    ``(key, id)`` total tie-break.
+
+    Output: ``(doc_id, w, rank, es_key)``, ``rank`` 1..k by ascending
+    key.  Rows with ``w <= 0`` are excluded (zero-weight rows cannot be
+    sampled; ``-ln(u)/w`` is undefined).
+
+    Scale: one global top-k — Spark's ``row_number`` over an empty
+    partitionBy is a single-reducer sort, so this uses the two-phase
+    form: per-partition top-k (mapInArrow-free: a partition-local sort
+    is what ``Window`` over a constant does after AQE coalesce) is not
+    needed because the key computation is map-side and the final sort
+    only materialises k rows via ``orderBy(...).limit(k)`` — Spark
+    executes that as a distributed TakeOrderedAndProject (per-partition
+    top-k + driver merge of k·P rows), not a global sort.
+    """
+    u_int = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    u = (u_int.cast("double") + 0.5) / float(1 << 48)
+    w = F.col(weight_col).cast("double")
+    key_micro = F.round(-F.log(u) / w * 1e6).cast("bigint")
+    top = (
+        docs.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).alias("w"),
+            key_micro.alias("key_micro"),
+        )
+        .orderBy(F.col("key_micro").asc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    wr = Window.orderBy(F.col("key_micro").asc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "w",
+        F.row_number().over(wr).alias("rank"),
+        F.round(F.col("key_micro") / 1e6, 6).alias("es_key"),
+    )
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark_filter,

@@ -37,7 +37,99 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher) of N rankers:
+    ``score(d) = Σ_r 1 / (rrf_k + rank_r(d))`` — the standard way to
+    combine lexical (BM25) and dense (kNN) retrieval without score
+    calibration.
+
+    Each input DataFrame carries ``(query_id, doc_id, rank)``; a doc
+    absent from a ranker contributes nothing (the union formulation —
+    no outer join needed).  Scores are summed as integer **nano-units**
+    (``round(1e9 / (rrf_k + rank))``) so the fused ordering is
+    shuffle-order-free and engine-exact.
+
+    Output: ``(query_id, rank, doc_id, n_rankers, score)`` — top ``k``
+    per query by ``(score DESC, doc_id)``.
+
+    Scale: a union of already-top-k ranker outputs is tiny relative to
+    the corpus — one ``(query_id, doc_id)`` aggregate and a per-query
+    rank window over ≤ N·k rows per query.
+    """
+    contrib = F.round(1e9 / (F.lit(rrf_k) + F.col("rank"))).cast("bigint")
+    parts = [
+        df.select("query_id", "doc_id", contrib.alias("c")) for df in ranked
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), F.col("doc_id")
+    )
+    return (
+        allp.groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_rankers"), F.sum("c").alias("score_nano"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "n_rankers",
+            F.round(F.col("score_nano") / 1e9, 6).alias("score"),
+        )
+    )
+
+
+def coverage_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean-coverage ranker: per query, docs ordered by (number of
+    distinct query terms present DESC, doc length ASC, doc_id) — the
+    calibration-free lexical baseline typically fused with BM25 via
+    :func:`rrf_fuse`.  Output: ``(query_id, doc_id, rank)``, rank ≤ k.
+    Same shuffle profile as the BM25 postings build (broadcast query
+    vocabulary, one ``(doc_id, term)`` aggregate)."""
+    spark = docs.sparkSession
+    qterms = (
+        spark.createDataFrame(queries, "query_id long, query_text string")
+        .select("query_id", F.explode(F.split("query_text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("nt").desc(), F.col("dl").asc(), F.col("doc_id")
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("nt"), F.min("dl").alias("dl"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
 
 
 def bm25_topk(

@@ -4805,10 +4805,8 @@ _BM25_Q_VALUES = ", ".join(
 )
 
 
-@register(
-    "bm25_search",
-    f"""
-    WITH tw AS (
+_BM25_CTES = f"""
+    tw AS (
       SELECT doc_id, token
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
       WHERE token <> ''),
@@ -4830,7 +4828,13 @@ _BM25_Q_VALUES = ", ".join(
                   JOIN dl ON tf.doc_id = dl.doc_id, st),
     agg AS (SELECT query_id, doc_id, count(*) n_terms_matched,
                    CAST(sum(s) AS BIGINT) score_micro
-            FROM sc GROUP BY 1, 2),
+            FROM sc GROUP BY 1, 2)"""
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH {_BM25_CTES},
     rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY score_micro DESC, doc_id) rank
            FROM agg)
@@ -4849,6 +4853,85 @@ def bm25_search_q(spark, sf_dir):
     from .ops.search import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
+@register(
+    "rrf_search",
+    f"""
+    WITH {_BM25_CTES},
+    bm AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_micro DESC, doc_id) rank
+           FROM agg),
+    cov AS (SELECT q.query_id, tf.doc_id, count(*) nt, min(dl.dl) dl
+            FROM q JOIN tf ON q.term = tf.term
+                   JOIN dl ON tf.doc_id = dl.doc_id
+            GROUP BY 1, 2),
+    cr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY nt DESC, dl ASC, doc_id) rank
+           FROM cov),
+    un AS (SELECT query_id, doc_id, CAST(round(1e9 / (60 + rank)) AS BIGINT) c
+           FROM bm WHERE rank <= 20
+           UNION ALL
+           SELECT query_id, doc_id, CAST(round(1e9 / (60 + rank)) AS BIGINT) c
+           FROM cr WHERE rank <= 20),
+    fu AS (SELECT query_id, doc_id, count(*) n_rankers, CAST(sum(c) AS BIGINT) sn
+           FROM un GROUP BY 1, 2),
+    fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sn DESC, doc_id) rank
+           FROM fu)
+    SELECT query_id, rank, doc_id, n_rankers, round(sn / 1e9, 6) AS score
+    FROM fr WHERE rank <= 10
+    """,
+)
+def rrf_search_q(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and
+    the boolean-coverage top-20 — the calibration-free ranker
+    combination used to merge lexical and dense retrieval, with
+    integer nano-unit score summation (engine-exact)."""
+    from .ops.search import bm25_topk, coverage_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, _BM25_QUERIES, k=20)
+    cov = coverage_topk(docs, _BM25_QUERIES, k=20)
+    return rrf_fuse([bm, cov], k=10)
+
+
+def _hex12_to_int_sql(col: str) -> str:
+    """Unrolled base-16 parse of a 12-char lowercase hex prefix — the
+    DuckDB twin of Spark's ``conv(substring(md5, 1, 12), 16, 10)``."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
+@register(
+    "weighted_sample",
+    f"""
+    WITH h AS (SELECT doc_id, n_chars w,
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) hx
+               FROM documents WHERE n_chars > 0),
+    ui AS (SELECT doc_id, w, ({_hex12_to_int_sql("hx")}) u_int FROM h),
+    ky AS (SELECT doc_id, w,
+                  CAST(round(-ln((CAST(u_int AS DOUBLE) + 0.5) / 281474976710656.0)
+                             / CAST(w AS DOUBLE) * 1e6) AS BIGINT) km
+           FROM ui),
+    rk AS (SELECT doc_id, w, km,
+                  row_number() OVER (ORDER BY km, doc_id) rank
+           FROM ky)
+    SELECT doc_id, w, rank, round(km / 1e6, 6) AS es_key
+    FROM rk WHERE rank <= 50
+    """,
+)
+def weighted_sample_q(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (weight = document length): seedless md5-derived uniforms, integer
+    micro-unit sort keys, distributed TakeOrderedAndProject top-k."""
+    from .ops.curation import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), "n_chars", k=50)
 
 
 def _zinterleave_sql(xs: str, ys: str, bits: int) -> str:

@@ -1136,3 +1136,48 @@ def test_chunk_documents_windows(spark):
         chunk_documents(docs, chunk_size=4, overlap=4)
     with _pytest.raises(ValueError, match="chunk_size"):
         chunk_documents(docs, chunk_size=0)
+
+
+def test_weighted_sample_matches_reference_impl(spark):
+    # A-ES against a NumPy-free Python reference with the identical
+    # md5-uniform derivation
+    import hashlib, math
+
+    rows = [(i, (i % 7) + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    from klinker_spark.ops.curation import weighted_sample
+
+    got = [(r.doc_id, r.rank) for r in weighted_sample(df, "w", k=5).collect()]
+
+    def key(i, w):
+        u_int = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        u = (u_int + 0.5) / float(1 << 48)
+        return round(-math.log(u) / w * 1e6)
+
+    exp = sorted(((key(i, w), i) for i, w in rows))[:5]
+    assert got == [(i, r + 1) for r, (_, i) in enumerate(exp)]
+
+
+def test_weighted_sample_zero_weight_excluded_and_bias(spark):
+    from klinker_spark.ops.curation import weighted_sample
+
+    rows = [(i, 1000 if i < 10 else 1) for i in range(200)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, "w", k=10).collect()
+    ids = {r.doc_id for r in out}
+    assert 999 not in ids
+    # heavy rows (1000x weight) should dominate the sample
+    assert len([i for i in ids if i < 10]) >= 8
+    # ranks are 1..k by ascending key
+    ks = [r.es_key for r in sorted(out, key=lambda r: r.rank)]
+    assert ks == sorted(ks)
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from klinker_spark.ops.curation import weighted_sample
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(50)], "doc_id long, w long")
+    plan = weighted_sample(df, "w", k=3)._jdf.queryExecution().executedPlan().toString()
+    # the global top-k must be TakeOrderedAndProject (per-partition
+    # top-k + driver merge), not a single-reducer global Sort
+    assert "TakeOrderedAndProject" in plan

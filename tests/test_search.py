@@ -71,3 +71,46 @@ def test_bm25_plan_broadcasts_and_no_python_udf(corpus):
     plan = bm25_topk(corpus, [(0, "join scan")], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_coverage_ranker_orders_by_terms_then_brevity(corpus):
+    from klinker_spark.ops.search import coverage_topk
+
+    res = sorted(
+        coverage_topk(corpus, [(0, "spark join")], k=10).collect(),
+        key=lambda r: r.rank,
+    )
+    # doc 1 has both terms; docs 2 (spark) and 4 (join) one term each,
+    # doc 4 is shorter -> ranks: 1, 4, 2
+    assert [r.doc_id for r in res] == [1, 4, 2]
+
+
+def test_rrf_fusion_hand_computed(corpus):
+    from klinker_spark.ops.search import bm25_topk, coverage_topk, rrf_fuse
+
+    bm = bm25_topk(corpus, [(0, "spark join")], k=10)
+    cov = coverage_topk(corpus, [(0, "spark join")], k=10)
+    bm_r = {r.doc_id: r.rank for r in bm.collect()}
+    cov_r = {r.doc_id: r.rank for r in cov.collect()}
+    got = {r.doc_id: (r.n_rankers, r.score) for r in rrf_fuse([bm, cov], k=10).collect()}
+    for d in set(bm_r) | set(cov_r):
+        sn = sum(
+            round(1e9 / (60 + rk[d])) for rk in (bm_r, cov_r) if d in rk
+        )
+        assert got[d][0] == (d in bm_r) + (d in cov_r)
+        assert got[d][1] == pytest.approx(round(sn / 1e9, 6), abs=1e-12)
+
+
+def test_rrf_doc_in_both_rankers_beats_single(corpus):
+    from klinker_spark.ops.search import rrf_fuse
+
+    a = corpus.sparkSession.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = corpus.sparkSession.createDataFrame(
+        [(0, 2, 1), (0, 3, 2)], "query_id long, doc_id long, rank int"
+    )
+    res = sorted(rrf_fuse([a, b], k=10).collect(), key=lambda r: r.rank)
+    # doc 2 appears in both -> top even though never rank 1 alone... it
+    # is rank 2+1: 1/62+1/61 > 1/61 (doc1) -> doc 2 first
+    assert res[0].doc_id == 2 and res[0].n_rankers == 2
