@@ -520,14 +520,23 @@ def contamination_check(
     broadcast and the corpus-side semi-join is map-side — the only
     shuffle is the per-doc hit count on ``doc_id``.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        benchmark_filter.alias("is_bench"),
-        tokenize(text_col, 1, []).alias("tk"),
-    ).select(
-        "doc_id",
-        "is_bench",
-        F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh"),
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            benchmark_filter.alias("is_bench"),
+            tokenize(text_col, 1, []).alias("tk"),
+        )
+        .select(
+            "doc_id",
+            "is_bench",
+            F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh"),
+        )
+        # the shingled frame feeds BOTH the benchmark set and the eval
+        # side; shingling is the dominant cost of the whole query
+        # (array transform + slice-concat per doc), so materialize it
+        # once (eager localCheckpoint — nothing stays persisted after
+        # return, the dedup_components contract)
+        .localCheckpoint(eager=True)
     )
     # one pass per side: benchmark rows shingle once into the broadcast
     # set; eval rows shingle once, carrying their set size through the
@@ -858,11 +867,14 @@ def duplicated_span_stats(
 
     Output: ``(doc_id, n_spans, n_dup_spans, dup_span_frac)``.
 
-    Plan: one shingle explode → span document-frequency aggregate →
-    join back on the span and count per doc.  The span-df table is
-    corpus-sized, so the join shuffles on the span hash (partial
-    aggregation both sides); at 100 TB this is the same banding shuffle
-    the MinHash pipeline pays — no driver state, no broadcast of
+    Plan: one shingle explode → span-partitioned count window (the
+    document frequency; spans are distinct per doc, so ``count(*)``
+    over the span partition IS the df) → per-doc aggregate.  The
+    window formulation shuffles the corpus-scale span table exactly
+    ONCE (on the span hash — the same banding shuffle the MinHash
+    pipeline pays) where an aggregate-then-join-back would shuffle it
+    twice; with a single consumer the whole plan stays lazy (no
+    persist, no checkpoint).  No driver state, no broadcast of
     corpus-scale data.
     """
     sh = docs.select(
@@ -871,17 +883,13 @@ def duplicated_span_stats(
         "doc_id", F.array_distinct(word_shingles(F.col("tk"), span_k)).alias("sh")
     )
     # the empty-string whole-doc shingle of token-free docs would make
-    # all such docs "duplicates" of each other — not content overlap;
-    # persist: spans feeds the df aggregate AND the probe side of the
-    # join (the corpus-scale explode must not run twice)
-    spans = (
-        sh.select("doc_id", F.explode("sh").alias("span"))
-        .where(F.col("span") != "")
-        .persist()
+    # all such docs "duplicates" of each other — not content overlap
+    spans = sh.select("doc_id", F.explode("sh").alias("span")).where(
+        F.col("span") != ""
     )
-    df_counts = spans.groupBy("span").agg(F.count_distinct("doc_id").alias("df"))
-    out = (
-        spans.join(df_counts, "span")
+    df_w = F.count("*").over(Window.partitionBy("span"))
+    return (
+        spans.withColumn("df", df_w)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
@@ -893,10 +901,7 @@ def duplicated_span_stats(
             "n_dup_spans",
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_span_frac"),
         )
-        .localCheckpoint(eager=True)
     )
-    spans.unpersist()
-    return out
 
 
 def token_budget_mix(
