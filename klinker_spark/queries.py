@@ -5051,12 +5051,15 @@ _GATE_PRIORITY = [
     "neardup_ingest_gate_fast",
     "ann_topk_ivfpq",
     "hdbscan_labels",
-    # --- flagship exacts demoted since r2: fresh row at HEAD ---
+    # --- flagship exact: fresh row at HEAD ---
     "relational_token_blocking",
-    "token_blocking",
-    "standard_blocking",
-    "eval_metrics",
-    "minhash_lsh_blocking_md5",
+    # --- r5 continuation adds (exact oracles, never recorded) — take
+    #     the slots of flagship re-records that already hold r1/r2
+    #     driver rows and are judge-swept every round ---
+    "bm25_search",
+    "rrf_search",
+    "weighted_sample",
+    "zorder_layout_stats",
 ]
 
 
