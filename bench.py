@@ -93,6 +93,10 @@ EXTRA_QUERIES = [
     "hdbscan_mst_stats",
     "doc_length_quantiles",
     "quality_classifier_md5",
+    "bm25_search",
+    "rrf_search",
+    "weighted_sample",
+    "zorder_layout_stats",
 ]
 
 
@@ -168,6 +172,7 @@ def main() -> None:
         "langid", "quality_score",
         "windowed_event_counts", "sessionize_events", "eval_metrics",
         "semdedup", "line_dedup", "cm_token_freq", "corpus_clean_pipeline",
+        "bm25_search", "weighted_sample", "zorder_layout_stats",
     ]
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",
