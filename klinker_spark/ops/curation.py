@@ -532,11 +532,13 @@ def contamination_check(
             F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh"),
         )
         # the shingled frame feeds BOTH the benchmark set and the eval
-        # side; shingling is the dominant cost of the whole query
-        # (array transform + slice-concat per doc), so materialize it
-        # once (eager localCheckpoint — nothing stays persisted after
-        # return, the dedup_components contract)
-        .localCheckpoint(eager=True)
+        # side, and shingling is the dominant cost of the whole query
+        # (array transform + slice-concat per doc; measured 4-5x the
+        # rest at sf0.1) — a LAZY persist materializes it once at
+        # first execution with no construction-time job; blocks are
+        # MEMORY_AND_DISK (disk-backed at corpus scale) and released
+        # by the ContextCleaner when the returned plan is dropped
+        .persist()
     )
     # one pass per side: benchmark rows shingle once into the broadcast
     # set; eval rows shingle once, carrying their set size through the

@@ -33,14 +33,18 @@ __all__ = ["zorder_key_col", "zorder_bin_stats"]
 def _scale(c: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """Min-max normalise ``c`` into ``[0, 2**bits - 1]``.
 
-    The ratio is computed in float64 BEFORE multiplying by the level
-    count so arbitrarily wide int64 ranges can't overflow; identical
-    IEEE op order on any engine gives identical buckets.  A constant
-    column (cmax == cmin) maps to level 0.
+    The subtraction AND the ratio are computed in float64 (int64
+    subtraction of a wider-than-half-range span would wrap, or throw
+    under ANSI mode) and the level multiply comes last, so arbitrarily
+    wide int64 ranges can't overflow; identical IEEE op order on any
+    engine gives identical buckets.  A constant column (cmax == cmin)
+    maps to level 0.
     """
     top = float((1 << bits) - 1)
-    rng = (cmax - cmin).cast("double")
-    ratio = F.when(rng > 0, (c - cmin).cast("double") / rng).otherwise(F.lit(0.0))
+    rng = cmax.cast("double") - cmin.cast("double")
+    ratio = F.when(
+        cmax > cmin, (c.cast("double") - cmin.cast("double")) / rng
+    ).otherwise(F.lit(0.0))
     return F.floor(ratio * top).cast("bigint")
 
 
@@ -86,7 +90,11 @@ def zorder_bin_stats(
     back), then one aggregate on ``zbin`` (≤ ``2**bin_bits`` groups,
     map-side partials) — scan-bound at any scale.
     """
-    bounds = df.agg(
+    # bounds over the SAME row set that gets binned: a row null in one
+    # dimension must not stretch the other dimension's normalisation
+    # range (it is excluded from the layout entirely)
+    binnable = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    bounds = binnable.agg(
         F.min(x_col).alias("xmin"),
         F.max(x_col).alias("xmax"),
         F.min(y_col).alias("ymin"),
@@ -98,8 +106,7 @@ def zorder_bin_stats(
         bits=bits,
     )
     return (
-        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .crossJoin(F.broadcast(bounds))
+        binnable.crossJoin(F.broadcast(bounds))
         .select(
             F.shiftright(z, 2 * bits - bin_bits).alias("zbin"),
             F.col(x_col).alias("x"),

@@ -4800,8 +4800,13 @@ def hdbscan_labels_q(spark, sf_dir):
 
 _BM25_QUERIES = [(0, "spark join"), (1, "dup scan"), (2, "hash table window")]
 
+# distinct non-empty terms per query — the same normalisation
+# bm25_topk/coverage_topk apply Spark-side (a repeated or empty token
+# in a query text must not double-count in the oracle)
 _BM25_Q_VALUES = ", ".join(
-    f"({qid}, '{t}')" for qid, text in _BM25_QUERIES for t in text.split(" ")
+    f"({qid}, '{t}')"
+    for qid, text in _BM25_QUERIES
+    for t in dict.fromkeys(tok for tok in text.split(" ") if tok)
 )
 
 
@@ -4890,11 +4895,14 @@ def rrf_search_q(spark, sf_dir):
     the boolean-coverage top-20 — the calibration-free ranker
     combination used to merge lexical and dense retrieval, with
     integer nano-unit score summation (engine-exact)."""
-    from .ops.search import bm25_topk, coverage_topk, rrf_fuse
+    from .ops.search import bm25_topk, build_postings, coverage_topk, rrf_fuse
 
     docs = _t(spark, sf_dir, "documents")
-    bm = bm25_topk(docs, _BM25_QUERIES, k=20)
-    cov = coverage_topk(docs, _BM25_QUERIES, k=20)
+    # both rankers share one postings build — identical subtrees in the
+    # fused plan collapse to ReusedExchange (corpus scanned once)
+    p = build_postings(docs, _BM25_QUERIES)
+    bm = bm25_topk(docs, _BM25_QUERIES, k=20, postings=p)
+    cov = coverage_topk(docs, _BM25_QUERIES, k=20, postings=p)
     return rrf_fuse([bm, cov], k=10)
 
 
@@ -4996,9 +5004,12 @@ _GATE_PRIORITY = [
     # record GREEN; the three r4-added PQ queries plus this round's
     # three new exact queries have never had a driver row; nine
     # rows-only queries have never had even a rows-only driver record;
-    # the 15 remaining once-recorded get their second row; the last 14
-    # slots re-record the flagship exact queries demoted since r2
-    # (standard/token/relational blocking, eval, the dedup family).
+    # the 15 remaining once-recorded get their second row; the last
+    # slots hold the flagship `relational_token_blocking` (fresh row at
+    # HEAD) plus the r5-continuation exacts (bm25/rrf/weighted-sample/
+    # zorder, never recorded) — the other flagship re-records
+    # (standard/token blocking, eval, minhash-md5) ceded their slots:
+    # they hold r1/r2 driver rows and are judge-swept every round.
     #
     # --- r4 hash-red, oracle fixed this round: must record green ---
     "corpus_clean_pipeline",
