@@ -97,6 +97,10 @@ EXTRA_QUERIES = [
     "rrf_search",
     "weighted_sample",
     "zorder_layout_stats",
+    "hll_distinct_sketch",
+    "key_skew_profile",
+    "pagerank_importance",
+    "pmi_bigrams",
 ]
 
 
@@ -173,6 +177,8 @@ def main() -> None:
         "windowed_event_counts", "sessionize_events", "eval_metrics",
         "semdedup", "line_dedup", "cm_token_freq", "corpus_clean_pipeline",
         "bm25_search", "weighted_sample", "zorder_layout_stats",
+        "hll_distinct_sketch", "key_skew_profile", "pagerank_importance",
+        "pmi_bigrams",
     ]
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",

@@ -1,0 +1,91 @@
+"""Whole-graph link analysis — PageRank entity importance.
+
+The reference ranks relations/attributes by local frequency statistics
+(``/root/reference/src/klinker/blockers/relation_aware.py:85-103``);
+a knowledge-graph-scale pipeline additionally wants a GLOBAL entity
+importance — which entities to keep when budgeting blocks, which side
+of a pair is the canonical survivor.  PageRank over the relation
+triples is the standard such measure.
+
+Spark-first, engine-exact design
+--------------------------------
+Power iteration as pure DataFrame algebra — per iteration one
+``join`` (edges × ranks, both pre-partitioned on the join key) and one
+``groupBy(tail)`` aggregate.  All mass arithmetic is INTEGER
+micro-units: per-edge contribution ``rank_micro DIV outdeg`` (exact
+integer division) summed as BIGINT (shuffle-order-free), then one
+``round`` each for the damping multiply and the teleport term — so any
+engine reproduces bit-identical ranks and the operator carries an
+exact SQL oracle (unrolled-CTE power iteration, the
+``quality_classifier_md5`` recipe).
+
+Scale: ranks/outdeg co-partition on the node key across iterations;
+edges shuffle once per iteration on ``head`` then ``tail`` (the
+irreducible PageRank traffic).  Fixed ``iters`` keeps lineage bounded;
+at 100 TB persist each iteration's rank table and truncate lineage
+(``localCheckpoint``) every few rounds — noted, not needed for the
+small fixed depth here.  Dangling nodes (no out-edges) leak their
+damped mass to the teleport floor — the standard simplified variant;
+use it for RANKING, not for a probability distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration integer-micro-unit PageRank.
+
+    ``edges`` carries ``(head, tail)``; multi-edges count once each
+    (dedup upstream if unwanted).  Returns ``(node, rank_micro,
+    rank)`` for every node, ``rank = round(rank_micro / 1e6, 6)``.
+
+    Iteration: ``r₀ = round(1e6 / N)``;
+    ``r_{t+1}(v) = round((1-d)·1e6 / N) + round(d · Σ_{u→v} r_t(u) DIV outdeg(u))``.
+    """
+    tele = (1.0 - damping) * 1e6
+    nodes = (
+        edges.select(F.col("head").alias("node"))
+        .union(edges.select("tail"))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count("*").alias("_n"))
+    outdeg = edges.groupBy("head").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.round(F.lit(1e6) / F.col("_n")).cast("bigint").alias("rank_micro")
+    )
+    for _ in range(iters):
+        summed = (
+            edges.join(ranks.withColumnRenamed("node", "head"), "head")
+            .join(outdeg, "head")
+            .select(
+                F.col("tail").alias("node"),
+                F.expr("rank_micro DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    F.round(F.lit(tele) / F.col("_n")).cast("bigint")
+                    + F.round(
+                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
+                    ).cast("bigint")
+                ).alias("rank_micro"),
+            )
+        )
+    return ranks.select(
+        "node", "rank_micro", F.round(F.col("rank_micro") / 1e6, 6).alias("rank")
+    )

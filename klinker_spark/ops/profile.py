@@ -1,0 +1,80 @@
+"""Data-distribution profiling — the pre-flight diagnostics a 100 TB
+pipeline runs BEFORE choosing a physical strategy.
+
+Every skew mitigation in this engine (minhash ``max_bucket``, SemDeDup
+``max_cluster_size``, AQE skew-join, salting) presumes someone first
+*measured* the key distribution.  :func:`key_skew_stats` is that
+measurement as a first-class operator: one aggregate over the key
+column yields the heavy keys, their corpus share, and the hot-partition
+ratio that decides whether a plain shuffle join is safe.
+
+Scale: one ``groupBy(key)`` with map-side partials (the only full
+shuffle), then a TakeOrdered top-k and a one-row summary broadcast —
+output is ``top_k`` rows no matter the input size.  Shares are
+integer parts-per-million (``round(cnt * 1e6 / total)``) so the result
+is engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["key_skew_stats"]
+
+
+def key_skew_stats(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Heavy-key profile of ``df[key_col]``: the ``top_k`` most
+    frequent keys with corpus shares plus whole-column skew summary.
+
+    Output (``top_k`` rows, rank-ordered): ``(rank, key, cnt,
+    share_ppm, cum_share_ppm, total_rows, n_keys, hot_ratio)`` where
+
+    - ``share_ppm``   = ``round(cnt / total * 1e6)`` (bigint),
+    - ``cum_share_ppm`` = running share over the rank order (sums the
+      already-rounded per-key ppm — integer, order-fixed, exact),
+    - ``hot_ratio``   = max key count / mean key count, rounded 6 dp —
+      the factor by which the hottest shuffle partition exceeds the
+      average one; the go/no-go number for an unsalted shuffle join.
+
+    NULL keys are excluded (they hash to one partition too, but every
+    join drops them).  Ties order by ``(cnt DESC, key)`` — total, so
+    the profile is deterministic.  Top-k selection is
+    ``orderBy().limit(k)`` — Spark's TakeOrdered: per-partition
+    k-selection plus a k-sized merge, NEVER a single-task global rank
+    window over the (corpus-sized) key table; the rank windows below
+    run over the already-k-row result.  The summary is a one-row
+    broadcast cross join: the whole profile is a single job.
+    """
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    summary = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("_max_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    share = F.round(F.col("cnt") * 1e6 / F.col("total_rows")).cast("bigint")
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(summary))
+        .withColumn("share_ppm", share)
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return top.select(
+        "rank",
+        "key",
+        "cnt",
+        "share_ppm",
+        F.sum("share_ppm").over(cum).alias("cum_share_ppm"),
+        "total_rows",
+        "n_keys",
+        F.round(
+            F.col("_max_cnt") * F.col("n_keys") / F.col("total_rows"), 6
+        ).alias("hot_ratio"),
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "cm_build", "cm_estimate", "cm_heavy_hitters"]
+__all__ = ["kmv_distinct", "hll_distinct", "cm_build", "cm_estimate", "cm_heavy_hitters"]
 
 #: 15 hex digits = 60 bits; 16^15 = 2^60 exactly, so the fraction is a
 #: dyadic rational any engine computes bit-identically in a double.
@@ -52,6 +52,91 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
             ),
             6,
         ).alias("estimate"),
+    )
+
+
+#: HLL bias-correction constant for m = 256 registers (Flajolet et al.
+#: 2007, §4): alpha_m = 0.7213 / (1 + 1.079/m).  Computed once in
+#: Python so the Spark plan and the SQL oracle embed the IDENTICAL
+#: double literal.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch (Flajolet,
+    Fusy, Gandouet, Meunier 2007) with ``m = 256`` registers — the
+    md5-twin of ``approx_count_distinct`` the same way
+    :func:`kmv_distinct` twins it: every engine reproduces the exact
+    same registers and estimate, so an APPROXIMATE operator carries an
+    EXACT SQL oracle.
+
+    Hash split: md5 hex chars 1-2 (8 bits) pick the register, chars
+    3-17 give a 60-bit value whose leading-zero rank
+    ``ρ = 61 - bitlength`` (``61`` for the all-zero value) updates the
+    register via ``max``.  The indicator ``Z = Σ 2^(-M_j)`` sums exact
+    dyadic rationals in REGISTER ORDER (a sequential fold over the
+    sorted register array), so the double result is bit-identical on
+    any IEEE engine regardless of shuffle order.  Small-range
+    correction: ``raw ≤ 2.5m`` with empty registers switches to linear
+    counting ``m·ln(m/V)``.
+
+    Output (one row): ``(m, n_zero, registers array<int>,
+    raw_estimate, estimate)`` — registers bucket-ordered, estimates
+    rounded to 6 dp.
+
+    Plan: one scan → 256-group max aggregate (map-side partials
+    collapse each partition to ≤ m cells before the shuffle) → one-row
+    fold.  The sketch is MERGEABLE (element-wise register max), the
+    reason HLL is the industry standard for distinct counts over
+    100 TB: re-aggregate register tables with ``max`` per bucket.
+    Duplicates need no pre-``distinct`` — register max absorbs them.
+    """
+    spark = df.sparkSession
+    h = F.md5(F.col(col).cast("string"))
+    v = F.conv(F.substring(h, 3, 15), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.conv(F.substring(h, 3, 15), 16, 2))
+    )
+    maxed = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    regs = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(maxed, "bucket", "left")
+        .select("bucket", F.coalesce("mj", F.lit(0)).cast("int").alias("mj"))
+    )
+    # one row: registers sorted by bucket, then a sequential fold for Z
+    packed = regs.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("bucket", "mj"))), lambda s: s["mj"]
+        ).alias("registers")
+    )
+    # dyadic 2^-mj via integer shift (the Python shiftleft wrapper only
+    # takes a literal shift, so the fold is a SQL expression)
+    z = F.expr(
+        "aggregate(registers, cast(0.0 AS double),"
+        " (acc, mj) -> acc + 1.0 / cast(shiftleft(cast(1 AS bigint), mj) AS double))"
+    )
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z
+    n_zero = F.size(F.filter(F.col("registers"), lambda x: x == 0))
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (n_zero > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / n_zero.cast("double")),
+    ).otherwise(raw)
+    return packed.select(
+        F.lit(_HLL_M).alias("m"),
+        n_zero.alias("n_zero"),
+        "registers",
+        F.round(raw, 6).alias("raw_estimate"),
+        F.round(est, 6).alias("estimate"),
     )
 
 

@@ -22,6 +22,7 @@ __all__ = [
     "langid_by_profile",
     "normalize_text",
     "readability_stats",
+    "pmi_bigrams",
 ]
 
 
@@ -228,6 +229,81 @@ def langid_by_profile(
         votes.withColumn("r", F.row_number().over(pick))
         .where(F.col("r") == 1)
         .select("doc_id", F.col("cand_lang").alias("pred_lang"), "votes")
+    )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent word pairs by pointwise mutual information —
+    the standard collocation / phrase-mining signal (Church & Hanks
+    1990): ``pmi(a,b) = ln( P(ab) / (P(a)·P(b)) )`` with ``P(ab)``
+    over adjacent bigram occurrences and ``P(·)`` over unigram
+    occurrences.  ``min_count`` floors the bigram count (rare pairs
+    have unreliable, inflated PMI).
+
+    Output (rank-ordered, ≤ k rows): ``(rank, a, b, cab, pmi_micro,
+    pmi)`` — ``pmi_micro = round(pmi · 1e6)`` (bigint), ties broken by
+    ``(a, b)``; ``pmi`` is the 6-dp display value derived from it, so
+    the whole row is engine-exact.
+
+    Plan: one scan builds token sequences; bigrams come from an index
+    ``transform`` over the array (no self-join on position); unigram
+    and bigram ``groupBy`` counts shuffle with map-side partials; the
+    two corpus totals ride along as a one-row broadcast.  Top-k is
+    ``orderBy().limit(k)`` — TakeOrdered, never a global window.  The
+    division chain is a fixed expression tree over exact integer
+    counts, so the double (and its micro-rounding) is bit-identical on
+    any IEEE engine.
+    """
+    tk = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    seq = docs.select(tk.alias("tk")).where(F.size("tk") > 0)
+    uni = (
+        seq.select(F.explode("tk").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bg = (
+        seq.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, size(tk) - 1),"
+                    " (x, i) -> struct(x AS a, tk[i + 1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+    )
+    totals = uni.agg(F.sum("c").alias("nu")).crossJoin(
+        bg.agg(F.sum("cab").alias("nb"))
+    )
+    d1 = F.col("cab").cast("double") / F.col("nb").cast("double")
+    d2 = F.col("ca").cast("double") / F.col("nu").cast("double")
+    d3 = F.col("cb").cast("double") / F.col("nu").cast("double")
+    pmi_micro = F.round(F.log(d1 / (d2 * d3)) * 1e6).cast("bigint")
+    scored = (
+        bg.where(F.col("cab") >= min_count)
+        .join(uni.select(F.col("tok").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select("a", "b", "cab", pmi_micro.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), "a", "b")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("pmi_micro").desc(), "a", "b")
+    return scored.select(
+        F.row_number().over(w).alias("rank"),
+        "a",
+        "b",
+        "cab",
+        "pmi_micro",
+        F.round(F.col("pmi_micro") / 1e6, 6).alias("pmi"),
     )
 
 

@@ -2409,6 +2409,186 @@ def kmv_distinct_sketch_q(spark, sf_dir):
     return kmv_distinct(toks, "tok", k=256)
 
 
+# 0.7213/(1 + 1.079/256) · 256² — evaluated ONCE in Python in the same
+# op order as ops/sketches.py so the oracle embeds the identical double
+_HLL_A2 = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256)
+
+
+@register(
+    "hll_distinct_sketch",
+    f"""
+    WITH el AS (SELECT md5(unnest(string_split(lower(text), ' '))) h
+                FROM documents),
+    r AS (SELECT CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) bucket,
+                 CAST(concat('0x', substr(h, 3, 15)) AS BIGINT) v
+          FROM el),
+    mx AS (SELECT bucket,
+                  max(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) mj
+           FROM r GROUP BY bucket),
+    reg AS (SELECT g.range AS bucket, CAST(coalesce(mx.mj, 0) AS INTEGER) mj
+            FROM range(256) g LEFT JOIN mx ON g.range = mx.bucket),
+    pk AS (SELECT list(mj ORDER BY bucket) regs FROM reg),
+    calc AS (SELECT regs,
+                    list_sum(list_transform(regs,
+                             x -> 1.0 / CAST(1::BIGINT << x AS DOUBLE))) z,
+                    len(list_filter(regs, x -> x = 0)) nz
+             FROM pk)
+    SELECT 256 AS m, nz AS n_zero, regs AS registers,
+           round({_HLL_A2} / z, 6) AS raw_estimate,
+           round(CASE WHEN {_HLL_A2} / z <= 640.0 AND nz > 0
+                      THEN 256.0 * ln(256.0 / nz)
+                      ELSE {_HLL_A2} / z END, 6) AS estimate
+    FROM calc
+    """,
+)
+def hll_distinct_sketch_q(spark, sf_dir):
+    """Deterministic-md5 HyperLogLog over the corpus token stream
+    (duplicates included — register max absorbs them): 256 registers,
+    bucket-ordered dyadic-rational indicator fold, linear-counting
+    small-range correction.  The mergeable industry-standard distinct
+    sketch, with an EXACT oracle (registers AND estimate hashed)."""
+    from .ops.sketches import hll_distinct
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    return hll_distinct(toks, "tok")
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH el AS (SELECT unnest(string_split(lower(text), ' ')) kx
+                FROM documents),
+    cnt AS (SELECT kx, count(*) cnt FROM el WHERE kx IS NOT NULL
+            GROUP BY kx),
+    sm AS (SELECT CAST(sum(cnt) AS BIGINT) total_rows, count(*) n_keys,
+                  max(cnt) max_cnt
+           FROM cnt),
+    top AS (SELECT kx, cnt FROM cnt ORDER BY cnt DESC, kx LIMIT 50),
+    rk AS (SELECT row_number() OVER (ORDER BY cnt DESC, kx) rank, kx, cnt
+           FROM top)
+    SELECT rank, kx AS "key", cnt,
+           CAST(round(cnt * 1e6 / total_rows) AS BIGINT) AS share_ppm,
+           CAST(sum(CAST(round(cnt * 1e6 / total_rows) AS BIGINT))
+                OVER (ORDER BY rank) AS BIGINT) AS cum_share_ppm,
+           total_rows, n_keys,
+           round(max_cnt * n_keys / total_rows, 6) AS hot_ratio
+    FROM rk CROSS JOIN sm
+    """,
+)
+def key_skew_profile_q(spark, sf_dir):
+    """Heavy-key profile of the corpus token stream (the Zipf head):
+    top-50 keys with ppm shares plus the hot-partition ratio that
+    decides whether an unsalted shuffle join on this key is safe."""
+    from .ops.profile import key_skew_stats
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    return key_skew_stats(toks, "tok", top_k=50)
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85, k: int = 200) -> str:
+    """Unrolled-CTE power iteration — the integer-micro-unit PageRank
+    twin of ``ops/graph.py`` (the ``quality_classifier_md5`` recipe:
+    every float op is a single round over order-free integer sums)."""
+    tele = (1.0 - damping) * 1e6
+    parts = [
+        """WITH edges AS (
+      SELECT concat('c:', CAST(o_custkey AS VARCHAR)) head,
+             concat('o:', CAST(o_orderkey AS VARCHAR)) tail FROM orders
+      UNION ALL
+      SELECT concat('o:', CAST(l_orderkey AS VARCHAR)),
+             concat('p:', CAST(l_partkey AS VARCHAR)) FROM lineitem),
+    nodes AS (SELECT head AS node FROM edges UNION SELECT tail FROM edges),
+    n AS (SELECT count(*) c FROM nodes),
+    outdeg AS (SELECT head, count(*) outdeg FROM edges GROUP BY head),
+    r0 AS (SELECT node, CAST(round(1e6 / c) AS BIGINT) rank_micro
+           FROM nodes CROSS JOIN n)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+    r{i + 1} AS (
+      SELECT nodes.node,
+             CAST(round({tele!r} / n.c) AS BIGINT)
+             + CAST(round({damping!r} * coalesce(s.s, 0)) AS BIGINT) AS rank_micro
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (SELECT e.tail node,
+                        CAST(sum(r{i}.rank_micro // od.outdeg) AS BIGINT) s
+                 FROM edges e
+                 JOIN r{i} ON e.head = r{i}.node
+                 JOIN outdeg od ON e.head = od.head
+                 GROUP BY e.tail) s ON nodes.node = s.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, rank_micro, round(rank_micro / 1e6, 6) AS rank
+    FROM r{iters} ORDER BY rank_micro DESC, node LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+@register("pagerank_importance", _pagerank_oracle())
+def pagerank_importance_q(spark, sf_dir):
+    """Global entity importance: 5-iteration integer-micro-unit
+    PageRank over the customer→order→part edge graph, top 200 by
+    ``(rank_micro DESC, node)``.  Engine-exact (integer mass, one
+    round per float op) — the TRAINED-model-style exact oracle applied
+    to an iterative graph algorithm."""
+    from .ops.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("head"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("tail"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("head"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("tail"),
+    )
+    pr = pagerank(o.union(li), iters=5, damping=0.85)
+    return pr.orderBy(F.col("rank_micro").desc(), "node").limit(200)
+
+
+@register(
+    "pmi_bigrams",
+    """
+    WITH t AS (SELECT list_filter(regexp_split_to_array(text, ' '),
+                                  x -> x <> '') tk
+               FROM documents),
+    arr AS (SELECT tk, len(tk) n FROM t WHERE len(tk) > 0),
+    occ AS (SELECT tk[i] tok FROM arr, unnest(generate_series(1, n)) s(i)),
+    uni AS (SELECT tok, count(*) c FROM occ GROUP BY tok),
+    nu AS (SELECT count(*) nu FROM occ),
+    bg AS (SELECT tk[i] a, tk[i + 1] b, count(*) cab
+           FROM arr, unnest(generate_series(1, n - 1)) s(i)
+           GROUP BY 1, 2),
+    nb AS (SELECT CAST(sum(cab) AS BIGINT) nb FROM bg),
+    sc AS (SELECT a, b, cab,
+                  CAST(round(ln((cab * 1.0 / nb.nb) /
+                                ((ua.c * 1.0 / nu.nu) * (ub.c * 1.0 / nu.nu)))
+                             * 1e6) AS BIGINT) pmi_micro
+           FROM bg
+           JOIN uni ua ON bg.a = ua.tok
+           JOIN uni ub ON bg.b = ub.tok
+           CROSS JOIN nb CROSS JOIN nu
+           WHERE cab >= 5),
+    top AS (SELECT * FROM sc ORDER BY pmi_micro DESC, a, b LIMIT 100)
+    SELECT row_number() OVER (ORDER BY pmi_micro DESC, a, b) AS rank,
+           a, b, cab, pmi_micro, round(pmi_micro / 1e6, 6) AS pmi
+    FROM top
+    """,
+)
+def pmi_bigrams_q(spark, sf_dir):
+    """Collocation mining: top-100 adjacent word pairs by PMI
+    (min bigram count 5) — phrase detection for tokenizer/vocab
+    curation, with micro-nat integer rounding (engine-exact)."""
+    from .ops.textstats import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5, k=100)
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):

@@ -1067,3 +1067,109 @@ def test_readability_stats_punctuated(spark):
     assert out[1]["fk_grade"] == round(0.39 * (8 / 3) + 11.8 * (8 / 8) - 15.59, 6)
     # xyzzy: two 'y' vowel groups = 2; qwrt: zero groups -> min-1 floor
     assert out[2]["n_syllables"] == 3
+
+
+# ------------------------------------------------------------------ hll / skew / pagerank / pmi
+
+
+def test_hll_distinct_sketch(spark):
+    """Python replication of the md5 register math, plus mergeability
+    (element-wise register max) and estimate accuracy."""
+    import hashlib
+
+    from klinker_spark.ops.sketches import hll_distinct
+
+    vals = [f"tok{i}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    row = hll_distinct(df, "tok").first()
+
+    regs = [0] * 256
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        val = int(h[2:17], 16)
+        rho = 61 if val == 0 else 61 - val.bit_length()
+        regs[bucket] = max(regs[bucket], rho)
+    assert list(row["registers"]) == regs
+    assert row["n_zero"] == regs.count(0)
+    # HLL at m=256 has ~6.5% relative error; allow 4 sigma
+    assert 0.74 * 3000 < row["estimate"] < 1.26 * 3000
+
+    # mergeable: element-wise max of the two halves' registers equals
+    # the full sketch's registers
+    a = hll_distinct(df.where(F.col("tok") < "tok2"), "tok").first()["registers"]
+    b = hll_distinct(df.where(F.col("tok") >= "tok2"), "tok").first()["registers"]
+    assert [max(x, y) for x, y in zip(a, b)] == regs
+
+    # small-range linear counting: 10 distinct values must be near-exact
+    small = spark.createDataFrame([(f"x{i}",) for i in range(10)], "tok string")
+    srow = hll_distinct(small, "tok").first()
+    assert srow["n_zero"] >= 246 and abs(srow["estimate"] - 10) < 1.0
+
+
+def test_key_skew_stats(spark):
+    from klinker_spark.ops.profile import key_skew_stats
+
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 9 + [("d",)] * 1 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_stats(df, "k", top_k=3).collect()
+    assert [r["key"] for r in out] == ["a", "b", "c"]
+    assert [r["cnt"] for r in out] == [60, 30, 9]
+    assert all(r["total_rows"] == 100 and r["n_keys"] == 4 for r in out)
+    assert [r["share_ppm"] for r in out] == [600000, 300000, 90000]
+    assert [r["cum_share_ppm"] for r in out] == [600000, 900000, 990000]
+    # hot_ratio = max_cnt * n_keys / total = 60 * 4 / 100
+    assert out[0]["hot_ratio"] == 2.4
+    # tie determinism: equal counts order by key
+    tie = spark.createDataFrame([("z",), ("y",), ("x",)], "k string")
+    assert [r["key"] for r in key_skew_stats(tie, "k", top_k=3).collect()] == ["x", "y", "z"]
+
+
+def test_pagerank_replication(spark):
+    """Integer-micro-unit PageRank vs an exact Python replication on a
+    small digraph with a dangling node and a multi-edge."""
+    from klinker_spark.ops.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "c"),  # multi-edge counts twice in outdeg
+    ]  # e is reachable only via teleport
+    e_df = spark.createDataFrame(edges + [("e", "a")], "head string, tail string")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(e_df, iters=4).collect()}
+
+    all_edges = edges + [("e", "a")]
+    nodes = sorted({x for e in all_edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for h, _ in all_edges:
+        outdeg[h] = outdeg.get(h, 0) + 1
+    rank = {v: round(1e6 / n) for v in nodes}
+    for _ in range(4):
+        s = {v: 0 for v in nodes}
+        for h, t in all_edges:
+            s[t] += int(rank[h] // outdeg[h])
+        rank = {
+            v: int(round((1.0 - 0.85) * 1e6 / n)) + int(round(0.85 * s[v]))
+            for v in nodes
+        }
+    assert got == rank
+    # link mass: c (3 in-edges) outranks the teleport-only node e
+    assert got["c"] > got["e"]
+
+
+def test_pmi_bigrams(spark):
+    import math
+
+    from klinker_spark.ops.textstats import pmi_bigrams
+
+    # "x y" always adjacent (5x), "p q" adjacent twice (below min_count)
+    rows = [(i, "x y") for i in range(5)] + [(10, "p q"), (11, "p q"), (12, "x p")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_bigrams(docs, min_count=5, k=10).collect()
+    assert [(r["a"], r["b"]) for r in out] == [("x", "y")]
+    r = out[0]
+    assert r["rank"] == 1 and r["cab"] == 5
+    # nb = 8 bigrams total; unigrams: x=6, y=5 over nu=16 tokens
+    expected = math.log((5 * 1.0 / 8) / ((6 * 1.0 / 16) * (5 * 1.0 / 16)))
+    assert r["pmi_micro"] == round(expected * 1e6)
+    assert r["pmi"] == round(round(expected * 1e6) / 1e6, 6)

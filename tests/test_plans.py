@@ -495,3 +495,50 @@ def test_stream_interval_join_plan_no_cartesian(spark, sf_dir):
     assert (
         "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     )
+
+
+def test_profile_and_pmi_topk_is_take_ordered(spark, sf_dir):
+    """key_skew_stats / pmi_bigrams select their top-k with
+    TakeOrdered (per-partition selection + k-merge) — a global
+    single-partition Window over the corpus-sized key table must never
+    appear; the only rank windows run over the already-≤k-row result."""
+    from klinker_spark.queries import QUERIES
+
+    for name in ("key_skew_profile", "pmi_bigrams"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the corpus-side count aggregate keeps map-side partials
+        assert "partial_count" in plan, name
+        # the only rank Window sits ABOVE the TakeOrdered in the
+        # top-down plan TREE (the formatted details section repeats
+        # node names — strip it) — its input is the ≤k-row result, so
+        # its SinglePartition exchange is bounded
+        tree = plan.split("\n\n(")[0]
+        head, _, tail = tree.partition("TakeOrderedAndProject")
+        assert "Window" in head and "Window" not in tail, name
+
+
+def test_hll_single_bounded_aggregate(spark, sf_dir):
+    """HLL: one corpus aggregate with map-side partials (partial_max
+    before the exchange), register join broadcast (256 rows)."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["hll_distinct_sketch"](spark, sf_dir))
+    assert "partial_max" in plan or "partial max" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_broadcasts_node_count(spark):
+    """PageRank: the per-iteration teleport term rides a one-row
+    broadcast (BroadcastNestedLoopJoin over a single-row aggregate),
+    never a shuffled cross join; rank/edge joins are equi-joins."""
+    from klinker_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "head string, tail string"
+    )
+    plan = plan_of(pagerank(edges, iters=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
