@@ -101,6 +101,7 @@ EXTRA_QUERIES = [
     "key_skew_profile",
     "pagerank_importance",
     "pmi_bigrams",
+    "join_size_estimate",
 ]
 
 

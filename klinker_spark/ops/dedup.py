@@ -46,7 +46,54 @@ __all__ = [
     "embedding_cosine_dedup",
     "semdedup",
     "edit_distance_dedup",
+    "plan_bands",
 ]
+
+
+def plan_bands(
+    threshold: float,
+    num_perm: int = 128,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Choose the MinHash-LSH banding ``(bands, rows)`` for a target
+    Jaccard ``threshold`` — the standard integrated-error criterion
+    (Leskovec/Rajaraman/Ullman, MMDS §3.4.3; the same objective the
+    datasketch library optimizes): over all factorizations
+    ``bands · rows = num_perm``, minimize
+
+    ``fp_weight · ∫₀ᵗ P(s) ds  +  fn_weight · ∫ₜ¹ (1 − P(s)) ds``
+
+    where ``P(s) = 1 − (1 − s^rows)^bands`` is the collision
+    probability of a pair with similarity ``s``.  Weights trade
+    candidate-pair cost (false positives → verification work) against
+    recall (false negatives → lost duplicates).
+
+    Pure driver-side planning — call it once, pass the result to
+    ``minhash_lsh_dedup(bands=b)`` / the LSH blockers.  Deterministic
+    (fixed 1000-point midpoint quadrature).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for bands in range(1, num_perm + 1):
+        if num_perm % bands:
+            continue
+        rows = num_perm // bands
+        fp = fn = 0.0
+        n = 1000
+        for i in range(n):
+            s = (i + 0.5) / n
+            p = 1.0 - (1.0 - s**rows) ** bands
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp_weight * fp + fn_weight * fn) / n
+        if best is None or err < best[0]:
+            best = (err, bands, rows)
+    assert best is not None
+    return best[1], best[2]
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

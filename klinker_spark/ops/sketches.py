@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "hll_distinct", "cm_build", "cm_estimate", "cm_heavy_hitters"]
+__all__ = [
+    "kmv_distinct",
+    "hll_distinct",
+    "cm_build",
+    "cm_estimate",
+    "cm_heavy_hitters",
+    "cm_join_size",
+]
 
 #: 15 hex digits = 60 bits; 16^15 = 2^60 exactly, so the fraction is a
 #: dyadic rational any engine computes bit-identically in a double.
@@ -220,6 +227,55 @@ def cm_estimate(
         df.join(F.broadcast(table))
         .withColumn(out_col, F.when(F.col(key_col).isNotNull(), est))
         .drop("_cm")
+    )
+
+
+def cm_join_size(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Estimate ``|left ⋈_key right|`` WITHOUT running the join — the
+    Count-Min inner-product estimator (Cormode & Muthukrishnan 2005,
+    §4.2: join size is the inner product of the two frequency vectors;
+    per hash row ``Σ_col a·b`` never underestimates it, ``min`` over
+    the ``depth`` rows tightens the bound).
+
+    The planner diagnostic that pairs with
+    :func:`~klinker_spark.ops.profile.key_skew_stats`: before
+    launching a token-blocking or band-bucket join over 100 TB, two
+    bounded sketch builds (≤ ``depth·width`` cells each, map-side
+    partials) answer "how many pairs will this produce?" — the number
+    that decides between the plain join, a ``max_bucket`` cap, or a
+    redesign.  Sketches of STREAMS work identically (CM is mergeable),
+    so the same estimate gates continuous ingestion.
+
+    Output (one row): ``(depth, width, est_pairs)``.  Cell products
+    are BIGINT — exact while per-cell counts stay < ~3·10⁹ (beyond
+    that, widen the sketch: more cells ⇒ smaller per-cell counts).
+    ``hash_fn="md5"`` is the deterministic oracle twin.
+    """
+    spark = left.sparkSession
+    a = cm_build(left, left_key, width=width, depth=depth, hash_fn=hash_fn).withColumnRenamed(
+        "cnt", "ca"
+    )
+    b = cm_build(right, right_key, width=width, depth=depth, hash_fn=hash_fn).withColumnRenamed(
+        "cnt", "cb"
+    )
+    ip = (
+        a.join(b, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    rows = spark.range(depth).select(F.col("id").cast("int").alias("row"))
+    return (
+        rows.join(ip, "row", "left")
+        .agg(F.min(F.coalesce("ip", F.lit(0))).alias("est_pairs"))
+        .select(F.lit(depth).alias("depth"), F.lit(width).alias("width"), "est_pairs")
     )
 
 

@@ -2589,6 +2589,59 @@ def pmi_bigrams_q(spark, sf_dir):
     return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5, k=100)
 
 
+@register(
+    "join_size_estimate",
+    """
+    WITH lt AS (SELECT unnest(string_split(lower(c_name), ' ')) k FROM customer),
+    rt AS (SELECT unnest(string_split(lower(s_name), ' ')) k FROM supplier),
+    hashes AS (SELECT unnest([0,1,2,3]) i),
+    ca AS (SELECT i, (('0x' || substr(md5(i::VARCHAR || ':' || k), 1, 15))::BIGINT
+                      % 1024) c, count(*) cnt
+           FROM lt CROSS JOIN hashes GROUP BY 1, 2),
+    cb AS (SELECT i, (('0x' || substr(md5(i::VARCHAR || ':' || k), 1, 15))::BIGINT
+                      % 1024) c, count(*) cnt
+           FROM rt CROSS JOIN hashes GROUP BY 1, 2),
+    ip AS (SELECT ca.i, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) ip
+           FROM ca JOIN cb ON ca.i = cb.i AND ca.c = cb.c GROUP BY ca.i),
+    est AS (SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) est_pairs
+            FROM hashes h LEFT JOIN ip ON h.i = ip.i),
+    tru AS (SELECT CAST(coalesce(sum(l.cnt * r.cnt), 0) AS BIGINT) true_pairs
+            FROM (SELECT k, count(*) cnt FROM lt GROUP BY k) l
+            JOIN (SELECT k, count(*) cnt FROM rt GROUP BY k) r USING (k))
+    SELECT 4 AS depth, 1024 AS width, est_pairs, true_pairs
+    FROM est CROSS JOIN tru
+    """,
+)
+def join_size_estimate_q(spark, sf_dir):
+    """Count-Min inner-product join-cardinality estimate for the
+    token-blocking join (customer-name tokens × supplier-name tokens)
+    vs the exact pair count — the pre-flight diagnostic that decides
+    plain join / skew cap / redesign before paying the shuffle.  md5
+    mode ⇒ exact oracle."""
+    from .ops.sketches import cm_join_size
+
+    lt = (
+        _t(spark, sf_dir, "customer")
+        .select(F.explode(F.split(F.lower("c_name"), " ")).alias("k"))
+    )
+    rt = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.explode(F.split(F.lower("s_name"), " ")).alias("k"))
+    )
+    est = cm_join_size(lt, "k", rt, "k", width=1024, depth=4, hash_fn="md5")
+    truth = (
+        lt.groupBy("k")
+        .agg(F.count("*").alias("cl"))
+        .join(rt.groupBy("k").agg(F.count("*").alias("cr")), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+            .cast("bigint")
+            .alias("true_pairs")
+        )
+    )
+    return est.crossJoin(F.broadcast(truth))
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):

@@ -1173,3 +1173,42 @@ def test_pmi_bigrams(spark):
     expected = math.log((5 * 1.0 / 8) / ((6 * 1.0 / 16) * (5 * 1.0 / 16)))
     assert r["pmi_micro"] == round(expected * 1e6)
     assert r["pmi"] == round(round(expected * 1e6) / 1e6, 6)
+
+
+def test_cm_join_size_estimate(spark):
+    """CM inner product never underestimates the true join size and is
+    exact when the sketch is collision-free."""
+    from klinker_spark.ops.sketches import cm_join_size
+
+    l = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2 + [("x",)], "k string")
+    r = spark.createDataFrame([("a",)] * 4 + [("b",)] * 1 + [("y",)] * 5, "k string")
+    true_pairs = 3 * 4 + 2 * 1  # 14
+    row = cm_join_size(l, "k", r, "k", width=1 << 12, depth=4).first()
+    assert row["est_pairs"] == true_pairs  # wide sketch: no collisions
+    narrow = cm_join_size(l, "k", r, "k", width=2, depth=2).first()
+    assert narrow["est_pairs"] >= true_pairs  # never underestimates
+    # disjoint key sets -> 0
+    d = cm_join_size(
+        l, "k", spark.createDataFrame([("z",)], "k string"), "k", width=1 << 12, depth=4
+    ).first()
+    assert d["est_pairs"] == 0
+
+
+def test_plan_bands():
+    from klinker_spark.ops.dedup import plan_bands
+
+    b, r = plan_bands(0.5, 128)
+    assert b * r == 128
+    # the s-curve midpoint (1/b)^(1/r) should land near the threshold
+    mid = (1.0 / b) ** (1.0 / r)
+    assert 0.3 < mid < 0.7
+    # higher threshold -> more rows per band (sharper AND)
+    b2, r2 = plan_bands(0.9, 128)
+    assert r2 > r and b2 * r2 == 128
+    # recall-heavy weighting favors more bands (more permissive)
+    b3, _ = plan_bands(0.5, 128, fp_weight=0.1, fn_weight=0.9)
+    assert b3 >= b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        plan_bands(1.5)
