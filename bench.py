@@ -102,6 +102,7 @@ EXTRA_QUERIES = [
     "pagerank_importance",
     "pmi_bigrams",
     "join_size_estimate",
+    "salted_join_rollup",
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_stats"]
+__all__ = ["key_skew_stats", "salted_join"]
 
 
 def key_skew_stats(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
@@ -78,3 +78,54 @@ def key_skew_stats(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
             F.col("_max_cnt") * F.col("n_keys") / F.col("total_rows"), 6
         ).alias("hot_ratio"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salt: int = 8,
+    salt_from: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: identical SEMANTICS to
+    ``left.join(right, on, how)``, different PHYSICS — the remedy
+    :func:`key_skew_stats` prescribes when ``hot_ratio`` says a plain
+    shuffle join would funnel one key's rows through one task.
+
+    The fat (``left``) side gets a deterministic salt in ``[0,
+    n_salt)`` hashed from ``salt_from`` (default: the whole left row —
+    ``xxhash64`` of all columns), so a hot key's rows SPREAD over
+    ``n_salt`` shuffle partitions; the slim (``right``) side is
+    replicated once per salt value (an ``explode`` of a literal
+    sequence — ``n_salt``× the slim side, not the fat side) and the
+    join runs on ``(on, salt)``.  Deterministic salting (no ``rand()``)
+    keeps the operator replayable under task retries and streaming
+    re-execution — a correctness requirement, not a style choice.
+
+    Supported ``how``: inner / left / left_outer (the replicated-right
+    forms where unmatched-left semantics survive salting unchanged).
+    Output columns match the plain join (salt is internal).
+
+    Use when AQE's runtime skew split is unavailable (stream-stream,
+    bucketed inputs it won't touch) or when the skew is KNOWN ahead —
+    the planner pattern: ``key_skew_stats`` → ``hot_ratio`` ≥ tasks ⇒
+    ``salted_join(n_salt ≈ hot_share · n_partitions)``.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    salt_src = (
+        [F.col(salt_from)] if salt_from else [F.col(c) for c in left.columns]
+    )
+    lsalted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salt)).cast("int")
+    )
+    rsalted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out_cols = [on] + [c for c in left.columns if c != on] + [
+        c for c in right.columns if c != on
+    ]
+    return lsalted.join(rsalted, [on, "_salt"], how).select(*out_cols)

@@ -2642,6 +2642,39 @@ def join_size_estimate_q(spark, sf_dir):
     return est.crossJoin(F.broadcast(truth))
 
 
+@register(
+    "salted_join_rollup",
+    """
+    SELECT p.p_brand,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS qty_centi
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def salted_join_rollup_q(spark, sf_dir):
+    """Skew mechanism correctness: the lineitem ⋈ part join executed
+    SALTED (deterministic 8-way salt on the fat side, replicated slim
+    side, join on (key, salt)) must aggregate to exactly what the
+    PLAIN SQL join gives — the oracle IS the unsalted join.  Broadcast
+    is disabled inside the salted plan via hints so the salt actually
+    routes the shuffle."""
+    from .ops.profile import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand").hint("shuffle_hash")
+    joined = salted_join(li, part, "p_partkey", n_salt=8, salt_from="l_orderkey")
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_centi"),
+    )
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):

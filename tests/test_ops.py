@@ -1212,3 +1212,33 @@ def test_plan_bands():
 
     with _pytest.raises(ValueError, match="threshold"):
         plan_bands(1.5)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting changes the physics, never the result — inner and left
+    joins must match the plain join row-for-row."""
+    from klinker_spark.ops.profile import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i}") for i in range(60)], "rid int, k string"
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k3", 2), ("zzz", 9)], "k string, v int"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(left, right, "k", n_salt=4, how=how).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in left.join(right, "k", how)
+            .select("k", "rid", "v")
+            .collect()
+        )
+        assert got == want, how
+    import pytest as _p
+
+    with _p.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", how="full")
+    with _p.raises(ValueError, match="n_salt"):
+        salted_join(left, right, "k", n_salt=0)

@@ -542,3 +542,25 @@ def test_pagerank_broadcasts_node_count(spark):
     plan = plan_of(pagerank(edges, iters=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """With broadcast off, the salted join's exchange partitions on
+    (key, _salt) — the hot key's rows spread over n_salt partitions
+    instead of funneling through one task."""
+    from klinker_spark.ops.profile import salted_join
+
+    left = spark.createDataFrame([(i, "hot") for i in range(50)], "rid int, k string")
+    right = spark.createDataFrame([("hot", 1)], "k string, v int")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(salted_join(left, right, "k", n_salt=8))
+        # some exchange hash-partitions on (k, _salt) together
+        assert any(
+            "_salt" in seg[:120] and "k#" in seg[:120]
+            for seg in plan.split("hashpartitioning(")[1:]
+        ), plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
