@@ -105,3 +105,35 @@ def test_zordered_write_prunes_both_dims(spark, tmp_path):
         # each file covers at most half the global span on each dim
         assert max(b for _, b in xs) - min(a for a, _ in xs) <= 16
         assert max(b for _, b in ys) - min(a for a, _ in ys) <= 16
+
+
+def test_compact_small_files(spark, tmp_path):
+    """20 tiny files -> 1 planned file, identical row multiset; ordered
+    mode narrows per-file footer ranges."""
+    from klinker_spark.ops.layout import compact_small_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(2000).selectExpr("id", "id % 7 AS grp")
+    df.repartition(20).write.parquet(src)
+    stats = compact_small_files(spark, src, dst, target_bytes=1 << 30)
+    assert stats["n_files_in"] == 20
+    assert stats["n_out_planned"] == 1 and stats["n_files_out"] == 1
+    got = spark.read.parquet(dst)
+    assert got.count() == 2000
+    assert got.agg(F.sum("id")).first()[0] == sum(range(2000))
+
+    # ordered compaction: each output file covers a disjoint id range
+    dst2 = str(tmp_path / "ordered")
+    stats2 = compact_small_files(
+        spark, src, dst2, target_bytes=8 << 10, order_by=["id"]
+    )
+    assert stats2["n_out_planned"] > 1
+    import duckdb
+
+    ranges = duckdb.connect().execute(
+        f"SELECT min(id), max(id) FROM read_parquet('{dst2}/*.parquet', "
+        "filename=true) GROUP BY filename ORDER BY 1"
+    ).fetchall()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, prunable ranges
