@@ -103,6 +103,7 @@ EXTRA_QUERIES = [
     "pmi_bigrams",
     "join_size_estimate",
     "salted_join_rollup",
+    "remove_duplicated_spans",
 ]
 
 

@@ -56,6 +56,7 @@ __all__ = [
     "vocab_coverage",
     "corpus_rollup",
     "duplicated_span_stats",
+    "remove_duplicated_spans",
     "token_budget_mix",
     "line_dedup",
     "gopher_rules",
@@ -902,6 +903,91 @@ def duplicated_span_stats(
             "n_spans",
             "n_dup_spans",
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_span_frac"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    span_k: int = 10,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL companion of :func:`duplicated_span_stats` — the
+    actual substring-dedup transform of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), at ``span_k``-token
+    granularity: every token covered by a whitespace ``span_k``-gram
+    whose corpus-wide occurrence count is ≥ ``min_df`` is dropped, and
+    the document is reassembled from the survivors.  All occurrences
+    are removed (boilerplate vanishes entirely rather than surviving in
+    one arbitrary document) — deterministic, documented semantics.
+
+    Tokens are raw whitespace splits (NOT the lowercasing
+    ``tokenize``): reconstruction must preserve the original text of
+    surviving tokens.  Docs shorter than ``span_k`` tokens pass through
+    untouched; a fully-covered doc comes back with ``n_after = 0`` and
+    empty text (filter those downstream).
+
+    Output: ``(doc_id, n_before, n_after, clean_text)``.
+
+    Plan: positional spans → span-partitioned count window (ONE
+    corpus-scale shuffle on the span — the same single-shuffle trick as
+    the stats op) → covered-index explode (``k`` rows per duplicated
+    span only) → anti-join → ordered reassembly via
+    ``sort_array(collect_list(struct(pos, tok)))`` (shuffle-order-free).
+    No driver state; the hot all-corpus boilerplate span makes a hot
+    window partition — AQE skew-split covers it, and the downstream
+    explode is proportional to duplicated positions only.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tk")
+    )
+    tokens = base.select(
+        "doc_id",
+        F.posexplode("tk").alias("i0", "tok"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    spans = base.where(F.size("tk") >= span_k).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(slice(tk, 1, size(tk) - {span_k - 1}),"
+                f" (x, i) -> array_join(slice(tk, i + 1, {span_k}), ' '))"
+            )
+        ).alias("i0", "span"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "span")
+    cnt = F.count("*").over(Window.partitionBy("span"))
+    covered = (
+        spans.withColumn("cnt", cnt)
+        .where(F.col("cnt") >= min_df)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(span_k - 1))).alias("j"),
+        )
+        .distinct()
+    )
+    kept = tokens.join(
+        covered,
+        (tokens["doc_id"] == covered["doc_id"]) & (tokens["i"] == covered["j"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_after"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("tk").alias("n_before"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
 

@@ -2675,6 +2675,47 @@ def salted_join_rollup_q(spark, sf_dir):
     )
 
 
+@register(
+    "remove_duplicated_spans",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+    arr AS (SELECT doc_id, tk, len(tk) n FROM t),
+    tokens AS (SELECT doc_id, i, tk[i] tok
+               FROM arr, unnest(generate_series(1, n)) s(i)),
+    spans AS (SELECT doc_id, i, array_to_string(tk[i:i+9], ' ') span
+              FROM arr, unnest(generate_series(1, n - 9)) s(i)
+              WHERE n >= 10),
+    cnts AS (SELECT doc_id, i, count(*) OVER (PARTITION BY span) cnt
+             FROM spans),
+    cov AS (SELECT DISTINCT doc_id, i + d j
+            FROM cnts, unnest(generate_series(0, 9)) dd(d)
+            WHERE cnt >= 2),
+    kept AS (SELECT tk2.doc_id, tk2.i, tk2.tok
+             FROM tokens tk2
+             LEFT JOIN cov ON tk2.doc_id = cov.doc_id AND tk2.i = cov.j
+             WHERE cov.j IS NULL),
+    agg AS (SELECT doc_id, count(*) n_after,
+                   array_to_string(list(tok ORDER BY i), ' ') clean_text
+            FROM kept GROUP BY doc_id)
+    SELECT arr.doc_id, arr.n AS n_before,
+           coalesce(agg.n_after, 0) AS n_after,
+           coalesce(agg.clean_text, '') AS clean_text
+    FROM arr LEFT JOIN agg USING (doc_id)
+    """,
+)
+def remove_duplicated_spans_q(spark, sf_dir):
+    """Substring dedup TRANSFORM (Lee et al. 2022): drop every token
+    covered by a 10-gram span occurring ≥2 times corpus-wide, then
+    reassemble the documents — the removal companion of
+    ``duplicated_span_stats``, value-checked end-to-end including the
+    reconstructed text."""
+    from .ops.curation import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), span_k=10, min_df=2
+    )
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):

@@ -1181,3 +1181,36 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     # the global top-k must be TakeOrderedAndProject (per-partition
     # top-k + driver merge), not a single-reducer global Sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_remove_duplicated_spans(spark):
+    """Hand-built fixture: a shared 3-gram spans two docs; all of its
+    occurrences (including an intra-doc repeat) are removed, unique
+    text survives, short docs pass through untouched."""
+    from klinker_spark.ops.curation import remove_duplicated_spans
+
+    boiler = "all rights reserved"
+    rows = [
+        (1, f"alpha beta {boiler} gamma"),
+        (2, f"{boiler} delta epsilon"),
+        (3, f"{boiler} zeta {boiler}"),   # intra-doc repeat
+        (4, "tiny doc"),                  # shorter than span_k
+        (5, boiler),                      # fully covered -> empty
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicated_spans(docs, span_k=3, min_df=2).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta epsilon"
+    assert out[3]["clean_text"] == "zeta"
+    assert out[4]["clean_text"] == "tiny doc" and out[4]["n_after"] == 2
+    assert out[5]["clean_text"] == "" and out[5]["n_after"] == 0
+    assert out[1]["n_before"] == 6 and out[1]["n_after"] == 3
+    # a doc whose every 3-gram is unique is untouched
+    u = remove_duplicated_spans(
+        spark.createDataFrame([(9, "one two three four")], ["doc_id", "text"]),
+        span_k=3,
+    ).first()
+    assert u["clean_text"] == "one two three four"
