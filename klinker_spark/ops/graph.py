@@ -41,6 +41,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = 5,
     damping: float = 0.85,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer-micro-unit PageRank.
 
@@ -52,20 +53,47 @@ def pagerank(
     ``r_{t+1}(v) = round((1-d)·1e6 / N) + round(d · Σ_{u→v} r_t(u) DIV outdeg(u))``.
     """
     tele = (1.0 - damping) * 1e6
+    # loop-invariant tables materialize ONCE (eager localCheckpoint —
+    # the dedup-family cache contract: nothing stays persisted, blocks
+    # free when the returned plan is dropped).  Without this every
+    # iteration re-executes the distinct-union node build and the edge
+    # scan (5 iterations = 5 node shuffles instead of 1); pre-joining
+    # outdeg INTO the edge table drops the second per-iteration join —
+    # each iteration is then one equi-join + one aggregate, the
+    # irreducible PageRank traffic.
+    from pyspark.sql import Window
+
+    # outdeg via a head-partitioned count window: ONE shuffle of the
+    # edge table (an aggregate-then-join-back would shuffle it twice
+    # and re-derive the input once per side — measured 4.5 s → 1.6 s
+    # at sf0.1)
+    edges_w = (
+        edges.select("head", "tail")
+        .withColumn("outdeg", F.count("*").over(Window.partitionBy("head")))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
-        edges.select(F.col("head").alias("node"))
-        .union(edges.select("tail"))
+        edges_w.select(F.col("head").alias("node"))
+        .union(edges_w.select("tail"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_df = nodes.agg(F.count("*").alias("_n"))
-    outdeg = edges.groupBy("head").agg(F.count("*").alias("outdeg"))
+    # rank-vector delivery: when the per-node rank table fits in one
+    # executor (two slim columns), BROADCAST it into the edge join —
+    # the edge table never shuffles and each iteration is a map-side
+    # join + one aggregate (the GraphX-style small-graph fast path).
+    # Past ~5M nodes fall back to the shuffle join (auto unless
+    # overridden).
+    if broadcast_ranks is None:
+        broadcast_ranks = nodes.count() <= 5_000_000
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.round(F.lit(1e6) / F.col("_n")).cast("bigint").alias("rank_micro")
     )
     for _ in range(iters):
+        r = ranks.withColumnRenamed("node", "head")
         summed = (
-            edges.join(ranks.withColumnRenamed("node", "head"), "head")
-            .join(outdeg, "head")
+            edges_w.join(F.broadcast(r) if broadcast_ranks else r, "head")
             .select(
                 F.col("tail").alias("node"),
                 F.expr("rank_micro DIV outdeg").alias("c"),
@@ -85,6 +113,10 @@ def pagerank(
                     ).cast("bigint")
                 ).alias("rank_micro"),
             )
+            # materialize per iteration: the unrolled 5-deep DAG would
+            # otherwise re-derive every prior iteration inside each
+            # broadcast build; the table is 2 slim columns per node
+            .localCheckpoint(eager=True)
         )
     return ranks.select(
         "node", "rank_micro", F.round(F.col("rank_micro") / 1e6, 6).alias("rank")

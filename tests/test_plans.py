@@ -530,10 +530,13 @@ def test_hll_single_bounded_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_pagerank_broadcasts_node_count(spark):
-    """PageRank: the per-iteration teleport term rides a one-row
-    broadcast (BroadcastNestedLoopJoin over a single-row aggregate),
-    never a shuffled cross join; rank/edge joins are equi-joins."""
+def test_pagerank_lineage_is_checkpoint_bounded(spark):
+    """PageRank materializes each iteration (eager localCheckpoint),
+    so the RETURNED plan is a flat scan of the final rank table — no
+    unrolled N-iteration join tower, no cartesian product.  (The
+    teleport term rides a one-row broadcast and the rank vector
+    broadcasts under the size gate — exercised by the replication
+    test; here we pin the lineage contract.)"""
     from klinker_spark.ops.graph import pagerank
 
     edges = spark.createDataFrame(
@@ -541,7 +544,8 @@ def test_pagerank_broadcasts_node_count(spark):
     )
     plan = plan_of(pagerank(edges, iters=2))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ExistingRDD" in plan  # checkpoint-backed, not a join tower
+    assert "Join" not in plan
 
 
 def test_salted_join_shuffles_on_key_and_salt(spark):
