@@ -104,6 +104,7 @@ EXTRA_QUERIES = [
     "join_size_estimate",
     "salted_join_rollup",
     "remove_duplicated_spans",
+    "temperature_mix",
 ]
 
 

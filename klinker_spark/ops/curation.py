@@ -57,6 +57,7 @@ __all__ = [
     "corpus_rollup",
     "duplicated_span_stats",
     "remove_duplicated_spans",
+    "temperature_mix",
     "token_budget_mix",
     "line_dedup",
     "gopher_rules",
@@ -988,6 +989,69 @@ def remove_duplicated_spans(
             "n_before",
             F.coalesce("n_after", F.lit(0)).alias("n_after"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based cross-source sampling plan (the multilingual
+    pretraining standard — Lample & Conneau 2019 / XLM-R: sample
+    source ``s`` with ``p_s ∝ c_s^α``, α < 1 up-weighting small
+    sources): per source, its natural token share, its α-tempered
+    sampling share, and the resulting boost factor.
+
+    Output (one row per source): ``(source, n_docs, n_tokens,
+    share_ppm, p_temp_ppm, boost_ppm)`` — all shares in integer parts
+    per million; ``boost_ppm = round(p_temp_ppm·1e6 / share_ppm)`` is
+    the up/down-sampling multiplier a dataloader applies.
+
+    Engine-exactness: ``c^α`` is computed as ``exp(α·ln c)`` — the
+    SAME composition on every engine (a direct ``pow`` may use a
+    different libm path) — and the normalizer folds those terms in
+    SOURCE ORDER over a sorted array, so the doubles agree to well
+    under the ppm rounding on any IEEE engine.  Token totals are
+    integer sums (order-free).
+
+    Plan: one scan → per-source aggregate (a handful of groups,
+    map-side partials) → one-row sorted fold broadcast back.  The
+    whole plan is bounded by the number of sources, not the corpus.
+    """
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+    )
+    packed = per.agg(
+        F.sort_array(F.collect_list(F.struct("source", "n_tokens"))).alias("ss"),
+        F.sum("n_tokens").alias("tot"),
+    )
+    z = F.aggregate(
+        F.col("ss"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.exp(F.lit(alpha) * F.log(s["n_tokens"].cast("double"))),
+    )
+    totals = packed.select(F.col("tot"), z.alias("z"))
+    w = F.exp(F.lit(alpha) * F.log(F.col("n_tokens").cast("double")))
+    share = F.round(F.col("n_tokens") * 1e6 / F.col("tot")).cast("bigint")
+    p_temp = F.round(w * 1e6 / F.col("z")).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            share.alias("share_ppm"),
+            p_temp.alias("p_temp_ppm"),
+        )
+        .withColumn(
+            "boost_ppm",
+            F.round(F.col("p_temp_ppm") * 1e6 / F.col("share_ppm")).cast("bigint"),
         )
     )
 

@@ -2716,6 +2716,38 @@ def remove_duplicated_spans_q(spark, sf_dir):
     )
 
 
+@register(
+    "temperature_mix",
+    """
+    WITH per AS (SELECT source, count(*) n_docs,
+                        CAST(sum(len(list_filter(string_split(text, ' '),
+                                                 x -> x <> ''))) AS BIGINT)
+                          n_tokens
+                 FROM documents GROUP BY source),
+    tz AS (SELECT CAST(sum(n_tokens) AS BIGINT) tot,
+                  list_sum(list_transform(list(n_tokens ORDER BY source),
+                           t -> exp(0.3 * ln(CAST(t AS DOUBLE))))) z
+           FROM per),
+    sel AS (SELECT source, n_docs, n_tokens,
+                   CAST(round(n_tokens * 1e6 / tot) AS BIGINT) share_ppm,
+                   CAST(round(exp(0.3 * ln(CAST(n_tokens AS DOUBLE))) * 1e6 / z)
+                        AS BIGINT) p_temp_ppm
+            FROM per CROSS JOIN tz)
+    SELECT source, n_docs, n_tokens, share_ppm, p_temp_ppm,
+           CAST(round(p_temp_ppm * 1e6 / share_ppm) AS BIGINT) AS boost_ppm
+    FROM sel
+    """,
+)
+def temperature_mix_q(spark, sf_dir):
+    """α=0.3 temperature sampling plan over the corpus sources
+    (Lample & Conneau / XLM-R): natural vs tempered token shares and
+    the per-source boost multiplier, in integer ppm (engine-exact via
+    the exp(α·ln c) composition + source-ordered normalizer fold)."""
+    from .ops.curation import temperature_mix
+
+    return temperature_mix(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):

@@ -44,6 +44,7 @@ def curate(
     normalize: bool = False,
     gopher: bool = False,
     line_dedup_max_occ: int | None = None,
+    span_dedup_k: int | None = None,
 ):
     from klinker_spark.ops.curation import (
         canonical_dedup,
@@ -52,6 +53,7 @@ def curate(
         line_dedup,
         pack_sequences,
         pii_scrub,
+        remove_duplicated_spans,
         repetition_stats,
         unigram_logprob_quality,
     )
@@ -109,6 +111,21 @@ def curate(
     canon = canonical_dedup(scrubbed, pairs).where(F.col("is_duplicate") == 0)
     deduped = scrubbed.join(canon.select("doc_id"), "doc_id", "left_semi")
     stats["after_dedup"] = deduped.count()
+
+    # 3b. optional substring dedup (Lee et al.): strip tokens covered
+    # by k-gram spans duplicated across the surviving corpus —
+    # boilerplate inside otherwise-unique docs, which doc-level dedup
+    # (stage 3) can't see; docs emptied by the removal drop out
+    if span_dedup_k is not None:
+        rs = remove_duplicated_spans(deduped, span_k=span_dedup_k)
+        deduped = deduped.drop("text").join(
+            rs.where(F.col("n_after") > 0).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+        deduped = deduped.localCheckpoint(eager=True)  # two consumers below
+        stats["after_span_dedup"] = deduped.count()
 
     # 4. benchmark decontamination
     contaminated = (
@@ -329,6 +346,13 @@ def main() -> None:
         help="enable cross-corpus line dedup; lines occurring more often are removed",
     )
     ap.add_argument(
+        "--span-dedup-k",
+        type=int,
+        default=None,
+        help="enable substring dedup: remove tokens covered by k-gram "
+        "spans duplicated corpus-wide",
+    )
+    ap.add_argument(
         "--streaming",
         action="store_true",
         help="continuous-ingestion mode: foreachBatch gates over a "
@@ -369,6 +393,7 @@ def main() -> None:
         normalize=args.normalize,
         gopher=args.gopher,
         line_dedup_max_occ=args.line_dedup_max_occ,
+        span_dedup_k=args.span_dedup_k,
     )
     print(json.dumps(stats))
 

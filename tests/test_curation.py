@@ -1047,11 +1047,13 @@ def test_curate_corpus_optional_stages(spark, tmp_path):
         normalize=True,
         gopher=True,
         line_dedup_max_occ=2,
+        span_dedup_k=10,
     )
     assert stats["input"] == 500
     assert 0 < stats["after_line_dedup"] <= stats["input"]
     assert 0 < stats["after_quality"] <= stats["after_line_dedup"]
     assert 0 < stats["after_dedup"] <= stats["after_quality"]
+    assert 0 < stats["after_span_dedup"] <= stats["after_dedup"]
     assert stats["packed"] > 0 and stats["bins"] > 0
     got = spark.read.parquet(out)
     assert got.count() == stats["packed"]
@@ -1214,3 +1216,28 @@ def test_remove_duplicated_spans(spark):
         span_k=3,
     ).first()
     assert u["clean_text"] == "one two three four"
+
+
+def test_temperature_mix(spark):
+    """α-tempered shares vs a Python replication; α<1 boosts the small
+    source above its natural share and ppm columns are consistent."""
+    import math
+
+    from klinker_spark.ops.curation import temperature_mix
+
+    rows = [(i, "w " * 99 + "w", "big") for i in range(20)] + [
+        (100 + i, "w w w w w w w w w w", "small") for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r.asDict() for r in temperature_mix(docs, alpha=0.3).collect()}
+    c = {"big": 2000, "small": 30}
+    tot = sum(c.values())
+    z = sum(math.exp(0.3 * math.log(c[s])) for s in sorted(c))
+    for s in c:
+        assert out[s]["n_tokens"] == c[s]
+        assert out[s]["share_ppm"] == round(c[s] * 1e6 / tot)
+        assert out[s]["p_temp_ppm"] == round(
+            math.exp(0.3 * math.log(c[s])) * 1e6 / z
+        )
+    # small source up-weighted, big down-weighted
+    assert out["small"]["boost_ppm"] > 1_000_000 > out["big"]["boost_ppm"]
