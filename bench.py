@@ -182,7 +182,8 @@ def main() -> None:
         "semdedup", "line_dedup", "cm_token_freq", "corpus_clean_pipeline",
         "bm25_search", "weighted_sample", "zorder_layout_stats",
         "hll_distinct_sketch", "key_skew_profile", "pagerank_importance",
-        "pmi_bigrams",
+        "pmi_bigrams", "join_size_estimate", "salted_join_rollup",
+        "temperature_mix",
     ]
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR",

@@ -958,18 +958,21 @@ def remove_duplicated_spans(
         ).alias("i0", "span"),
     ).select("doc_id", (F.col("i0") + 1).alias("i"), "span")
     cnt = F.count("*").over(Window.partitionBy("span"))
+    # covered carries RENAMED keys: both sides descend from the same
+    # base lineage, and same-name equality predicates on a self-join
+    # resolve ambiguously (Spark warns "trivially true equals")
     covered = (
         spans.withColumn("cnt", cnt)
         .where(F.col("cnt") >= min_df)
         .select(
-            "doc_id",
+            F.col("doc_id").alias("cov_doc"),
             F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(span_k - 1))).alias("j"),
         )
         .distinct()
     )
     kept = tokens.join(
         covered,
-        (tokens["doc_id"] == covered["doc_id"]) & (tokens["i"] == covered["j"]),
+        (tokens["doc_id"] == covered["cov_doc"]) & (tokens["i"] == covered["j"]),
         "left_anti",
     )
     rebuilt = kept.groupBy("doc_id").agg(
