@@ -29,6 +29,7 @@ __all__ = [
     "ann_topk_signlsh",
     "ann_topk_ivf",
     "build_ivf_index",
+    "ivf_index_append",
     "ann_topk_ivf_indexed",
     "csls_topk",
     "nicdm_topk",
@@ -391,6 +392,54 @@ def build_ivf_index(
     local_df(spark, cents, "cid int, cv array<double>").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/centroids")
+
+
+def ivf_index_append(
+    new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally ADD vectors to a persisted IVF index — the Faiss
+    ``add()`` regime: assign each new vector to its nearest EXISTING
+    centroid and append to that inverted list's partition; the coarse
+    quantizer is not retrained.  This is how a 100 TB index absorbs a
+    daily ingest batch — a full rebuild re-shuffles the entire corpus,
+    an append only moves the batch.
+
+    Caveats (standard IVF practice, documented not hidden): centroids
+    drift as the distribution shifts — retrain on a cadence (rebuild)
+    when recall degrades; and every append writes one file per touched
+    partition per batch — run
+    :func:`~klinker_spark.ops.layout.compact_small_files` over
+    ``{path}/lists`` on the same cadence.
+
+    The probe kernel follows the same literal-vs-matmul switch as the
+    query path (``PROBE_LITERAL_MAX_CENTROIDS``).
+    """
+    spark = new.sparkSession
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    ix = new.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe = (
+        _probe_centroids
+        if len(cents) <= PROBE_LITERAL_MAX_CENTROIDS
+        else _probe_centroids_matmul
+    )
+    assigned = probe(ix, cents, 1).select(
+        "centroid_id", F.col("query_id").alias("id"), F.col("qv").alias("vector")
+    )
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
 
 
 #: Above this centroid count the literal-array probe expression is
