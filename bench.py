@@ -105,6 +105,7 @@ EXTRA_QUERIES = [
     "salted_join_rollup",
     "remove_duplicated_spans",
     "temperature_mix",
+    "matryoshka_truncate",
 ]
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "topk_cosine_matmul",
     "topk_cosine_sharded",
     "quantize_embeddings",
+    "truncate_normalize",
 ]
 
 
@@ -43,6 +44,22 @@ def l2_norm(a: Column) -> Column:
             a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
+
+
+def truncate_normalize(a: Column, dim: int, decimals: int = 6) -> Column:
+    """Matryoshka truncation (Kusupati et al. 2022, MRL): keep the
+    first ``dim`` dimensions and L2-renormalize — the storage/latency
+    lever for embedding search: an MRL-trained model's prefix IS a
+    valid lower-dimensional embedding, so the SAME column serves a
+    cheap coarse pass (short prefix) and an exact re-rank (full
+    vector).  Zero-norm prefixes pass through unscaled (no NaN
+    poisoning).  Elements round to ``decimals`` — pure fixed-order
+    expressions, engine-exact."""
+    t = F.slice(a, 1, dim)
+    n = l2_norm(t)
+    return F.when(
+        n == 0, F.transform(t, lambda x: F.round(x.cast("double"), decimals))
+    ).otherwise(F.transform(t, lambda x: F.round(x.cast("double") / n, decimals)))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -2748,6 +2748,36 @@ def temperature_mix_q(spark, sf_dir):
     return temperature_mix(_t(spark, sf_dir, "documents"), alpha=0.3)
 
 
+@register(
+    "matryoshka_truncate",
+    """
+    WITH e AS (SELECT vec_id, embedding[1:8] t FROM embeddings),
+    n AS (SELECT vec_id, t,
+                 sqrt(list_sum(list_transform(t,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) nm
+          FROM e)
+    SELECT vec_id,
+           CASE WHEN nm = 0
+                THEN list_transform(t, x -> round(CAST(x AS DOUBLE), 6))
+                ELSE list_transform(t, x -> round(CAST(x AS DOUBLE) / nm, 6))
+           END AS tvec
+    FROM n
+    """,
+)
+def matryoshka_truncate_q(spark, sf_dir):
+    """MRL prefix embeddings: truncate to the first 8 dims and
+    L2-renormalize — the coarse-pass representation for two-stage
+    search (short prefix scan, full-vector re-rank).  Fixed-order
+    slice/fold/divide expressions ⇒ exact oracle on the element
+    values."""
+    from .functions.vectors import truncate_normalize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", truncate_normalize(F.col("embedding"), 8).alias("tvec")
+    )
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):

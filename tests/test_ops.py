@@ -1242,3 +1242,21 @@ def test_salted_join_matches_plain_join(spark):
         salted_join(left, right, "k", how="full")
     with _p.raises(ValueError, match="n_salt"):
         salted_join(left, right, "k", n_salt=0)
+
+
+def test_truncate_normalize(spark):
+    import math
+
+    from klinker_spark.functions.vectors import truncate_normalize
+
+    rows = [(1, [3.0, 4.0, 100.0]), (2, [0.0, 0.0, 5.0]), (3, [1.0])]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    out = {
+        r["id"]: r["t"]
+        for r in df.select("id", truncate_normalize(F.col("v"), 2).alias("t")).collect()
+    }
+    assert out[1] == [0.6, 0.8]           # 3-4-5 triangle, third dim dropped
+    assert out[2] == [0.0, 0.0]           # zero-norm prefix passes through
+    assert out[3] == [1.0]                # shorter than dim: whole vector
+    # renormalized prefix has unit norm
+    assert abs(math.hypot(*out[1]) - 1.0) < 1e-12
