@@ -106,6 +106,7 @@ EXTRA_QUERIES = [
     "remove_duplicated_spans",
     "temperature_mix",
     "matryoshka_truncate",
+    "two_stage_ann",
 ]
 
 

@@ -2778,6 +2778,67 @@ def matryoshka_truncate_q(spark, sf_dir):
     )
 
 
+@register(
+    "two_stage_ann",
+    """
+    WITH pre AS (SELECT vec_id, embedding[1:8] p FROM embeddings),
+    q AS (SELECT vec_id, p FROM pre WHERE vec_id % 10 = 0),
+    csims AS (
+      SELECT q.vec_id query_id, ix.vec_id neighbor_id,
+             list_sum(list_transform(list_zip(q.p, ix.p),
+                                     z -> z[1]::DOUBLE * z[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(q.p, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(ix.p, x -> x::DOUBLE * x::DOUBLE)))) sim
+      FROM q CROSS JOIN pre ix),
+    cand AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id) rk
+               FROM csims) WHERE rk <= 50),
+    fsims AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(eq.embedding, ei.embedding),
+                                     z -> z[1]::DOUBLE * z[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(eq.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(ei.embedding, x -> x::DOUBLE * x::DOUBLE)))) sim
+      FROM cand c
+      JOIN embeddings eq ON c.query_id = eq.vec_id
+      JOIN embeddings ei ON c.neighbor_id = ei.vec_id)
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) rank
+      FROM fsims) WHERE rank <= 10
+    """,
+)
+def two_stage_ann_q(spark, sf_dir):
+    """Two-stage retrieval on ONE embedding column (the Matryoshka
+    deployment pattern): coarse top-50 by cosine over the 8-dim prefix
+    (cosine is scale-invariant, so the raw prefix ranks identically to
+    the renormalized one), then an exact full-vector re-rank of only
+    those candidates to top-10.  At scale the coarse pass reads 8/dim
+    of the bytes and the re-rank touches |Q|·50 rows — not the corpus."""
+    from .functions.vectors import cosine
+    from .ops.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pre = emb.select("vec_id", F.slice(F.col("embedding"), 1, 8).alias("embedding"))
+    cand = brute_force_topk(
+        pre.where(F.col("vec_id") % 10 == 0), pre, k=50
+    ).select("query_id", "neighbor_id")
+    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ei = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    f = (
+        cand.join(eq, "query_id")
+        .join(ei, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        f.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):
