@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "kmv_distinct",
     "hll_distinct",
+    "hll_registers",
+    "hll_estimate",
     "cm_build",
     "cm_estimate",
     "cm_heavy_hitters",
@@ -98,7 +100,21 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     reason HLL is the industry standard for distinct counts over
     100 TB: re-aggregate register tables with ``max`` per bucket.
     Duplicates need no pre-``distinct`` — register max absorbs them.
+    :func:`hll_registers` / :func:`hll_estimate` expose the mergeable
+    split directly (per-shard or per-micro-batch register tables,
+    unioned and max-merged, estimated once).
     """
+    return hll_estimate(hll_registers(df, col))
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The mergeable half of :func:`hll_distinct`: the dense
+    ``(bucket, mj)`` register table (m rows, absent buckets at 0).
+    Merge N sketches — shards, days, micro-batches — by unioning
+    register tables and taking ``max(mj)`` per bucket, then
+    :func:`hll_estimate` the merge.  This is the streaming /
+    incremental distinct-count path: state is m rows per tracked
+    scope, never the key space."""
     spark = df.sparkSession
     h = F.md5(F.col(col).cast("string"))
     v = F.conv(F.substring(h, 3, 15), 16, 10).cast("bigint")
@@ -114,12 +130,17 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("mj"))
     )
-    regs = (
+    return (
         spark.range(_HLL_M)
         .select(F.col("id").alias("bucket"))
         .join(maxed, "bucket", "left")
         .select("bucket", F.coalesce("mj", F.lit(0)).cast("int").alias("mj"))
     )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Estimate from a ``(bucket, mj)`` register table (possibly a
+    max-merge of many) — output contract as :func:`hll_distinct`."""
     # one row: registers sorted by bucket, then a sequential fold for Z
     packed = regs.agg(
         F.transform(

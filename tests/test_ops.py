@@ -1289,3 +1289,22 @@ def test_two_stage_ann_recall(spark):
     for r in two:
         if r["rank"] == 1:
             assert r["neighbor_id"] == r["query_id"]
+
+
+def test_hll_register_merge_equals_union(spark):
+    """The mergeable split: max-merged per-shard register tables give
+    the EXACT same estimate row as one sketch over the union."""
+    from klinker_spark.ops.sketches import hll_distinct, hll_estimate, hll_registers
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(1200)], "tok string")
+    a = hll_registers(df.where(F.col("tok") < "v5"), "tok")
+    b = hll_registers(df.where(F.col("tok") >= "v5"), "tok")
+    merged = (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.max("mj").cast("int").alias("mj"))
+    )
+    got = hll_estimate(merged).first()
+    want = hll_distinct(df, "tok").first()
+    assert got["registers"] == want["registers"]
+    assert got["estimate"] == want["estimate"] and got["n_zero"] == want["n_zero"]
