@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "temperature_mix",
     "matryoshka_truncate",
     "two_stage_ann",
+    "retrieval_metrics_two_stage",
 ]
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .data.blocks import BlockManager
 
-__all__ = ["Evaluation", "harmonic_mean", "dice", "compare_blockings"]
+__all__ = ["Evaluation", "harmonic_mean", "dice", "compare_blockings", "retrieval_metrics"]
 
 
 def harmonic_mean(a: float, b: float) -> float:
@@ -226,3 +226,55 @@ def compare_blockings(
         "recall_b": n_b / n_gold if n_gold else 0.0,
         "combined_recall": n_union / n_gold if n_gold else 0.0,
     }
+
+
+def retrieval_metrics(run: DataFrame, gold: DataFrame, k: int = 10) -> DataFrame:
+    """Per-query ranked-retrieval quality of ``run`` against ``gold``
+    (binary relevance — a gold doc is relevant, anything else is not):
+    recall@k, reciprocal rank, and NDCG@k.  The evaluation half of the
+    retrieval family (BM25 / RRF / two-stage ANN), complementing the
+    blocking-oriented :class:`Evaluation`.
+
+    Inputs carry ``(query_id, neighbor_id, rank)``; ``run`` rows with
+    ``rank > k`` are ignored.  Output, one row per GOLD query (queries
+    the run missed entirely score zeros):
+    ``(query_id, n_gold, n_hit, rr, dcg, idcg, ndcg)`` — ``rr`` is
+    ``1/rank`` of the first relevant hit; ``dcg = Σ 1/log2(rank+1)``
+    over relevant hits, summed in RANK ORDER via a fold over the
+    sorted rank array (shuffle-order-free, engine-exact at the 6-dp
+    rounding); ``idcg`` is the same sum over ranks ``1..min(n_gold,
+    k)``.
+
+    Plan: one equi-join on (query_id, neighbor_id), one per-query
+    aggregate, one broadcast-size output — linear in the run size, no
+    corpus access.
+    """
+    hits = (
+        run.where(F.col("rank") <= k)
+        .join(gold.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+    )
+    per_gold = gold.groupBy("query_id").agg(F.count("*").alias("n_gold"))
+    dcg_of = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, r: acc + F.lit(1.0) / F.log2(r.cast("double") + 1.0)
+    )
+    ideal = F.sequence(F.lit(1), F.least(F.col("n_gold"), F.lit(k)))
+    joined = per_gold.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_gold",
+        F.coalesce(F.size("ranks"), F.lit(0)).alias("n_hit"),
+        F.coalesce("ranks", F.array().cast("array<int>")).alias("ranks"),
+        ideal.alias("ideal"),
+    )
+    return joined.select(
+        "query_id",
+        "n_gold",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_hit") > 0, F.lit(1.0) / F.element_at("ranks", 1)).otherwise(0.0), 6
+        ).alias("rr"),
+        F.round(dcg_of(F.col("ranks")), 6).alias("dcg"),
+        F.round(dcg_of(F.col("ideal")), 6).alias("idcg"),
+        F.round(dcg_of(F.col("ranks")) / dcg_of(F.col("ideal")), 6).alias("ndcg"),
+    )

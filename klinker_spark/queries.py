@@ -2839,6 +2839,51 @@ def two_stage_ann_q(spark, sf_dir):
     )
 
 
+_RETRIEVAL_EVAL_SQL = """
+    WITH run AS ({run_sql}),
+    gold AS ({gold_sql}),
+    hits AS (SELECT r.query_id, list(r.rank ORDER BY r.rank) ranks
+             FROM run r JOIN gold g
+               ON r.query_id = g.query_id AND r.neighbor_id = g.neighbor_id
+             WHERE r.rank <= 10 GROUP BY r.query_id),
+    pg AS (SELECT query_id, count(*) n_gold FROM gold GROUP BY query_id),
+    j AS (SELECT pg.query_id, pg.n_gold,
+                 coalesce(len(h.ranks), 0) n_hit,
+                 coalesce(h.ranks, []) ranks,
+                 generate_series(1, least(pg.n_gold, 10)) ideal
+          FROM pg LEFT JOIN hits h ON pg.query_id = h.query_id)
+    SELECT query_id, n_gold, n_hit,
+           round(CASE WHEN n_hit > 0 THEN 1.0 / ranks[1] ELSE 0.0 END, 6) AS rr,
+           round(coalesce(list_sum(list_transform(ranks,
+                 r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))), 0.0), 6) AS dcg,
+           round(coalesce(list_sum(list_transform(ideal,
+                 r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))), 0.0), 6) AS idcg,
+           round(coalesce(list_sum(list_transform(ranks,
+                 r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))), 0.0)
+                 / coalesce(list_sum(list_transform(ideal,
+                 r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))), 0.0), 6) AS ndcg
+    FROM j
+"""
+
+
+@register(
+    "retrieval_metrics_two_stage",
+    _RETRIEVAL_EVAL_SQL.format(
+        run_sql=ORACLES["two_stage_ann"], gold_sql=ORACLES["knn_topk"]
+    ),
+)
+def retrieval_metrics_two_stage_q(spark, sf_dir):
+    """Ranked-retrieval evaluation: recall@10 / RR / NDCG@10 of the
+    two-stage MRL search against the exact kNN gold, per query — the
+    eval family extended to the retrieval operators, with an exact
+    oracle that re-derives BOTH rankings in SQL."""
+    from .eval import retrieval_metrics
+
+    run = QUERIES["two_stage_ann"](spark, sf_dir)
+    gold = QUERIES["knn_topk"](spark, sf_dir)
+    return retrieval_metrics(run, gold, k=10)
+
+
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):

@@ -63,3 +63,35 @@ def test_quality_nothing(spark, gold):
     assert e.f_measure == 0.0
     assert e.reduction_ratio == pytest.approx(0.8214285714285714)
     assert e.h3r == 0.0
+
+
+def test_retrieval_metrics_fixture(spark):
+    """Hand-computed recall/RR/NDCG on a 2-query fixture, including a
+    query the run missed entirely."""
+    import math
+
+    from klinker_spark.eval import retrieval_metrics
+
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3), (2, 77, 1)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    gold = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 12, 3), (2, 20, 1), (3, 30, 1)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    out = {r["query_id"]: r.asDict() for r in retrieval_metrics(run, gold, k=10).collect()}
+    assert set(out) == {1, 2, 3}
+    # q1: hits at run ranks 1 and 2 out of 3 gold
+    assert out[1]["n_gold"] == 3 and out[1]["n_hit"] == 2
+    assert out[1]["rr"] == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(3)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert out[1]["dcg"] == round(dcg, 6)
+    assert out[1]["idcg"] == round(idcg, 6)
+    assert out[1]["ndcg"] == round(dcg / idcg, 6)
+    # q2: retrieved but nothing relevant; q3: not retrieved at all
+    for q in (2, 3):
+        assert out[q]["n_hit"] == 0 and out[q]["rr"] == 0.0
+        assert out[q]["dcg"] == 0.0 and out[q]["ndcg"] == 0.0
+        assert out[q]["idcg"] == 1.0  # single gold item
