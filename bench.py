@@ -108,6 +108,7 @@ EXTRA_QUERIES = [
     "matryoshka_truncate",
     "two_stage_ann",
     "retrieval_metrics_two_stage",
+    "rbo_rankers",
 ]
 
 

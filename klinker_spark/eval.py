@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from .data.blocks import BlockManager
 
-__all__ = ["Evaluation", "harmonic_mean", "dice", "compare_blockings", "retrieval_metrics"]
+__all__ = ["Evaluation", "harmonic_mean", "dice", "compare_blockings", "retrieval_metrics", "rbo_overlap"]
 
 
 def harmonic_mean(a: float, b: float) -> float:
@@ -277,4 +277,60 @@ def retrieval_metrics(run: DataFrame, gold: DataFrame, k: int = 10) -> DataFrame
         F.round(dcg_of(F.col("ranks")), 6).alias("dcg"),
         F.round(dcg_of(F.col("ideal")), 6).alias("idcg"),
         F.round(dcg_of(F.col("ranks")) / dcg_of(F.col("ideal")), 6).alias("ndcg"),
+    )
+
+
+def rbo_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber, Moffat, Zobel 2010) between two
+    rankings per query, truncated at depth ``k`` with extrapolated
+    tail: ``RBO = ((1-p)/p)·Σ_{d≤k} (X_d/d)·p^d + (X_k/k)·p^k`` where
+    ``X_d`` is the overlap of the two depth-``d`` prefixes.  The
+    top-weighted way to compare two RANKERS (BM25 vs fused, exact vs
+    ANN) without gold labels — complement of
+    :func:`retrieval_metrics`.
+
+    A doc at ranks ``(a, b)`` in the two lists joins every prefix
+    ``d ≥ max(a, b)``, so its total contribution is the SUFFIX sum of
+    the per-depth weights from ``max(a, b)`` — precomputed in Python
+    and injected as literals, so no runtime ``pow`` (libm-free:
+    bit-identical on any engine).  Per query: one equi-join, one
+    sorted-fold aggregate.
+
+    Output: ``(query_id, x_k, rbo)`` for every query in EITHER run
+    (one-sided queries score 0).
+    """
+    w = [((1.0 - p) / p) * p**d / d for d in range(1, k + 1)]
+    suffix = [sum(w[m - 1 :]) for m in range(1, k + 1)]  # suffix[m-1] = Σ_{d≥m} w_d
+    tail = p**k / k
+    a = run_a.where(F.col("rank") <= k).select(
+        "query_id", F.col(id_col).alias("_id"), F.col("rank").alias("ra")
+    )
+    b = run_b.where(F.col("rank") <= k).select(
+        "query_id", F.col(id_col).alias("_id"), F.col("rank").alias("rb")
+    )
+    m = a.join(b, ["query_id", "_id"]).select(
+        "query_id", F.greatest("ra", "rb").alias("m")
+    )
+    qs = a.select("query_id").union(b.select("query_id")).distinct()
+    per = m.groupBy("query_id").agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    sfx = F.array(*[F.lit(x) for x in suffix])
+    score = F.aggregate(
+        F.col("ms"),
+        F.lit(0.0),
+        lambda acc, mm: acc + F.element_at(sfx, mm),
+    ) + F.size("ms") * F.lit(tail)
+    return (
+        qs.join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.size("ms"), F.lit(0)).alias("x_k"),
+            F.coalesce("ms", F.array().cast("array<int>")).alias("ms"),
+        )
+        .select("query_id", "x_k", F.round(score, 6).alias("rbo"))
     )

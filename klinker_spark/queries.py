@@ -2882,8 +2882,6 @@ def retrieval_metrics_two_stage_q(spark, sf_dir):
     run = QUERIES["two_stage_ann"](spark, sf_dir)
     gold = QUERIES["knn_topk"](spark, sf_dir)
     return retrieval_metrics(run, gold, k=10)
-
-
 # ------------------------------------------------------------------ embedding blocking + multimodal (rows-only)
 @register("embedding_knn_blocking")
 def embedding_knn_blocking(spark, sf_dir):
@@ -5379,6 +5377,51 @@ def rrf_search_q(spark, sf_dir):
     bm = bm25_topk(docs, _BM25_QUERIES, k=20, postings=p)
     cov = coverage_topk(docs, _BM25_QUERIES, k=20, postings=p)
     return rrf_fuse([bm, cov], k=10)
+
+
+def _rbo_oracle(k: int = 10, p: float = 0.9) -> str:
+    # CAST every weight literal to DOUBLE: DuckDB types bare decimal
+    # literals as DECIMAL and the whole rbo expression would come back
+    # decimal128 — a type-parity failure even with equal values
+    w = [((1.0 - p) / p) * p**d / d for d in range(1, k + 1)]
+    suffix = ", ".join(
+        f"CAST({sum(w[m - 1:])!r} AS DOUBLE)" for m in range(1, k + 1)
+    )
+    tail = p**k / k
+    return f"""
+    WITH ra AS ({ORACLES["bm25_search"]}),
+    rb AS ({ORACLES["rrf_search"]}),
+    a AS (SELECT query_id, doc_id, rank r1 FROM ra WHERE rank <= {k}),
+    b AS (SELECT query_id, doc_id, rank r2 FROM rb WHERE rank <= {k}),
+    m AS (SELECT a.query_id, greatest(a.r1, b.r2) m
+          FROM a JOIN b ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+    qs AS (SELECT DISTINCT query_id
+           FROM (SELECT query_id FROM a UNION ALL SELECT query_id FROM b)),
+    per AS (SELECT query_id, list(m ORDER BY m) ms FROM m GROUP BY query_id)
+    SELECT qs.query_id,
+           coalesce(len(ms), 0) AS x_k,
+           round(coalesce(list_sum(list_transform(ms,
+                   x -> list_extract([{suffix}], x))), CAST(0.0 AS DOUBLE))
+                 + coalesce(len(ms), 0) * CAST({tail!r} AS DOUBLE), 6) AS rbo
+    FROM qs LEFT JOIN per ON qs.query_id = per.query_id
+    """
+
+
+@register("rbo_rankers", _rbo_oracle())
+def rbo_rankers_q(spark, sf_dir):
+    """Rank-Biased Overlap (p=0.9, depth 10) between the BM25 ranking
+    and the RRF-fused ranking per query — gold-free ranker agreement,
+    with Python-precomputed weight literals (no runtime pow, libm-free
+    exactness)."""
+    from .eval import rbo_overlap
+    from .ops.search import bm25_topk, build_postings, coverage_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    pb = build_postings(docs, _BM25_QUERIES)
+    bm = bm25_topk(docs, _BM25_QUERIES, k=20, postings=pb)
+    cov = coverage_topk(docs, _BM25_QUERIES, k=20, postings=pb)
+    fused = rrf_fuse([bm, cov], k=10)
+    return rbo_overlap(bm, fused, k=10, p=0.9)
 
 
 def _hex12_to_int_sql(col: str) -> str:

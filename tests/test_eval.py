@@ -95,3 +95,30 @@ def test_retrieval_metrics_fixture(spark):
         assert out[q]["n_hit"] == 0 and out[q]["rr"] == 0.0
         assert out[q]["dcg"] == 0.0 and out[q]["ndcg"] == 0.0
         assert out[q]["idcg"] == 1.0  # single gold item
+
+
+def test_rbo_overlap_fixture(spark):
+    """Hand-computed RBO on 3-deep rankings: identical lists give 1.0,
+    disjoint give 0.0, partial overlap matches the closed form."""
+    from klinker_spark.eval import rbo_overlap
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "query_id int, doc_id int, rank int"
+    )
+    a = mk([(1, 10, 1), (1, 11, 2), (1, 12, 3),
+            (2, 20, 1), (2, 21, 2), (2, 22, 3),
+            (3, 30, 1), (3, 31, 2), (3, 32, 3)])
+    b = mk([(1, 10, 1), (1, 11, 2), (1, 12, 3),        # identical
+            (2, 90, 1), (2, 91, 2), (2, 92, 3),        # disjoint
+            (3, 31, 1), (3, 30, 2), (3, 33, 3)])       # swap + one new
+    k, p = 3, 0.9
+    out = {r["query_id"]: r.asDict() for r in rbo_overlap(a, b, k=k, p=p).collect()}
+    w = [((1 - p) / p) * p**d / d for d in range(1, k + 1)]
+    tail = p**k / k
+    # identical prefixes: X_d = d at every depth
+    exp1 = sum(d * wd for d, wd in zip((1, 2, 3), w)) + 3 * tail
+    assert out[1]["x_k"] == 3 and out[1]["rbo"] == round(exp1, 6)
+    assert out[2]["x_k"] == 0 and out[2]["rbo"] == 0.0
+    # q3: doc30 at (1,2)->m=2, doc31 at (2,1)->m=2; X = (0,2,2)
+    exp3 = 0 * w[0] + 2 * w[1] + 2 * w[2] + 2 * tail
+    assert out[3]["x_k"] == 2 and out[3]["rbo"] == round(exp3, 6)
