@@ -477,3 +477,38 @@ def test_stream_interval_join_batch_and_stream_parity(spark, events, tmp_path):
         for r in spark.sql("select * from ij_out").collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_streaming_distinct_tracker(spark, events, tmp_path):
+    """Per-batch HLL register stores max-merge to EXACTLY the batch
+    sketch over all data — batching and replays invisible."""
+    from klinker_spark.ops.sketches import hll_distinct
+    from klinker_spark.streaming.sketches import (
+        streaming_distinct_tracker,
+        tracked_distinct_estimate,
+    )
+
+    src = str(tmp_path / "hll_src")
+    store = str(tmp_path / "hll_store")
+    sample = events.limit(3000).select("user_id")
+    # several files -> maxFilesPerTrigger drives multiple micro-batches
+    sample.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_distinct_tracker(
+        stream, "user_id", store, checkpoint_dir=str(tmp_path / "hll_ckpt")
+    )
+    q.awaitTermination(120)
+    import os
+
+    n_batches = len([d for d in os.listdir(store) if d.startswith("batch=")])
+    assert n_batches >= 2  # genuinely incremental
+    got = tracked_distinct_estimate(spark, store).first()
+    want = hll_distinct(sample, "user_id").first()
+    assert got["registers"] == want["registers"]
+    assert got["estimate"] == want["estimate"]
+    truth = sample.distinct().count()
+    assert abs(got["estimate"] - truth) / truth < 0.2
