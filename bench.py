@@ -109,6 +109,7 @@ EXTRA_QUERIES = [
     "two_stage_ann",
     "retrieval_metrics_two_stage",
     "rbo_rankers",
+    "hll_distinct_by_source",
 ]
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "hll_distinct",
     "hll_registers",
     "hll_estimate",
+    "hll_distinct_by",
     "cm_build",
     "cm_estimate",
     "cm_heavy_hitters",
@@ -138,15 +139,9 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def hll_estimate(regs: DataFrame) -> DataFrame:
-    """Estimate from a ``(bucket, mj)`` register table (possibly a
-    max-merge of many) — output contract as :func:`hll_distinct`."""
-    # one row: registers sorted by bucket, then a sequential fold for Z
-    packed = regs.agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("bucket", "mj"))), lambda s: s["mj"]
-        ).alias("registers")
-    )
+def _hll_estimate_cols() -> list:
+    """Estimate columns over a frame carrying a bucket-ordered
+    ``registers`` array — shared by the global and per-group paths."""
     # dyadic 2^-mj via integer shift (the Python shiftleft wrapper only
     # takes a literal shift, so the fold is a SQL expression)
     z = F.expr(
@@ -159,13 +154,60 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         (raw <= F.lit(2.5 * _HLL_M)) & (n_zero > 0),
         F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / n_zero.cast("double")),
     ).otherwise(raw)
-    return packed.select(
+    return [
         F.lit(_HLL_M).alias("m"),
         n_zero.alias("n_zero"),
-        "registers",
+        F.col("registers"),
         F.round(raw, 6).alias("raw_estimate"),
         F.round(est, 6).alias("estimate"),
+    ]
+
+
+_HLL_PACK = F.transform(
+    F.sort_array(F.collect_list(F.struct("bucket", "mj"))), lambda s: s["mj"]
+)
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Estimate from a ``(bucket, mj)`` register table (possibly a
+    max-merge of many) — output contract as :func:`hll_distinct`."""
+    # one row: registers sorted by bucket, then a sequential fold for Z
+    return regs.agg(_HLL_PACK.alias("registers")).select(*_hll_estimate_cols())
+
+
+def hll_distinct_by(df: DataFrame, col: str, by: list[str]) -> DataFrame:
+    """Per-group HLL: one sketch (and estimate row) per distinct value
+    of the ``by`` columns — distinct tokens per source, per language,
+    per day.  The register aggregate groups on ``(by…, bucket)`` (≤
+    m·|groups| cells after map-side partials); the dense per-group
+    register table comes from a groups × ``range(m)`` cross join
+    (|groups| is an aggregate output — small by construction).
+    Output: ``by…`` + the :func:`hll_distinct` columns.
+    """
+    spark = df.sparkSession
+    h = F.md5(F.col(col).cast("string"))
+    v = F.conv(F.substring(h, 3, 15), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.conv(F.substring(h, 3, 15), 16, 2))
     )
+    maxed = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            *by,
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    groups = df.select(*by).distinct()
+    dense = (
+        groups.crossJoin(spark.range(_HLL_M).select(F.col("id").alias("bucket")))
+        .join(maxed, [*by, "bucket"], "left")
+        .select(*by, "bucket", F.coalesce("mj", F.lit(0)).cast("int").alias("mj"))
+    )
+    packed = dense.groupBy(*by).agg(_HLL_PACK.alias("registers"))
+    return packed.select(*by, *_hll_estimate_cols())
 
 
 def cm_build(

@@ -2456,6 +2456,49 @@ def hll_distinct_sketch_q(spark, sf_dir):
 
 
 @register(
+    "hll_distinct_by_source",
+    f"""
+    WITH el AS (SELECT source, md5(unnest(string_split(lower(text), ' '))) h
+                FROM documents),
+    r AS (SELECT source, CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) bucket,
+                 CAST(concat('0x', substr(h, 3, 15)) AS BIGINT) v
+          FROM el),
+    mx AS (SELECT source, bucket,
+                  max(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) mj
+           FROM r GROUP BY source, bucket),
+    g AS (SELECT DISTINCT source FROM documents),
+    reg AS (SELECT g.source, gr.range AS bucket,
+                   CAST(coalesce(mx.mj, 0) AS INTEGER) mj
+            FROM g CROSS JOIN range(256) gr
+            LEFT JOIN mx ON g.source = mx.source AND gr.range = mx.bucket),
+    pk AS (SELECT source, list(mj ORDER BY bucket) regs FROM reg
+           GROUP BY source),
+    calc AS (SELECT source, regs,
+                    list_sum(list_transform(regs,
+                             x -> 1.0 / CAST(1::BIGINT << x AS DOUBLE))) z,
+                    len(list_filter(regs, x -> x = 0)) nz
+             FROM pk)
+    SELECT source, 256 AS m, nz AS n_zero, regs AS registers,
+           round({_HLL_A2} / z, 6) AS raw_estimate,
+           round(CASE WHEN {_HLL_A2} / z <= 640.0 AND nz > 0
+                      THEN 256.0 * ln(256.0 / nz)
+                      ELSE {_HLL_A2} / z END, 6) AS estimate
+    FROM calc
+    """,
+)
+def hll_distinct_by_source_q(spark, sf_dir):
+    """Per-source HLL: one distinct-token sketch per corpus source —
+    the grouped variant (sketch-per-scope: per source / language /
+    day), exact-oracled including every group's register array."""
+    from .ops.sketches import hll_distinct_by
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    return hll_distinct_by(toks, "tok", ["source"])
+
+
+@register(
     "key_skew_profile",
     """
     WITH el AS (SELECT unnest(string_split(lower(text), ' ')) kx

@@ -1308,3 +1308,17 @@ def test_hll_register_merge_equals_union(spark):
     want = hll_distinct(df, "tok").first()
     assert got["registers"] == want["registers"]
     assert got["estimate"] == want["estimate"] and got["n_zero"] == want["n_zero"]
+
+
+def test_hll_distinct_by_groups(spark):
+    """Per-group sketches match independent per-group global sketches."""
+    from klinker_spark.ops.sketches import hll_distinct, hll_distinct_by
+
+    rows = [(f"a{i}", "g1") for i in range(500)] + [(f"b{i}", "g2") for i in range(40)]
+    df = spark.createDataFrame(rows, "tok string, grp string")
+    got = {r["grp"]: r.asDict() for r in hll_distinct_by(df, "tok", ["grp"]).collect()}
+    for g in ("g1", "g2"):
+        solo = hll_distinct(df.where(F.col("grp") == g), "tok").first()
+        assert got[g]["registers"] == solo["registers"], g
+        assert got[g]["estimate"] == solo["estimate"], g
+    assert abs(got["g2"]["estimate"] - 40) < 5  # linear-counting regime
