@@ -110,6 +110,7 @@ EXTRA_QUERIES = [
     "retrieval_metrics_two_stage",
     "rbo_rankers",
     "hll_distinct_by_source",
+    "sorted_neighborhood_blocking",
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_stats", "salted_join"]
+__all__ = ["key_skew_stats", "salted_join", "global_rank", "sorted_neighborhood_pairs"]
 
 
 def key_skew_stats(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
@@ -129,3 +129,100 @@ def salted_join(
         c for c in right.columns if c != on
     ]
     return lsalted.join(rsalted, [on, "_salt"], how).select(*out_cols)
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], rank_col: str = "rank"
+) -> DataFrame:
+    """Dense 1-based GLOBAL rank over a TOTAL order — without the
+    classic scale trap (`row_number() OVER (ORDER BY …)` moves the
+    whole input through one task).  Recipe: range-repartition on the
+    order columns (partition p's rows all sort before p+1's), rank
+    WITHIN each partition (parallel windows keyed by partition id),
+    then add per-partition offsets (a cumulative sum over ≤ P count
+    rows, broadcast back).
+
+    ``order_cols`` MUST be a total order (include a tie-breaking id):
+    the range partitioner may split equal keys across adjacent
+    partitions, which is only safe when no two rows compare equal.
+
+    Cost: the range exchange (sampling pass + shuffle — what any
+    global sort pays), one tiny count aggregate, one broadcast join.
+    """
+    cols = [F.col(c) for c in order_cols]
+    tmp = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    tmp = tmp.withColumn("_lr", F.row_number().over(w_local))
+    counts = tmp.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        tmp.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("bigint"))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "text",
+    id_col: str = "id",
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): union
+    both sides, order by the sorting key, and pair every CROSS-SIDE
+    couple within a sliding window of ``window`` consecutive records —
+    the classic ER method for typo-tolerant blocking (near-equal keys
+    sort adjacently even when token blocking misses them).
+
+    Output: ``(left_id, right_id, gap)`` with ``gap`` the rank
+    distance (1 … window-1), deterministic under the total order
+    ``(key, side, id)``.
+
+    Scale shape: the global order comes from :func:`global_rank` (no
+    single-task window); windowed pairing is a BAND equi-join — band
+    ``(rank-1) DIV (window-1)``: any in-window pair sits in the same
+    or adjacent bands, so two equi-joins (b=b, b=b+1) plus an exact
+    distance filter replace a non-equi range join.  Output is ≤
+    (window-1)·n pairs by construction — linear, never quadratic.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    u = left.select(
+        F.lit("L").alias("side"), F.col(id_col).alias("id"), F.col(key_col).alias("k")
+    ).unionByName(
+        right.select(
+            F.lit("R").alias("side"), F.col(id_col).alias("id"), F.col(key_col).alias("k")
+        )
+    )
+    ranked = global_rank(u, ["k", "side", "id"]).select(
+        "side", "id", "rank", ((F.col("rank") - 1) / (window - 1)).cast("bigint").alias("band")
+    )
+    a = ranked.select(
+        F.col("side").alias("sa"), F.col("id").alias("ia"),
+        F.col("rank").alias("ra"), F.col("band").alias("ba"),
+    )
+    b = ranked.select(
+        F.col("side").alias("sb"), F.col("id").alias("ib"),
+        F.col("rank").alias("rb"), F.col("band").alias("bb"),
+    )
+    cands = a.join(b, F.col("ba") == F.col("bb")).unionByName(
+        a.join(b, F.col("ba") + 1 == F.col("bb"))
+    )
+    pairs = cands.where(
+        (F.col("rb") > F.col("ra"))
+        & (F.col("rb") - F.col("ra") <= window - 1)
+        & (F.col("sa") != F.col("sb"))
+    )
+    return pairs.select(
+        F.when(F.col("sa") == "L", F.col("ia")).otherwise(F.col("ib")).alias("left_id"),
+        F.when(F.col("sa") == "L", F.col("ib")).otherwise(F.col("ia")).alias("right_id"),
+        (F.col("rb") - F.col("ra")).cast("int").alias("gap"),
+    )

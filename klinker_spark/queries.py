@@ -2456,6 +2456,46 @@ def hll_distinct_sketch_q(spark, sf_dir):
 
 
 @register(
+    "sorted_neighborhood_blocking",
+    """
+    WITH u AS (
+      SELECT 'L' side, CAST(c_custkey AS VARCHAR) id, lower(c_name) k
+      FROM customer
+      UNION ALL
+      SELECT 'R', CAST(s_suppkey AS VARCHAR), lower(s_name) FROM supplier),
+    r AS (SELECT side, id, k,
+                 row_number() OVER (ORDER BY k, side, id) rank
+          FROM u),
+    p AS (SELECT a.side sa, a.id ia, a.rank ra, b.side sb, b.id ib, b.rank rb
+          FROM r a JOIN r b
+            ON b.rank > a.rank AND b.rank - a.rank <= 4 AND a.side <> b.side)
+    SELECT CASE WHEN sa = 'L' THEN ia ELSE ib END AS left_id,
+           CASE WHEN sa = 'L' THEN ib ELSE ia END AS right_id,
+           CAST(rb - ra AS INTEGER) AS gap
+    FROM p
+    """,
+)
+def sorted_neighborhood_blocking_q(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernández & Stolfo) over
+    customer × supplier names, window 5 — typo-tolerant classic-ER
+    blocking whose global order comes from the DISTRIBUTED rank recipe
+    (range partitions + per-partition windows + offset broadcast —
+    never a single-task global window) and whose windowed pairing is a
+    band equi-join.  Exact oracle over every emitted pair."""
+    from .ops.profile import sorted_neighborhood_pairs
+
+    left = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.lower("c_name").alias("text"),
+    )
+    right = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id"),
+        F.lower("s_name").alias("text"),
+    )
+    return sorted_neighborhood_pairs(left, right, window=5)
+
+
+@register(
     "hll_distinct_by_source",
     f"""
     WITH el AS (SELECT source, md5(unnest(string_split(lower(text), ' '))) h

@@ -1322,3 +1322,50 @@ def test_hll_distinct_by_groups(spark):
         assert got[g]["registers"] == solo["registers"], g
         assert got[g]["estimate"] == solo["estimate"], g
     assert abs(got["g2"]["estimate"] - 40) < 5  # linear-counting regime
+
+
+def test_global_rank_matches_single_window(spark):
+    """Distributed rank == the naive global row_number, including ties
+    broken by the id column, across several range partitions."""
+    import random
+
+    from klinker_spark.ops.profile import global_rank
+
+    rnd = random.Random(7)
+    rows = [(i, f"k{rnd.randrange(40)}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, k string").repartition(8)
+    got = {r["id"]: r["rank"] for r in global_rank(df, ["k", "id"]).collect()}
+    want = {
+        rid: i + 1
+        for i, (_, rid) in enumerate(sorted((k, i) for i, k in rows))
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs(spark):
+    """Window-3 SN over interleaved names: cross-side pairs within
+    rank distance 2, typo neighbors included, far keys excluded."""
+    from klinker_spark.ops.profile import sorted_neighborhood_pairs
+
+    left = spark.createDataFrame(
+        [("l1", "anna"), ("l2", "annb"), ("l3", "zzz1")], "id string, text string"
+    )
+    right = spark.createDataFrame(
+        [("r1", "ann"), ("r2", "annc"), ("r3", "mmm")], "id string, text string"
+    )
+    # order (k, side, id): ann(r1) anna(l1) annb(l2) annc(r2) mmm(r3) zzz1(l3)
+    got = {
+        (r["left_id"], r["right_id"]): r["gap"]
+        for r in sorted_neighborhood_pairs(left, right, window=3).collect()
+    }
+    # windows over ranks 1..6 of size 3: every cross-side pair with
+    # rank gap <= 2
+    assert got == {
+        ("l1", "r1"): 1, ("l2", "r1"): 2, ("l1", "r2"): 2,
+        ("l2", "r2"): 1, ("l2", "r3"): 2, ("l3", "r2"): 2,
+        ("l3", "r3"): 1,
+    }
+    import pytest as _p
+
+    with _p.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(left, right, window=1)

@@ -568,3 +568,16 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
         assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_global_rank_no_corpus_single_partition_window(spark):
+    """global_rank: the only SinglePartition exchange feeds the
+    per-partition-COUNT offsets window (≤ P rows); the corpus-side
+    rank window partitions by the range-partition id."""
+    from klinker_spark.ops.profile import global_rank
+
+    df = spark.range(10000).selectExpr("id", "cast(id % 97 as string) k")
+    plan = plan_of(global_rank(df, ["k", "id"]))
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "SPARK_PARTITION_ID" in plan or "_pid" in plan
+    assert "CartesianProduct" not in plan
