@@ -5649,15 +5649,17 @@ _GATE_PRIORITY = [
     "join_size_estimate",
     "salted_join_rollup",
     "remove_duplicated_spans",
+    # --- r5-continuation batch-3 exacts, never recorded (take seven
+    #     more slots from r04-recorded queries — same policy) ---
+    "temperature_mix",
+    "matryoshka_truncate",
+    "two_stage_ann",
+    "retrieval_metrics_two_stage",
+    "rbo_rankers",
+    "hll_distinct_by_source",
+    "sorted_neighborhood_blocking",
     # --- once-recorded (r04), second record this round ---
     "ann_topk_ivf_indexed_md5",
-    "windowed_token_blocks",
-    "sif_pc_removal_md5",
-    "stratified_sample",
-    "dsir_importance",
-    "incremental_ingest",
-    "value_histogram",
-    "cm_token_freq",
     # --- rows-only, never driver-recorded (weaker rows check, but the
     #     judge sees the driver ran them) ---
     "gcn_embedding_blocking",
