@@ -163,16 +163,20 @@ def _hll_estimate_cols() -> list:
     ]
 
 
-_HLL_PACK = F.transform(
-    F.sort_array(F.collect_list(F.struct("bucket", "mj"))), lambda s: s["mj"]
-)
+def _hll_pack():
+    """Bucket-ordered register-array aggregate.  A FUNCTION, not a
+    module-level Column: building a Column requires an active
+    SparkContext, and this module must import session-free."""
+    return F.transform(
+        F.sort_array(F.collect_list(F.struct("bucket", "mj"))), lambda s: s["mj"]
+    )
 
 
 def hll_estimate(regs: DataFrame) -> DataFrame:
     """Estimate from a ``(bucket, mj)`` register table (possibly a
     max-merge of many) — output contract as :func:`hll_distinct`."""
     # one row: registers sorted by bucket, then a sequential fold for Z
-    return regs.agg(_HLL_PACK.alias("registers")).select(*_hll_estimate_cols())
+    return regs.agg(_hll_pack().alias("registers")).select(*_hll_estimate_cols())
 
 
 def hll_distinct_by(df: DataFrame, col: str, by: list[str]) -> DataFrame:
@@ -206,7 +210,7 @@ def hll_distinct_by(df: DataFrame, col: str, by: list[str]) -> DataFrame:
         .join(maxed, [*by, "bucket"], "left")
         .select(*by, "bucket", F.coalesce("mj", F.lit(0)).cast("int").alias("mj"))
     )
-    packed = dense.groupBy(*by).agg(_HLL_PACK.alias("registers"))
+    packed = dense.groupBy(*by).agg(_hll_pack().alias("registers"))
     return packed.select(*by, *_hll_estimate_cols())
 
 
