@@ -228,3 +228,68 @@ def test_chunk_documents_matches_python_model(spark, n_tokens, chunk_size, overl
         want[i] = (len(w), " ".join(w))
         i += 1
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from("abcdefg")),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.sampled_from("abcdefg"), st.integers(0, 9)),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 6),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_join_equals_plain_join_property(spark, lrows, rrows, n_salt):
+    """∀ inputs and salt widths: salted inner/left joins are
+    row-multiset-identical to the plain joins."""
+    from klinker_spark.ops.profile import salted_join
+
+    left = spark.createDataFrame(lrows or [(0, "zz")][:0], "rid int, k string") \
+        if lrows else spark.createDataFrame([], "rid int, k string")
+    right = spark.createDataFrame(rrows, "k string, v int") \
+        if rrows else spark.createDataFrame([], "k string, v int")
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, salted_join(left, right, "k", n_salt=n_salt, how=how).collect()))
+        want = sorted(map(tuple, left.join(right, "k", how).select("k", "rid", "v").collect()))
+        assert got == want
+
+
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=0, max_size=4), min_size=1, max_size=80)
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_rank_is_a_permutation_matching_sort(spark, keys):
+    """∀ key multisets: global_rank emits exactly 1..n and agrees with
+    the Python sort under the same total order."""
+    from klinker_spark.ops.profile import global_rank
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id int, k string").repartition(5)
+    got = {r["id"]: r["rank"] for r in global_rank(df, ["k", "id"]).collect()}
+    assert sorted(got.values()) == list(range(1, len(rows) + 1))
+    want = {i: pos + 1 for pos, (k, i) in enumerate(sorted((k, i) for i, k in rows))}
+    assert got == want
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=120))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hll_shard_merge_invariant_property(spark, vals):
+    """∀ value multisets and 3-way shardings: max-merged shard
+    registers equal the single-pass sketch registers."""
+    from klinker_spark.ops.sketches import hll_distinct, hll_estimate, hll_registers
+
+    df = spark.createDataFrame([(v, i % 3) for i, v in enumerate(vals)], "tok string, sh int")
+    whole = hll_distinct(df, "tok").first()
+    parts = [hll_registers(df.where(F.col("sh") == s), "tok") for s in range(3)]
+    merged = parts[0].unionByName(parts[1]).unionByName(parts[2]) \
+        .groupBy("bucket").agg(F.max("mj").cast("int").alias("mj"))
+    got = hll_estimate(merged).first()
+    assert list(got["registers"]) == list(whole["registers"])
+    assert got["estimate"] == whole["estimate"]
