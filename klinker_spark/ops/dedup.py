@@ -70,30 +70,17 @@ def plan_bands(
     recall (false negatives → lost duplicates).
 
     Pure driver-side planning — call it once, pass the result to
-    ``minhash_lsh_dedup(bands=b)`` / the LSH blockers.  Deterministic
-    (fixed 1000-point midpoint quadrature).
+    ``minhash_lsh_dedup(bands=b)`` / the LSH blockers.  Thin named
+    entry point over the single S-curve integration the LSH blocker
+    already uses (``blockers/lsh.py::optimal_band_geometry`` — which
+    also admits ``bands · rows < num_perm`` when dropping a few
+    permutations scores better).
     """
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
-    best: tuple[float, int, int] | None = None
-    for bands in range(1, num_perm + 1):
-        if num_perm % bands:
-            continue
-        rows = num_perm // bands
-        fp = fn = 0.0
-        n = 1000
-        for i in range(n):
-            s = (i + 0.5) / n
-            p = 1.0 - (1.0 - s**rows) ** bands
-            if s < threshold:
-                fp += p
-            else:
-                fn += 1.0 - p
-        err = (fp_weight * fp + fn_weight * fn) / n
-        if best is None or err < best[0]:
-            best = (err, bands, rows)
-    assert best is not None
-    return best[1], best[2]
+    from ..blockers.lsh import optimal_band_geometry
+
+    return optimal_band_geometry(threshold, num_perm, (fp_weight, fn_weight))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -1198,13 +1198,17 @@ def test_plan_bands():
     from klinker_spark.ops.dedup import plan_bands
 
     b, r = plan_bands(0.5, 128)
-    assert b * r == 128
+    assert 1 <= b and 1 <= r and b * r <= 128
     # the s-curve midpoint (1/b)^(1/r) should land near the threshold
     mid = (1.0 / b) ** (1.0 / r)
     assert 0.3 < mid < 0.7
     # higher threshold -> more rows per band (sharper AND)
     b2, r2 = plan_bands(0.9, 128)
-    assert r2 > r and b2 * r2 == 128
+    assert r2 > r and b2 * r2 <= 128
+    # single implementation: identical to the blocker's planner
+    from klinker_spark.blockers.lsh import optimal_band_geometry
+
+    assert (b, r) == optimal_band_geometry(0.5, 128, (0.5, 0.5))
     # recall-heavy weighting favors more bands (more permissive)
     b3, _ = plan_bands(0.5, 128, fp_weight=0.1, fn_weight=0.9)
     assert b3 >= b
