@@ -111,6 +111,7 @@ EXTRA_QUERIES = [
     "rbo_rankers",
     "hll_distinct_by_source",
     "sorted_neighborhood_blocking",
+    "weighted_stratified_sample",
 ]
 
 

@@ -58,6 +58,7 @@ __all__ = [
     "duplicated_span_stats",
     "remove_duplicated_spans",
     "temperature_mix",
+    "weighted_stratified_sample",
     "token_budget_mix",
     "line_dedup",
     "gopher_rules",
@@ -498,6 +499,58 @@ def weighted_sample(
         "w",
         F.row_number().over(wr).alias("rank"),
         F.round(F.col("key_micro") / 1e6, 6).alias("es_key"),
+    )
+
+
+def weighted_stratified_sample(
+    docs: DataFrame,
+    strata: list[str],
+    weight_col: str,
+    k_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement — the A-ES
+    keys of :func:`weighted_sample` ranked WITHIN each stratum (the
+    :func:`stratified_sample` quota): an exact weighted sample of
+    ``k`` docs per (source, lang, …) cell, the shape a curation run
+    actually needs (the global variant over-draws the dominant
+    stratum).
+
+    Deterministic and seedless (same md5-uniform, micro-unit key,
+    ``(key, id)`` tie-break).  Output: strata cols + ``(doc_id, w,
+    rank, es_key)``, ``rank`` 1..k within each stratum.
+
+    Scale: key computation is map-side; the per-stratum top-k is a
+    rank window PARTITIONED by the strata (parallel across strata;
+    one stratum dominating the corpus makes its partition hot — the
+    same profile as every grouped top-k here, AQE-covered).
+    """
+    u_int = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    u = (u_int.cast("double") + 0.5) / float(1 << 48)
+    w = F.col(weight_col).cast("double")
+    key_micro = F.round(-F.log(u) / w * 1e6).cast("bigint")
+    wr = Window.partitionBy(*strata).orderBy(
+        F.col("key_micro").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.where(F.col(weight_col) > 0)
+        .select(
+            *strata,
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).alias("w"),
+            key_micro.alias("key_micro"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k_per_stratum)
+        .select(
+            *strata,
+            "doc_id",
+            "w",
+            "rank",
+            F.round(F.col("key_micro") / 1e6, 6).alias("es_key"),
+        )
     )
 
 

@@ -5543,6 +5543,38 @@ def weighted_sample_q(spark, sf_dir):
     return weighted_sample(_t(spark, sf_dir, "documents"), "n_chars", k=50)
 
 
+@register(
+    "weighted_stratified_sample",
+    f"""
+    WITH h AS (SELECT source, lang, doc_id, n_chars w,
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) hx
+               FROM documents WHERE n_chars > 0),
+    ui AS (SELECT source, lang, doc_id, w, ({_hex12_to_int_sql("hx")}) u_int
+           FROM h),
+    ky AS (SELECT source, lang, doc_id, w,
+                  CAST(round(-ln((CAST(u_int AS DOUBLE) + 0.5) / 281474976710656.0)
+                             / CAST(w AS DOUBLE) * 1e6) AS BIGINT) km
+           FROM ui),
+    rk AS (SELECT source, lang, doc_id, w, km,
+                  row_number() OVER (PARTITION BY source, lang
+                                     ORDER BY km, doc_id) rank
+           FROM ky)
+    SELECT source, lang, doc_id, w, rank, round(km / 1e6, 6) AS es_key
+    FROM rk WHERE rank <= 5
+    """,
+)
+def weighted_stratified_sample_q(spark, sf_dir):
+    """Per-(source, lang) A-ES weighted sampling — an exact weighted
+    sample of 5 docs per stratum (the global variant over-draws the
+    dominant stratum); same seedless md5 uniforms and micro-unit keys,
+    ranked within strata."""
+    from .ops.curation import weighted_stratified_sample
+
+    return weighted_stratified_sample(
+        _t(spark, sf_dir, "documents"), ["source", "lang"], "n_chars", 5
+    )
+
+
 def _zinterleave_sql(xs: str, ys: str, bits: int) -> str:
     """Unrolled Morton interleave, identical shape to
     ``ops.layout._interleave``."""

@@ -1241,3 +1241,27 @@ def test_temperature_mix(spark):
         )
     # small source up-weighted, big down-weighted
     assert out["small"]["boost_ppm"] > 1_000_000 > out["big"]["boost_ppm"]
+
+
+def test_weighted_stratified_sample(spark):
+    """Quota per stratum, A-ES key parity with the global sampler, and
+    determinism across runs."""
+    from klinker_spark.ops.curation import weighted_sample, weighted_stratified_sample
+
+    rows = [(i, ["s0", "s1"][i % 2], 10 + i) for i in range(40)] + [(99, "s2", 0)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = weighted_stratified_sample(docs, ["source"], "n_chars", 3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r)
+    assert set(per) == {"s0", "s1"}  # zero-weight stratum s2 excluded
+    for src, rs in per.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3]
+    # within one stratum the selection equals the global sampler run
+    # on just that stratum (same keys, same order)
+    solo = weighted_sample(docs.where(F.col("source") == "s0"), "n_chars", k=3).collect()
+    assert [(r["doc_id"], r["es_key"]) for r in sorted(per["s0"], key=lambda r: r["rank"])] == [
+        (r["doc_id"], r["es_key"]) for r in sorted(solo, key=lambda r: r["rank"])
+    ]
+    again = weighted_stratified_sample(docs, ["source"], "n_chars", 3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
