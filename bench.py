@@ -112,6 +112,7 @@ EXTRA_QUERIES = [
     "hll_distinct_by_source",
     "sorted_neighborhood_blocking",
     "weighted_stratified_sample",
+    "js_divergence_sources",
 ]
 
 

@@ -23,6 +23,7 @@ __all__ = [
     "normalize_text",
     "readability_stats",
     "pmi_bigrams",
+    "js_divergence_tokens",
 ]
 
 
@@ -352,3 +353,73 @@ def normalize_text(
     if collapse_ws:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return base.withColumn(out_col, c)
+
+
+def js_divergence_tokens(
+    docs: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence between the whitespace-token unigram
+    distributions of two corpus slices (sources, snapshots, languages)
+    — the standard symmetric, bounded (≤ ln 2) distribution-shift
+    monitor a pipeline runs between training mix and eval set, or
+    between crawl snapshots.
+
+    ``JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M)`` with ``M = ½(P+Q)``; a token
+    absent from one side contributes only through the present side
+    (0·ln0 = 0).  Probabilities are exact count ratios; every term
+    ``p·ln(p/m)`` is rounded to integer NANO-nats and summed as
+    BIGINT, so the result is shuffle-order-free and engine-exact.
+
+    Output (one row): ``(n_tokens_a, n_tokens_b, n_vocab_a, n_vocab_b,
+    n_vocab_union, js_nano, js)`` — ``js`` rounded to 6 dp from the
+    integer sum.
+
+    Plan: one scan per slice filter (same pass — a conditional
+    aggregate over the union), one ``groupBy(token)`` with map-side
+    partials, one-row totals broadcast, one final integer sum.
+    """
+    tk = F.explode(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ).alias("tok")
+    both = docs.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"), tk
+    )
+    counts = both.groupBy("tok").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0)).alias("va"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0)).alias("vb"),
+        F.count("*").alias("vu"),
+    )
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    m = (p + q) / 2.0
+    term = F.when(F.col("ca") > 0, 0.5 * p * F.log(p / m)).otherwise(0.0) + F.when(
+        F.col("cb") > 0, 0.5 * q * F.log(q / m)
+    ).otherwise(0.0)
+    summed = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "na", "nb", "va", "vb", "vu",
+            F.round(term * 1e9).cast("bigint").alias("t_nano"),
+        )
+        .groupBy("na", "nb", "va", "vb", "vu")
+        .agg(F.sum("t_nano").alias("js_nano"))
+    )
+    return summed.select(
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        F.col("va").alias("n_vocab_a"),
+        F.col("vb").alias("n_vocab_b"),
+        F.col("vu").alias("n_vocab_union"),
+        "js_nano",
+        F.round(F.col("js_nano") / 1e9, 6).alias("js"),
+    )

@@ -2456,6 +2456,53 @@ def hll_distinct_sketch_q(spark, sf_dir):
 
 
 @register(
+    "js_divergence_sources",
+    """
+    WITH bt AS (SELECT source g,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) tok
+                FROM documents WHERE source IN ('src0', 'src1')),
+    counts AS (SELECT tok,
+                      CAST(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS BIGINT) ca,
+                      CAST(sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS BIGINT) cb
+               FROM bt GROUP BY tok),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) na, CAST(sum(cb) AS BIGINT) nb,
+                   CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) va,
+                   CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) vb,
+                   count(*) vu
+            FROM counts),
+    terms AS (SELECT na, nb, va, vb, vu,
+      CAST(round((CASE WHEN ca > 0
+                       THEN 0.5 * (ca * 1.0 / na)
+                            * ln((ca * 1.0 / na)
+                                 / (((ca * 1.0 / na) + (cb * 1.0 / nb)) / 2.0))
+                       ELSE 0.0 END
+                + CASE WHEN cb > 0
+                       THEN 0.5 * (cb * 1.0 / nb)
+                            * ln((cb * 1.0 / nb)
+                                 / (((ca * 1.0 / na) + (cb * 1.0 / nb)) / 2.0))
+                       ELSE 0.0 END) * 1e9) AS BIGINT) t
+      FROM counts CROSS JOIN tot)
+    SELECT na AS n_tokens_a, nb AS n_tokens_b, va AS n_vocab_a,
+           vb AS n_vocab_b, vu AS n_vocab_union,
+           CAST(sum(t) AS BIGINT) AS js_nano,
+           round(CAST(sum(t) AS BIGINT) / 1e9, 6) AS js
+    FROM terms GROUP BY na, nb, va, vb, vu
+    """,
+)
+def js_divergence_sources_q(spark, sf_dir):
+    """Distribution-shift monitor: Jensen–Shannon divergence between
+    the token unigram distributions of two corpus sources — integer
+    nano-nat per-term rounding keeps the sum shuffle-order-free and
+    engine-exact."""
+    from .ops.textstats import js_divergence_tokens
+
+    return js_divergence_tokens(
+        _t(spark, sf_dir, "documents"), "source", "src0", "src1"
+    )
+
+
+@register(
     "sorted_neighborhood_blocking",
     """
     WITH u AS (

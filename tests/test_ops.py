@@ -1373,3 +1373,32 @@ def test_sorted_neighborhood_pairs(spark):
 
     with _p.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(left, right, window=1)
+
+
+def test_js_divergence_tokens(spark):
+    """Identical slices give JS 0; disjoint vocabularies give ln 2;
+    a hand-computed mixed case matches the Python model."""
+    import math
+
+    from klinker_spark.ops.textstats import js_divergence_tokens
+
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text", "source"])  # noqa: E731
+    same = mk([(1, "a b c", "x"), (2, "a b c", "y")])
+    r = js_divergence_tokens(same, "source", "x", "y").first()
+    assert r["js"] == 0.0 and r["n_vocab_union"] == 3
+    disj = mk([(1, "a a b", "x"), (2, "c d e", "y")])
+    r2 = js_divergence_tokens(disj, "source", "x", "y").first()
+    assert abs(r2["js"] - math.log(2)) < 1e-6
+    mixed = mk([(1, "a a b", "x"), (2, "a c", "y")])
+    p = {"a": 2 / 3, "b": 1 / 3}
+    q = {"a": 1 / 2, "c": 1 / 2}
+    js = 0.0
+    for t in set(p) | set(q):
+        pi, qi = p.get(t, 0.0), q.get(t, 0.0)
+        m = (pi + qi) / 2
+        js += (0.5 * pi * math.log(pi / m) if pi else 0.0) + (
+            0.5 * qi * math.log(qi / m) if qi else 0.0
+        )
+    r3 = js_divergence_tokens(mixed, "source", "x", "y").first()
+    assert abs(r3["js"] - js) < 1e-6
+    assert r3["n_tokens_a"] == 3 and r3["n_tokens_b"] == 2
