@@ -113,6 +113,7 @@ EXTRA_QUERIES = [
     "sorted_neighborhood_blocking",
     "weighted_stratified_sample",
     "js_divergence_sources",
+    "ngram_containment_dedup",
 ]
 
 

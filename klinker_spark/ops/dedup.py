@@ -42,6 +42,7 @@ __all__ = [
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ngram_jaccard_dedup",
+    "ngram_containment_dedup",
     "cosine_signlsh_dedup",
     "embedding_cosine_dedup",
     "semdedup",
@@ -359,6 +360,92 @@ def ngram_jaccard_dedup(
         .localCheckpoint(eager=True)
     )
     prefix.unpersist()
+    shingles.unpersist()
+    return out
+
+
+def ngram_containment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTIONAL shingle-set containment pairs:
+    ``C(A→B) = |A∩B| / |A| ≥ threshold`` — document A is (mostly) a
+    subset of B.  The case symmetric Jaccard structurally misses: a
+    quoted article inside a long page has tiny J but containment ≈ 1;
+    corpus pipelines (RefinedWeb-style) drop or attribute the
+    contained copy.
+
+    Output: ``(doc_a, doc_b, containment)`` — ordered pairs, both
+    directions possible.
+
+    Plan — one-sided prefix filter: ``C ≥ t`` forces ``|A∩B| ≥ t·n_a``,
+    so A must collide inside its ``n_a − ceil(t·n_a) + 1`` rarest
+    shingles (the :func:`ngram_jaccard_dedup` prefix argument, applied
+    to the A side only — containment puts NO size bound on B beyond
+    ``n_b ≥ t·n_a``, so the B side is the full inverted list).  Rarity
+    ordering keeps the join keys off the boilerplate head: candidates
+    per prefix shingle are bounded by that shingle's document
+    frequency, which the prefix minimizes.  Verification is exact
+    ``array_intersect`` on surviving candidates only.
+    """
+    shingles = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
+    ).select(
+        "doc_id", F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh")
+    ).persist()
+    ex = shingles.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("shingle")
+    )
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = ex.join(freq, "shingle").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("shingle").asc()
+            )
+        ),
+    )
+    prefix_a = ranked.where(
+        F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    )
+    cand = (
+        prefix_a.select(
+            "shingle", F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+        )
+        .join(
+            ex.select("shingle", F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "shingle",
+        )
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+        )
+        .select("doc_a", "doc_b", "n_a")
+        .distinct()
+    )
+    sets = shingles.select("doc_id", "sh")
+    verified = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.col("n_a"),
+        )
+    )
+    out = (
+        verified.where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+        .localCheckpoint(eager=True)
+    )
     shingles.unpersist()
     return out
 

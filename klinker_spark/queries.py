@@ -1091,6 +1091,35 @@ def ngram_jaccard_dedup_q(spark, sf_dir):
 
 
 @register(
+    "ngram_containment_dedup",
+    "WITH "
+    + _shingle_cte()
+    + """,
+    sizes AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+    inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+              FROM ds a JOIN ds b
+                ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / sa.n, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE n_common * 1.0 / sa.n >= 0.6
+    """,
+)
+def ngram_containment_dedup_q(spark, sf_dir):
+    """DIRECTIONAL containment pairs (|A∩B|/|A| ≥ 0.6): the
+    quoted-inside-longer-doc case symmetric Jaccard misses — one-sided
+    prefix filter on the contained side, full inverted list on the
+    container side, exact array-intersect verification."""
+    from .ops.dedup import ngram_containment_dedup
+
+    return ngram_containment_dedup(
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.6
+    )
+
+
+@register(
     "embedding_cosine_dedup",
     """
     WITH sims AS (

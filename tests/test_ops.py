@@ -1402,3 +1402,48 @@ def test_js_divergence_tokens(spark):
     r3 = js_divergence_tokens(mixed, "source", "x", "y").first()
     assert abs(r3["js"] - js) < 1e-6
     assert r3["n_tokens_a"] == 3 and r3["n_tokens_b"] == 2
+
+
+def test_ngram_containment_dedup(spark):
+    """A short doc quoted inside a long one: containment ~1 in the
+    A->B direction even though Jaccard is tiny; unrelated docs never
+    pair; completeness vs a naive all-pairs model."""
+    from klinker_spark.ops.dedup import ngram_containment_dedup
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = ("intro words here " + quote + " plus lots of extra trailing content "
+                "that makes this document much longer than the quote body")
+    rows = [(1, quote), (2, long_doc), (3, "completely unrelated text about engines")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_dedup(docs, shingle_k=3, threshold=0.8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.8   # quote contained in long doc
+    assert (2, 1) not in got                      # not symmetric
+    assert all(3 not in pair for pair in got)
+    # completeness on random repetitive docs vs the naive model
+    import random
+
+    rnd = random.Random(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rdocs = [(i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 12)))) for i in range(25)]
+    df = spark.createDataFrame(rdocs, ["doc_id", "text"])
+    got2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_containment_dedup(df, shingle_k=3, threshold=0.7).collect()
+    }
+
+    def sh(t):
+        tk = [w for w in t.split() if w]
+        if len(tk) <= 3:
+            return {" ".join(tk)}
+        return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    want = set()
+    sets = {i: sh(t) for i, t in rdocs}
+    for a in sets:
+        for b in sets:
+            if a != b and sets[a] and len(sets[a] & sets[b]) / len(sets[a]) >= 0.7:
+                want.add((a, b))
+    assert got2 == want
