@@ -114,6 +114,7 @@ EXTRA_QUERIES = [
     "weighted_stratified_sample",
     "js_divergence_sources",
     "ngram_containment_dedup",
+    "zipf_fit",
 ]
 
 

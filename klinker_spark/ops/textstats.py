@@ -24,6 +24,7 @@ __all__ = [
     "readability_stats",
     "pmi_bigrams",
     "js_divergence_tokens",
+    "zipf_fit",
 ]
 
 
@@ -422,4 +423,63 @@ def js_divergence_tokens(
         F.col("vu").alias("n_vocab_union"),
         "js_nano",
         F.round(F.col("js_nano") / 1e9, 6).alias("js"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: least
+    squares of ``ln(freq)`` on ``ln(rank)`` for the ``top_k`` most
+    frequent tokens.  Natural language sits near slope −1; generated
+    or templated text drifts flat (head-heavy) or steep — a cheap
+    corpus-level naturalness monitor.
+
+    Engine-exactness: each per-token term (``x = ln rank``,
+    ``y = ln freq``, ``xy``, ``x²``) is rounded to integer NANO units,
+    the four sums are BIGINT (shuffle-order-free), and the closed-form
+    slope/intercept derive from those integers through one fixed
+    expression — exact SQL oracle.
+
+    Output (one row): ``(k_used, slope, intercept)`` rounded to 6 dp.
+
+    Plan: one token count aggregate, a TakeOrdered top-k, per-row
+    expressions over k rows, a one-row integer sum.
+    """
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    top = counts.orderBy(F.col("freq").desc(), F.col("tok")).limit(top_k)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    terms = (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.round(x * 1e9).cast("bigint").alias("xn"),
+            F.round(y * 1e9).cast("bigint").alias("yn"),
+            F.round(x * y * 1e9).cast("bigint").alias("xyn"),
+            F.round(x * x * 1e9).cast("bigint").alias("xxn"),
+        )
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum("xn").alias("sx"),
+            F.sum("yn").alias("sy"),
+            F.sum("xyn").alias("sxy"),
+            F.sum("xxn").alias("sxx"),
+        )
+    )
+    k = F.col("k_used").cast("double")
+    sx = F.col("sx") / 1e9
+    sy = F.col("sy") / 1e9
+    sxy = F.col("sxy") / 1e9
+    sxx = F.col("sxx") / 1e9
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return terms.select(
+        "k_used",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / k, 6).alias("intercept"),
     )

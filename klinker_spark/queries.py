@@ -2485,6 +2485,47 @@ def hll_distinct_sketch_q(spark, sf_dir):
 
 
 @register(
+    "zipf_fit",
+    """
+    WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) tok
+                  FROM documents),
+    counts AS (SELECT tok, count(*) freq FROM toks GROUP BY tok),
+    top AS (SELECT tok, freq FROM counts ORDER BY freq DESC, tok LIMIT 200),
+    rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) rank
+           FROM top),
+    terms AS (SELECT
+        CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) xn,
+        CAST(round(ln(CAST(freq AS DOUBLE)) * 1e9) AS BIGINT) yn,
+        CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) * 1e9)
+             AS BIGINT) xyn,
+        CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) * 1e9)
+             AS BIGINT) xxn
+      FROM rk),
+    s AS (SELECT count(*) k_used, CAST(sum(xn) AS BIGINT) sx,
+                 CAST(sum(yn) AS BIGINT) sy, CAST(sum(xyn) AS BIGINT) sxy,
+                 CAST(sum(xxn) AS BIGINT) sxx
+          FROM terms)
+    SELECT k_used,
+           round((k_used * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+                 / (k_used * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)), 6) AS slope,
+           round(((sy / 1e9)
+                  - ((k_used * (sxy / 1e9) - (sx / 1e9) * (sy / 1e9))
+                     / (k_used * (sxx / 1e9) - (sx / 1e9) * (sx / 1e9)))
+                    * (sx / 1e9)) / k_used, 6) AS intercept
+    FROM s
+    """,
+)
+def zipf_fit_q(spark, sf_dir):
+    """Zipf slope of the corpus unigram distribution (top-200 tokens):
+    ln-freq on ln-rank least squares with integer nano-unit sums —
+    the corpus-naturalness monitor, engine-exact."""
+    from .ops.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_k=200)
+
+
+@register(
     "js_divergence_sources",
     """
     WITH bt AS (SELECT source g,

@@ -1447,3 +1447,26 @@ def test_ngram_containment_dedup(spark):
             if a != b and sets[a] and len(sets[a] & sets[b]) / len(sets[a]) >= 0.7:
                 want.add((a, b))
     assert got2 == want
+
+
+def test_zipf_fit(spark):
+    """A perfect synthetic Zipf corpus recovers slope ~ -1; a uniform
+    corpus fits slope ~ 0."""
+    from klinker_spark.ops.textstats import zipf_fit
+
+    # token t_r appears round(1000/r) times -> ln f = ln 1000 - ln r
+    rows = []
+    did = 0
+    for r in range(1, 31):
+        for _ in range(round(1000 / r)):
+            rows.append((did, f"t{r:02d}"))
+            did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = zipf_fit(docs, top_k=30).first()
+    assert got["k_used"] == 30
+    assert -1.05 < got["slope"] < -0.95
+    uni = spark.createDataFrame(
+        [(i, f"u{i % 20:02d}") for i in range(2000)], ["doc_id", "text"]
+    )
+    flat = zipf_fit(uni, top_k=20).first()
+    assert abs(flat["slope"]) < 0.01
