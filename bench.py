@@ -115,6 +115,7 @@ EXTRA_QUERIES = [
     "js_divergence_sources",
     "ngram_containment_dedup",
     "zipf_fit",
+    "distinct_ngram_ratio",
 ]
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "pmi_bigrams",
     "js_divergence_tokens",
     "zipf_fit",
+    "distinct_ngram_ratio",
 ]
 
 
@@ -482,4 +483,51 @@ def zipf_fit(
         "k_used",
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / k, 6).alias("intercept"),
+    )
+
+
+def distinct_ngram_ratio(
+    docs: DataFrame,
+    n: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016) per corpus slice: the
+    fraction of n-gram OCCURRENCES that are distinct types —
+    the standard degeneration / mode-collapse monitor for generated
+    data (low distinct-2 = the corpus repeats itself).
+
+    Output (one row per group): ``(group, n_ngrams, n_distinct,
+    distinct_ratio)`` — ratio rounded to 6 dp; groups whose docs have
+    fewer than ``n`` tokens contribute no n-grams and drop out.
+
+    Plan: one index-``transform`` n-gram explode (no position
+    self-join), one ``(group, ngram)`` count aggregate with map-side
+    partials, one per-group rollup.
+    """
+    tk = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    grams = docs.select(
+        F.col(group_col).alias("grp"), tk.alias("tk")
+    ).where(F.size("tk") >= n).select(
+        "grp",
+        F.explode(
+            F.expr(
+                f"transform(slice(tk, 1, size(tk) - {n - 1}),"
+                f" (x, i) -> array_join(slice(tk, i + 1, {n}), ' '))"
+            )
+        ).alias("ngram"),
+    )
+    per = grams.groupBy("grp", "ngram").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count("*").alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_ngrams",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_ngrams"), 6).alias("distinct_ratio"),
+        )
     )

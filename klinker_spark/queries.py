@@ -2485,6 +2485,32 @@ def hll_distinct_sketch_q(spark, sf_dir):
 
 
 @register(
+    "distinct_ngram_ratio",
+    """
+    WITH t AS (SELECT source, list_filter(string_split(text, ' '),
+                                          x -> x <> '') tk
+               FROM documents),
+    arr AS (SELECT source, tk, len(tk) nn FROM t WHERE len(tk) >= 2),
+    grams AS (SELECT source, array_to_string(tk[i:i+1], ' ') ngram
+              FROM arr, unnest(generate_series(1, nn - 1)) s(i)),
+    per AS (SELECT source, ngram, count(*) c FROM grams GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_ngrams,
+           count(*) AS n_distinct,
+           round(count(*) * 1.0 / CAST(sum(c) AS BIGINT), 6) AS distinct_ratio
+    FROM per GROUP BY source
+    """,
+)
+def distinct_ngram_ratio_q(spark, sf_dir):
+    """Distinct-2 diversity per source (Li et al. 2016): the
+    mode-collapse / degeneration monitor for generated or templated
+    slices — fraction of bigram occurrences that are distinct types."""
+    from .ops.textstats import distinct_ngram_ratio
+
+    return distinct_ngram_ratio(_t(spark, sf_dir, "documents"), n=2)
+
+
+@register(
     "zipf_fit",
     """
     WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),

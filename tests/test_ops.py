@@ -1470,3 +1470,19 @@ def test_zipf_fit(spark):
     )
     flat = zipf_fit(uni, top_k=20).first()
     assert abs(flat["slope"]) < 0.01
+
+
+def test_distinct_ngram_ratio(spark):
+    from klinker_spark.ops.textstats import distinct_ngram_ratio
+
+    rows = [
+        (1, "a b a b a b", "rep"),     # bigrams: ab,ba,ab,ba,ab -> 5 occ, 2 types
+        (2, "w x y z", "div"),         # 3 occ, 3 types
+        (3, "solo", "tiny"),           # <2 tokens: no contribution
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r.asDict() for r in distinct_ngram_ratio(docs, n=2).collect()}
+    assert set(out) == {"rep", "div"}
+    assert out["rep"]["n_ngrams"] == 5 and out["rep"]["n_distinct"] == 2
+    assert out["rep"]["distinct_ratio"] == 0.4
+    assert out["div"]["distinct_ratio"] == 1.0
