@@ -116,6 +116,7 @@ EXTRA_QUERIES = [
     "ngram_containment_dedup",
     "zipf_fit",
     "distinct_ngram_ratio",
+    "langid_confusion",
 ]
 
 

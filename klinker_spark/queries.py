@@ -2485,6 +2485,33 @@ def hll_distinct_sketch_q(spark, sf_dir):
 
 
 @register(
+    "langid_confusion",
+    "WITH pred AS ("
+    + ORACLES["langid"]
+    + """)
+    SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def langid_confusion_q(spark, sf_dir):
+    """Confusion matrix of the n-gram-profile language identifier
+    against the labeled lang column — the quality report for the
+    heuristic itself.  Oracle re-derives the predictions in SQL and
+    cross-tabulates identically."""
+    from .ops.textstats import langid_by_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = langid_by_profile(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred.select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
     "distinct_ngram_ratio",
     """
     WITH t AS (SELECT source, list_filter(string_split(text, ' '),
