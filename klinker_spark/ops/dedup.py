@@ -43,6 +43,7 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_dedup",
     "ngram_containment_dedup",
+    "tfidf_cosine_join",
     "cosine_signlsh_dedup",
     "embedding_cosine_dedup",
     "semdedup",
@@ -448,6 +449,95 @@ def ngram_containment_dedup(
     )
     shingles.unpersist()
     return out
+
+
+def tfidf_cosine_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """WEIGHTED text-similarity join: pairs with TF-IDF cosine ≥
+    ``threshold`` — the similarity the set-based family can't express
+    (Jaccard/containment count tokens equally; here a shared RARE
+    token dominates and shared boilerplate barely registers), the
+    classic sparse-vector-join formulation of text similarity.
+
+    Output: ``(doc_a, doc_b, cos_sim)`` with ``doc_a < doc_b``.
+
+    Engine-exactness: per-doc norms fold ``w²`` over the
+    TOKEN-SORTED weight list (fixed order), and each pair's score sums
+    per-shared-token contributions rounded to integer NANO units
+    (shuffle-order-free BIGINT) — exact SQL oracle.
+
+    Plan: tf ``groupBy`` (map-side partials), df table, one per-doc
+    fold, then the shared-token pair join — the inverted-index join
+    whose fan-out per token is that token's document frequency; IDF
+    weighting makes the hot (high-df) tokens contribute least, and a
+    df cap (drop tokens with df above a bound — they add ≈ nothing to
+    any pair under IDF) is the documented scale valve, same shape as
+    the minhash ``max_bucket``.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col, 1, [])).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    # IDF snapped to the nano grid BEFORE any use: the raw ln can
+    # differ across libm implementations by an ulp, and that ulp
+    # otherwise propagates through the norms into every pair score —
+    # snapping makes every downstream double bit-identical
+    idf = (
+        F.round((F.log(F.lit(float(1 + n_docs)) / (1.0 + F.col("df"))) + 1.0) * 1e9)
+        .cast("bigint")
+        .cast("double")
+        / 1e9
+    )
+    w = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf").cast("double") * idf).alias("w"),
+    )
+    # norms from ORDER-FREE integer sums: per-token w² rounds to nano
+    # units and BIGINT-sums (any order, any engine), then one sqrt of
+    # an identical double — no float fold whose summation order an
+    # engine could choose differently
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w") * 1e9).cast("bigint")) / 1e9
+        ).alias("nrm")
+    )
+    unit = w.join(norms, "doc_id").select(
+        "doc_id", "token", (F.col("w") / F.col("nrm")).alias("u")
+    )
+    pairs = (
+        unit.alias("a")
+        .join(
+            unit.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(F.col("a.u") * F.col("b.u") * 1e9).cast("bigint").alias("t_nano"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("t_nano").alias("sn"))
+    )
+    # 6-dp display via INTEGER rounding (nano → micro): round(sn/1e9, 6)
+    # would hit exact .5 decimal boundaries where Spark (decimal
+    # half-up) and other engines (binary) disagree; round(sn/1000.0)
+    # is a half-up on an exactly-representable .5 — identical everywhere
+    return (
+        pairs.where(F.col("sn") / 1e9 >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.round(F.col("sn") / 1000.0).cast("bigint") / 1e6).alias("cos_sim"),
+        )
+    )
 
 
 def cosine_signlsh_dedup(

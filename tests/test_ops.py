@@ -1486,3 +1486,25 @@ def test_distinct_ngram_ratio(spark):
     assert out["rep"]["n_ngrams"] == 5 and out["rep"]["n_distinct"] == 2
     assert out["rep"]["distinct_ratio"] == 0.4
     assert out["div"]["distinct_ratio"] == 1.0
+
+
+def test_tfidf_cosine_join(spark):
+    """Weighted semantics: a shared RARE token outweighs shared
+    boilerplate; identical docs score 1.0."""
+    from klinker_spark.ops.dedup import tfidf_cosine_join
+
+    common = "the common filler words here"
+    rows = [
+        (1, f"{common} zebra"),
+        (2, f"{common} zebra"),       # identical -> 1.0
+        (3, f"{common} yak"),         # shares boilerplate + differs on rare token
+        (4, "unrelated totally different content entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in tfidf_cosine_join(docs, threshold=0.2).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] < got[(1, 2)]
+    assert all(4 not in p for p in got)
