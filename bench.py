@@ -117,7 +117,7 @@ EXTRA_QUERIES = [
     "zipf_fit",
     "distinct_ngram_ratio",
     "langid_confusion",
-    "tfidf_cosine_join",
+    "tfidf_cosine_join_capped",
 ]
 
 

@@ -456,6 +456,7 @@ def tfidf_cosine_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.3,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """WEIGHTED text-similarity join: pairs with TF-IDF cosine ≥
     ``threshold`` — the similarity the set-based family can't express
@@ -484,6 +485,13 @@ def tfidf_cosine_join(
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.select(id_col).distinct().count()
+    if max_df_frac is not None:
+        # sklearn-style max_df: corpus stopwords leave the VECTOR SPACE
+        # entirely (vectors, norms, and scores all exclude them) — the
+        # scale valve for the inverted join, whose fan-out per token is
+        # df and whose worst tokens contribute least under IDF anyway
+        dfreq = dfreq.where(F.col("df") <= max_df_frac * n_docs)
+        tf = tf.join(dfreq.select("token"), "token", "left_semi")
     # IDF snapped to the nano grid BEFORE any use: the raw ln can
     # differ across libm implementations by an ulp, and that ulp
     # otherwise propagates through the norms into every pair score —

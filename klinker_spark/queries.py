@@ -1149,11 +1149,52 @@ def ngram_containment_dedup_q(spark, sf_dir):
 def tfidf_cosine_join_q(spark, sf_dir):
     """Weighted text-similarity join: TF-IDF cosine ≥ 0.3 pairs —
     shared RARE tokens dominate, shared boilerplate barely counts.
-    Token-sorted norm folds + per-term nano rounding keep it
-    engine-exact."""
+    Nano-snapped IDF + order-free integer norms + integer 6-dp display
+    keep it engine-exact."""
     from .ops.dedup import tfidf_cosine_join
 
     return tfidf_cosine_join(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@register(
+    "tfidf_cosine_join_capped",
+    "WITH "
+    + _toks_cte()
+    + """,
+    tok AS (SELECT doc_id, unnest(tk) token FROM toks),
+    tf0 AS (SELECT doc_id, token, count(*) tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) df FROM tf0 GROUP BY token),
+    nd AS (SELECT count(DISTINCT doc_id) n FROM documents),
+    keep AS (SELECT token, df FROM dfq CROSS JOIN nd WHERE df <= 0.1 * n),
+    tf AS (SELECT tf0.* FROM tf0 JOIN keep USING (token)),
+    w AS (SELECT doc_id, token,
+                 tf * (CAST(CAST(round((ln((1.0 + n) / (1.0 + df)) + 1.0) * 1e9)
+                                 AS BIGINT) AS DOUBLE) / 1e9) w
+          FROM tf JOIN keep USING (token) CROSS JOIN nd),
+    nr AS (SELECT doc_id,
+                  sqrt(CAST(sum(CAST(round(w * w * 1e9) AS BIGINT)) AS BIGINT)
+                       / 1e9) nrm
+           FROM w GROUP BY doc_id),
+    u AS (SELECT w.doc_id, token, w / nrm u FROM w JOIN nr USING (doc_id)),
+    pr AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+                  CAST(sum(CAST(round(a.u * b.u * 1e9) AS BIGINT)) AS BIGINT) sn
+           FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(round(sn / 1000.0) AS BIGINT) / 1e6 AS cos_sim
+    FROM pr WHERE sn / 1e9 >= 0.3
+    """,
+)
+def tfidf_cosine_join_capped_q(spark, sf_dir):
+    """The max_df-capped variant (sklearn's corpus-stopword removal,
+    df ≤ 10% of docs): the scale valve that bounds the inverted-join
+    fan-out — the synthetic corpus's degenerate shared vocabulary is
+    exactly the pathology the cap exists for."""
+    from .ops.dedup import tfidf_cosine_join
+
+    return tfidf_cosine_join(
+        _t(spark, sf_dir, "documents"), threshold=0.3, max_df_frac=0.1
+    )
 
 
 @register(

@@ -1508,3 +1508,24 @@ def test_tfidf_cosine_join(spark):
     assert got[(1, 2)] == 1.0
     assert got[(1, 3)] < got[(1, 2)]
     assert all(4 not in p for p in got)
+
+
+def test_tfidf_cosine_join_max_df(spark):
+    """max_df removes corpus stopwords from the vector space: a pair
+    sharing ONLY capped tokens disappears; rare-token pairs survive
+    with pure rare-token scores."""
+    from klinker_spark.ops.dedup import tfidf_cosine_join
+
+    filler = "the common words"
+    rows = [(i, f"{filler} junk{i}") for i in range(1, 9)] + [
+        (20, f"{filler} zebra"),
+        (21, f"{filler} zebra"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in tfidf_cosine_join(docs, threshold=0.2, max_df_frac=0.5).collect()
+    }
+    # filler tokens (df=10 of 10 docs) are out of the space: only the
+    # zebra pair survives, and at similarity 1.0 (identical rare sets)
+    assert capped == {(20, 21): 1.0}
