@@ -118,6 +118,7 @@ EXTRA_QUERIES = [
     "distinct_ngram_ratio",
     "langid_confusion",
     "tfidf_cosine_join_capped",
+    "sorted_neighborhood_multipass",
 ]
 
 

@@ -2743,6 +2743,67 @@ def sorted_neighborhood_blocking_q(spark, sf_dir):
     return sorted_neighborhood_pairs(left, right, window=5)
 
 
+def _sn_pass_sql(key_expr_c: str, key_expr_s: str, window: int) -> str:
+    return f"""
+    SELECT CASE WHEN sa = 'L' THEN ia ELSE ib END AS left_id,
+           CASE WHEN sa = 'L' THEN ib ELSE ia END AS right_id,
+           CAST(rb - ra AS INTEGER) AS gap
+    FROM (SELECT a.side sa, a.id ia, a.rank ra, b.side sb, b.id ib, b.rank rb
+          FROM (SELECT side, id, k,
+                       row_number() OVER (ORDER BY k, side, id) rank
+                FROM (SELECT 'L' side, CAST(c_custkey AS VARCHAR) id,
+                             {key_expr_c} k FROM customer
+                      UNION ALL
+                      SELECT 'R', CAST(s_suppkey AS VARCHAR),
+                             {key_expr_s} FROM supplier)) a
+          JOIN (SELECT side, id, k,
+                       row_number() OVER (ORDER BY k, side, id) rank
+                FROM (SELECT 'L' side, CAST(c_custkey AS VARCHAR) id,
+                             {key_expr_c} k FROM customer
+                      UNION ALL
+                      SELECT 'R', CAST(s_suppkey AS VARCHAR),
+                             {key_expr_s} FROM supplier)) b
+            ON b.rank > a.rank AND b.rank - a.rank <= {window - 1}
+           AND a.side <> b.side)"""
+
+
+@register(
+    "sorted_neighborhood_multipass",
+    f"""
+    WITH p1 AS ({_sn_pass_sql("lower(c_name)", "lower(s_name)", 5)}),
+    p2 AS ({_sn_pass_sql("reverse(lower(c_name))", "reverse(lower(s_name))", 5)})
+    SELECT left_id, right_id, min(gap) AS gap
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    GROUP BY left_id, right_id
+    """,
+)
+def sorted_neighborhood_multipass_q(spark, sf_dir):
+    """Multi-pass sorted neighborhood (the standard multi-key variant:
+    a typo near the string HEAD breaks pass 1's ordering but not pass
+    2's reversed-key ordering): union of a name-ordered and a
+    reversed-name-ordered pass, min gap per surviving pair."""
+    from .ops.profile import sorted_neighborhood_pairs
+
+    def sides(key):
+        left = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("string").alias("id"),
+            key(F.lower("c_name")).alias("text"),
+        )
+        right = _t(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("string").alias("id"),
+            key(F.lower("s_name")).alias("text"),
+        )
+        return left, right
+
+    p1 = sorted_neighborhood_pairs(*sides(lambda c: c), window=5)
+    p2 = sorted_neighborhood_pairs(*sides(F.reverse), window=5)
+    return (
+        p1.unionByName(p2)
+        .groupBy("left_id", "right_id")
+        .agg(F.min("gap").alias("gap"))
+    )
+
+
 @register(
     "hll_distinct_by_source",
     f"""
