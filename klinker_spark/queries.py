@@ -5929,6 +5929,131 @@ def zorder_layout_stats_q(spark, sf_dir):
     return zorder_bin_stats(ev, "ts_us", "user_id", bits=16, bin_bits=10)
 
 
+# --------------------------------------------------------------- BPE tokenizer
+
+
+def _bpe_ctes(iters: int) -> str:
+    """Unrolled-CTE DuckDB twin of ``ops.bpe.bpe_train`` — one
+    (pairs → arg-max → replace) CTE block per iteration, mirroring the
+    trained-model oracle recipe (``_power_iter_sql``/``_qcls_oracle``).
+    ``rep{r}`` and ``m{r}`` are multiply-referenced, so both are
+    ``AS MATERIALIZED`` (NOTES lesson (d): inlining a twice-referenced
+    chain doubles the plan per iteration → 2^k blow-up)."""
+    sql = (
+        _toks_cte(", source")
+        + """,
+    occ AS (SELECT source, unnest(tk) w FROM toks),
+    words AS (SELECT w, CAST(count(*) AS BIGINT) cnt FROM occ GROUP BY w),
+    rep0 AS MATERIALIZED (
+      SELECT w, cnt,
+             ' ' || array_to_string(
+                      list_append(list_transform(generate_series(1, length(w)),
+                                                 i -> substr(w, i, 1)), '_'),
+                      '  ') || ' ' AS syms
+      FROM words)"""
+    )
+    for r in range(iters):
+        sql += f""",
+    ag{r} AS (
+      SELECT p.a a, p.b b, CAST(sum(cnt) AS BIGINT) c
+      FROM (SELECT cnt,
+                   unnest(list_transform(generate_series(1, len(sy) - 1),
+                          j -> struct_pack(a := sy[j], b := sy[j + 1]))) p
+            FROM (SELECT cnt, string_split(trim(syms), '  ') sy FROM rep{r})
+            WHERE len(sy) > 1)
+      GROUP BY p.a, p.b),
+    m{r} AS MATERIALIZED (
+      SELECT {r} AS merge_rank, a, b, c FROM ag{r} ORDER BY c DESC, a, b LIMIT 1),
+    rep{r + 1} AS MATERIALIZED (
+      SELECT w, cnt,
+             replace(syms, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') syms
+      FROM rep{r}, m{r})"""
+    return sql
+
+
+def _bpe_merges_oracle(iters: int) -> str:
+    union = "\n      UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(iters))
+    return f"""
+    WITH {_bpe_ctes(iters)}
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+           a AS left_sym, b AS right_sym, c AS pair_count
+    FROM ({union})
+    ORDER BY merge_rank
+    """
+
+
+_BPE_ITERS = 6
+
+
+@register("bpe_train_merges", _bpe_merges_oracle(_BPE_ITERS))
+def bpe_train_merges_q(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich 2016) over the
+    document corpus: 6 merge rules learned by weighted adjacent-pair
+    counting on the word-type vocabulary.  Engine-exact — integer pair
+    counts, deterministic (count DESC, pair ASC) tie-break, literal
+    left-to-right replace — so the unrolled-CTE oracle is bit-exact.
+    One corpus scan total; each iteration is a vocab-sized aggregate +
+    1-row collect."""
+    from .ops.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, rep = bpe_train(docs, "text", iters=_BPE_ITERS)
+    rep.unpersist()
+    return local_df(
+        spark,
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+@register(
+    "bpe_token_count",
+    f"""
+    WITH {_bpe_ctes(_BPE_ITERS)},
+    appl AS (SELECT w, len(string_split(trim(syms), '  ')) n_subwords
+             FROM rep{_BPE_ITERS})
+    SELECT occ.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_subwords) AS BIGINT) AS n_bpe_tokens,
+           CAST(round((1000000.0 * CAST(sum(n_subwords) AS BIGINT)) / count(*))
+                AS BIGINT) AS subwords_per_word_ppm
+    FROM occ JOIN appl USING (w)
+    GROUP BY occ.source
+    ORDER BY occ.source
+    """,
+)
+def bpe_token_count_q(spark, sf_dir):
+    """Corpus-trained BPE applied back to the corpus: per-source word
+    count, subword-token count, and compression ratio (ppm — integer
+    output, lesson (i)).  The apply step is a broadcast join
+    word-type → subword count: no second corpus shuffle."""
+    from .ops.bpe import apply_merges, bpe_train
+    from .functions.text import tokenize as _tok
+
+    docs = _t(spark, sf_dir, "documents")
+    _, rep = bpe_train(docs, "text", iters=_BPE_ITERS)
+    per_word = apply_merges(rep)
+    toks = _tok(F.col("text"), min_token_length=1, stopwords=[], keep_duplicates=True)
+    occ = docs.select(F.col("source"), F.explode(toks).alias("w"))
+    out = (
+        occ.join(F.broadcast(per_word), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(1000000.0 * F.col("n_bpe_tokens") / F.col("n_words"))
+            .cast("bigint")
+            .alias("subwords_per_word_ppm"),
+        )
+    )
+    return out
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,
