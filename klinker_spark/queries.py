@@ -6054,6 +6054,122 @@ def bpe_token_count_q(spark, sf_dir):
     return out
 
 
+# ----------------------------------------------------------- graph structure
+
+
+@register(
+    "token_cooccurrence_triangles",
+    f"""
+    WITH {_toks_cte()},
+    od AS (SELECT DISTINCT doc_id, unnest(tk) tok FROM toks),
+    top AS (SELECT tok FROM (SELECT tok, count(*) c FROM od GROUP BY tok
+                             ORDER BY c DESC, tok LIMIT 100)),
+    ofil AS (SELECT doc_id, tok FROM od JOIN top USING (tok)),
+    e0 AS (SELECT DISTINCT a.tok u, b.tok v
+           FROM ofil a JOIN ofil b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) degree
+            FROM (SELECT u node FROM e0 UNION ALL SELECT v FROM e0)
+            GROUP BY node),
+    dir AS (SELECT CASE WHEN du.degree < dv.degree
+                          OR (du.degree = dv.degree AND u < v) THEN u ELSE v END src,
+                   CASE WHEN du.degree < dv.degree
+                          OR (du.degree = dv.degree AND u < v) THEN v ELSE u END dst
+            FROM e0 JOIN deg du ON e0.u = du.node
+                    JOIN deg dv ON e0.v = dv.node),
+    tri AS (SELECT w1.src p, w1.dst q, w2.dst r
+            FROM dir w1 JOIN dir w2 ON w1.src = w2.src AND w1.dst < w2.dst
+            JOIN e0 ON w1.dst = e0.u AND w2.dst = e0.v),
+    pern AS (SELECT node, CAST(count(*) AS BIGINT) triangles
+             FROM (SELECT p node FROM tri UNION ALL SELECT q FROM tri
+                   UNION ALL SELECT r FROM tri)
+             GROUP BY node)
+    SELECT deg.node, deg.degree,
+           COALESCE(pern.triangles, 0) AS triangles,
+           CASE WHEN deg.degree < 2 THEN 0
+                ELSE CAST(round((2000000.0 * COALESCE(pern.triangles, 0))
+                                / (deg.degree * (deg.degree - 1))) AS BIGINT)
+           END AS clustering_ppm
+    FROM deg LEFT JOIN pern USING (node)
+    ORDER BY node
+    """,
+)
+def token_cooccurrence_triangles_q(spark, sf_dir):
+    """Exact triangle census of the token co-occurrence graph (top-100
+    document-frequency tokens; an edge joins two tokens sharing a
+    document): per-node triangle count + local clustering coefficient.
+    Uses the degree-ordered orientation so wedge work is bounded by
+    O(m^1.5) regardless of hubs — the at-scale triangle algorithm.
+    Clustering structure of the co-occurrence graph is a standard
+    topical-coherence signal for corpus slices."""
+    from .ops.graph import triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"), min_token_length=1, stopwords=[], keep_duplicates=False)
+    occ = docs.select("doc_id", F.explode(toks).alias("tok")).distinct()
+    top = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(100)
+        .select("tok")
+    )
+    of = occ.join(F.broadcast(top), "tok")
+    a = of.select(F.col("doc_id"), F.col("tok").alias("a"))
+    b = of.select(F.col("doc_id"), F.col("tok").alias("b"))
+    edges = a.join(b, "doc_id").where(F.col("a") < F.col("b")).select("a", "b")
+    return triangle_count(edges).orderBy("node")
+
+
+@register(
+    "neighbor_jaccard_blocking",
+    """
+    WITH l0 AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) lid,
+                                CAST(l_partkey AS VARCHAR) nbr
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    r0 AS (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) rid,
+                           CAST(l_partkey AS VARCHAR) nbr
+           FROM lineitem),
+    hot AS (SELECT nbr FROM (SELECT nbr, count(*) n FROM l0 GROUP BY nbr) WHERE n > 200
+            UNION SELECT nbr FROM (SELECT nbr, count(*) n FROM r0 GROUP BY nbr) WHERE n > 200),
+    l AS (SELECT * FROM l0 ANTI JOIN hot USING (nbr)),
+    r AS (SELECT * FROM r0 ANTI JOIN hot USING (nbr)),
+    nl AS (SELECT lid, CAST(count(*) AS BIGINT) na FROM l GROUP BY lid),
+    nr AS (SELECT rid, CAST(count(*) AS BIGINT) nb FROM r GROUP BY rid),
+    com AS (SELECT lid, rid, CAST(count(*) AS BIGINT) c
+            FROM l JOIN r USING (nbr) GROUP BY lid, rid),
+    sc AS (SELECT lid, rid,
+                  CAST(round((1000000.0 * c) / (na + nb - c)) AS BIGINT) jaccard_ppm
+           FROM com JOIN nl USING (lid) JOIN nr USING (rid)),
+    ranked AS (SELECT lid, rid, jaccard_ppm,
+                      row_number() OVER (PARTITION BY lid
+                                         ORDER BY jaccard_ppm DESC, rid) rk
+               FROM sc WHERE jaccard_ppm >= 20000)
+    SELECT lid, rid, jaccard_ppm, CAST(rk AS INTEGER) rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY lid, rk
+    """,
+)
+def neighbor_jaccard_blocking_q(spark, sf_dir):
+    """Graph-neighborhood blocking: customer × supplier candidates
+    scored by Jaccard overlap of their part neighborhoods (customer →
+    parts bought, supplier → parts stocked), top-5 per customer above
+    2% — the set-similarity counterpart of relational token blocking
+    with the relation neighborhood itself as the signature.  Inverted-
+    index join on the shared part (never all-pairs); hub parts shared
+    by > 200 entities on a side are dropped by the ``max_df`` valve."""
+    from .ops.graph import neighbor_jaccard_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    left = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("id"), F.col("l_partkey").alias("nbr")
+    )
+    right = li.select(F.col("l_suppkey").alias("id"), F.col("l_partkey").alias("nbr"))
+    return neighbor_jaccard_join(
+        left, right, threshold_ppm=20000, k=5, max_df=200
+    ).orderBy("lid", "rk")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

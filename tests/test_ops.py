@@ -1529,3 +1529,80 @@ def test_tfidf_cosine_join_max_df(spark):
     # filler tokens (df=10 of 10 docs) are out of the space: only the
     # zebra pair survives, and at similarity 1.0 (identical rare sets)
     assert capped == {(20, 21): 1.0}
+
+
+# ------------------------------------------------------------------ triangles / neighbor jaccard
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: nodes a,b,c,d; edges ab,ac,ad,bc,bd (no cd)
+    -> triangles abc and abd."""
+    from klinker_spark.ops.graph import triangle_count
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("b", "a")]  # duplicate reversed edge must not double-count
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering_ppm"])
+           for r in triangle_count(df).collect()}
+    assert got["a"] == (3, 2, round(2e6 * 2 / 6))
+    assert got["b"] == (3, 2, round(2e6 * 2 / 6))
+    assert got["c"] == (2, 1, 1000000)
+    assert got["d"] == (2, 1, 1000000)
+
+
+def test_triangle_count_naive_parity(spark):
+    """Deterministic random graph vs a brute-force triangle census."""
+    import itertools
+    import random
+
+    from klinker_spark.ops.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(20)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v), adj[v].add(u)
+    want = {n: 0 for n in nodes}
+    for u, v, w in itertools.combinations(nodes, 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            want[u] += 1
+            want[v] += 1
+            want[w] += 1
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    for n, t in got.items():
+        assert t == want[n], n
+    assert sum(got.values()) == sum(want.values())
+
+
+def test_neighbor_jaccard_join_basic(spark):
+    from klinker_spark.ops.graph import neighbor_jaccard_join
+
+    left = spark.createDataFrame(
+        [("c1", "p1"), ("c1", "p2"), ("c1", "p3"), ("c2", "p9")],
+        "id string, nbr string")
+    right = spark.createDataFrame(
+        [("s1", "p1"), ("s1", "p2"), ("s2", "p3"), ("s2", "p4"), ("s3", "p9")],
+        "id string, nbr string")
+    got = {(r["lid"], r["rid"]): r["jaccard_ppm"]
+           for r in neighbor_jaccard_join(left, right, threshold_ppm=1, k=10).collect()}
+    # c1 ∩ s1 = {p1,p2}, union = 3 -> 666667; c1 ∩ s2 = {p3}, union = 4 -> 250000
+    assert got[("c1", "s1")] == round(1e6 * 2 / 3)
+    assert got[("c1", "s2")] == 250000
+    assert got[("c2", "s3")] == 1000000
+    assert ("c2", "s1") not in got
+
+
+def test_neighbor_jaccard_max_df_drops_hub(spark):
+    from klinker_spark.ops.graph import neighbor_jaccard_join
+
+    left = spark.createDataFrame(
+        [(f"c{i}", "hub") for i in range(5)] + [("c0", "x")],
+        "id string, nbr string")
+    right = spark.createDataFrame(
+        [("s0", "hub"), ("s0", "x")], "id string, nbr string")
+    got = neighbor_jaccard_join(left, right, threshold_ppm=1, k=10, max_df=3).collect()
+    # hub (5 left entities > 3) dropped on BOTH sides: only c0-s0 via x survives
+    assert {(r["lid"], r["rid"]) for r in got} == {("c0", "s0")}
+    assert got[0]["jaccard_ppm"] == 1000000
