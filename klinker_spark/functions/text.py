@@ -314,3 +314,59 @@ def simhash(
             )
         ).alias(fp_col)
     )
+
+
+def phonetic_key(col: Column | str) -> Column:
+    """Soundex-style phonetic key as a pure regex/expression chain.
+
+    American-Soundex variant, defined HERE (not borrowed from any
+    engine builtin) so the exact same replace chain runs in Spark and
+    in the DuckDB oracle (RE2-safe: character classes only, no
+    backreferences; DuckDB side must pass the ``'g'`` flag):
+
+    1. lowercase, strip non-letters; empty → NULL key;
+    2. map consonant classes to digits over the WHOLE word
+       (b f p v → 1, c g j k q s x z → 2, d t → 3, l → 4, m n → 5,
+       r → 6), DELETE h/w, map vowels+y → 0;
+    3. collapse runs of each repeated digit (so letters separated by
+       h/w merge, and the first letter's code absorbs an adjacent
+       same-code letter — "pfister" → p236);
+    4. drop the leading digit (it encodes the first letter), delete
+       the vowel zeros, keep 3 digits right-padded with 0;
+    5. key = first letter + those 3 digits ("robert" → r163).
+
+    Blocking on the key groups spelling variants ("smith"/"smyth",
+    "robert"/"rupert") — the classic cheap phonetic blocker for
+    entity resolution.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.regexp_replace(F.lower(c), "[^a-z]", "")
+    code = w
+    for pat, repl in [
+        ("[bfpv]", "1"), ("[cgjkqszx]", "2"), ("[dt]", "3"), ("l", "4"),
+        ("[mn]", "5"), ("r", "6"), ("[hw]", ""), ("[aeiouy]", "0"),
+    ]:
+        code = F.regexp_replace(code, pat, repl)
+    for d in "0123456":
+        code = F.regexp_replace(code, f"{d}{d}+", d)
+    digits = F.regexp_replace(F.substring(code, 2, 1000), "0", "")
+    key = F.concat(F.substring(w, 1, 1), F.rpad(F.substring(digits, 1, 3), 3, "0"))
+    return F.when(F.length(w) > 0, key)
+
+
+def phonetic_key_sql(expr: str) -> str:
+    """DuckDB twin of :func:`phonetic_key` — same chain, 'g' flag."""
+    code = f"regexp_replace(lower({expr}), '[^a-z]', '', 'g')"
+    w = code
+    for pat, repl in [
+        ("[bfpv]", "1"), ("[cgjkqszx]", "2"), ("[dt]", "3"), ("l", "4"),
+        ("[mn]", "5"), ("r", "6"), ("[hw]", ""), ("[aeiouy]", "0"),
+    ]:
+        code = f"regexp_replace({code}, '{pat}', '{repl}', 'g')"
+    for d in "0123456":
+        code = f"regexp_replace({code}, '{d}{d}+', '{d}', 'g')"
+    digits = f"regexp_replace(substr({code}, 2), '0', '', 'g')"
+    return (
+        f"CASE WHEN length({w}) > 0 THEN "
+        f"substr({w}, 1, 1) || rpad(substr({digits}, 1, 3), 3, '0') END"
+    )

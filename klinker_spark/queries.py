@@ -6170,6 +6170,49 @@ def neighbor_jaccard_blocking_q(spark, sf_dir):
     ).orderBy("lid", "rk")
 
 
+def _phonetic_oracle() -> str:
+    from .functions.text import phonetic_key_sql
+
+    return f"""
+    WITH keyed AS (
+      SELECT p_name,
+             array_to_string(list_transform(string_split(p_name, ' '),
+                                            x -> {phonetic_key_sql('x')}), '-') pkey
+      FROM part)
+    SELECT pkey, CAST(count(*) AS BIGINT) n_parts,
+           CAST(count(DISTINCT p_name) AS BIGINT) n_names,
+           min(p_name) min_name, max(p_name) max_name
+    FROM keyed GROUP BY pkey ORDER BY pkey
+    """
+
+
+@register("phonetic_blocking", _phonetic_oracle())
+def phonetic_blocking_q(spark, sf_dir):
+    """Phonetic (soundex-style) blocking over part names: each name
+    word maps to its phonetic key (pure regex chain, engine-exact —
+    ``functions.text.phonetic_key``), names sharing the joined key
+    land in one block.  Groups spelling variants cheaply before any
+    expensive matcher; output is per-block stats (never the quadratic
+    pair list)."""
+    from .functions.text import phonetic_key
+
+    parts = _t(spark, sf_dir, "part")
+    key = F.array_join(
+        F.transform(F.split(F.col("p_name"), " "), lambda t: phonetic_key(t)), "-"
+    )
+    return (
+        parts.select(F.col("p_name"), key.alias("pkey"))
+        .groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_name").alias("n_names"),
+            F.min("p_name").alias("min_name"),
+            F.max("p_name").alias("max_name"),
+        )
+        .orderBy("pkey")
+    )
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -1606,3 +1606,27 @@ def test_neighbor_jaccard_max_df_drops_hub(spark):
     # hub (5 left entities > 3) dropped on BOTH sides: only c0-s0 via x survives
     assert {(r["lid"], r["rid"]) for r in got} == {("c0", "s0")}
     assert got[0]["jaccard_ppm"] == 1000000
+
+
+def test_phonetic_key_classic_soundex(spark):
+    """Spark chain reproduces classic American Soundex on the standard
+    examples (and matches the DuckDB twin exactly)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from klinker_spark.functions.text import phonetic_key, phonetic_key_sql
+
+    words = ["Robert", "Rupert", "Smith", "Smyth", "Pfister", "Aaron",
+             "White", "Lloyd", "Tymczak", "Ashcraft", "Honeyman", "a", "hw", ""]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["k"] for r in df.select("w", phonetic_key("w").alias("k")).collect()}
+    assert got["Robert"] == "r163" and got["Rupert"] == "r163"
+    assert got["Smith"] == got["Smyth"] == "s530"
+    assert got["Pfister"] == "p236"
+    assert got["Tymczak"] == "t522"
+    assert got["Ashcraft"] == "a261"
+    assert got[""] is None
+    duck = dict(duckdb.sql(
+        f"SELECT w, {phonetic_key_sql('w')} FROM (SELECT unnest({words!r}) w)"
+    ).fetchall())
+    assert got == duck
