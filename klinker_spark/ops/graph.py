@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "neighbor_jaccard_join"]
+__all__ = ["pagerank", "triangle_count", "neighbor_jaccard_join", "label_propagation"]
 
 
 def pagerank(
@@ -268,3 +268,52 @@ def neighbor_jaccard_join(
         .where(F.col("rk") <= k)
         .select("lid", "rid", "jaccard_ppm", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def label_propagation(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b", iters: int = 4
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. 2007), made fully deterministic: every node starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbors, ties broken by smallest label.  Fixed ``iters``
+    synchronous rounds (the asynchronous/randomized variant of the
+    paper converges faster but is irreproducible — wrong trade for a
+    value-checked pipeline).
+
+    Returns ``(node, community)`` for every non-isolated node.
+
+    Scale shape: per round one join (adjacency × labels, both hash-
+    partitioned on the node key) and one count aggregate + window
+    arg-max — the same bounded-iteration contract as :func:`pagerank`;
+    adjacency materializes once, label tables are 2 slim columns.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.col(a_col).cast("string").alias("x"), F.col(b_col).cast("string").alias("y")
+        )
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v"), F.col("u")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("node").distinct().withColumn("lab", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lab")
+    for _ in range(iters):
+        nbr_lab = labels.select(F.col("node").alias("nbr"), "lab")
+        labels = (
+            adj.join(nbr_lab, "nbr")
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lab").alias("community"))

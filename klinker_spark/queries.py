@@ -6213,6 +6213,124 @@ def phonetic_blocking_q(spark, sf_dir):
     )
 
 
+@register(
+    "quality_classifier_calibration",
+    f"""
+    SELECT LEAST(CAST(floor(prob * 10) AS INTEGER), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(prob * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_prob_micro,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(round(sum(CAST(round(prob * 1000000) AS BIGINT)) / count(*))
+                AS BIGINT) AS mean_pred_ppm,
+           CAST(round((1000000.0 * sum(label)) / count(*)) AS BIGINT)
+             AS frac_pos_ppm,
+           abs(CAST(round(sum(CAST(round(prob * 1000000) AS BIGINT)) / count(*))
+                    AS BIGINT)
+               - CAST(round((1000000.0 * sum(label)) / count(*)) AS BIGINT))
+             AS abs_gap_ppm
+    FROM ({_qcls_oracle()}) base
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def quality_classifier_calibration_q(spark, sf_dir):
+    """Reliability diagram / expected-calibration-error input for the
+    deterministic trained quality classifier: 10 confidence bins, per
+    bin the mean predicted probability vs the empirical positive rate
+    (both in exact integer ppm — float sums go through per-row micro
+    snapping, lesson (i), so the bin aggregates are order-free).  The
+    weighted sum of ``abs_gap_ppm`` over bins IS the ECE — the
+    standard go/no-go check before using classifier scores as
+    curation weights at 100 TB."""
+    from .ops.quality_model import train_quality_scores_deterministic
+
+    scored = train_quality_scores_deterministic(
+        _t(spark, sf_dir, "documents"), F.col("source") == "src0"
+    )
+    pm = F.round(F.col("prob") * 1000000).cast("bigint")
+    return (
+        scored.select(
+            F.least(F.floor(F.col("prob") * 10).cast("int"), F.lit(9)).alias("bin"),
+            pm.alias("pm"),
+            "label",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pm").alias("sum_prob_micro"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            "sum_prob_micro",
+            "n_pos",
+            F.round(F.col("sum_prob_micro") / F.col("n")).cast("bigint").alias("mean_pred_ppm"),
+            F.round(1000000.0 * F.col("n_pos") / F.col("n")).cast("bigint").alias("frac_pos_ppm"),
+            F.abs(
+                F.round(F.col("sum_prob_micro") / F.col("n")).cast("bigint")
+                - F.round(1000000.0 * F.col("n_pos") / F.col("n")).cast("bigint")
+            ).alias("abs_gap_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    sql = f"""
+    WITH {_toks_cte()},
+    od AS (SELECT DISTINCT doc_id, unnest(tk) tok FROM toks),
+    top AS (SELECT tok FROM (SELECT tok, count(*) c FROM od GROUP BY tok
+                             ORDER BY c DESC, tok LIMIT 100)),
+    ofil AS (SELECT doc_id, tok FROM od JOIN top USING (tok)),
+    e0 AS (SELECT DISTINCT a.tok u, b.tok v
+           FROM ofil a JOIN ofil b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+    adj AS MATERIALIZED (SELECT u node, v nbr FROM e0
+                         UNION ALL SELECT v, u FROM e0),
+    lab0 AS MATERIALIZED (SELECT DISTINCT node, node lab FROM adj)"""
+    for r in range(iters):
+        sql += f""",
+    cnt{r} AS (SELECT adj.node, l.lab, count(*) c
+               FROM adj JOIN lab{r} l ON adj.nbr = l.node
+               GROUP BY adj.node, l.lab),
+    lab{r + 1} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) rn
+        FROM cnt{r}) WHERE rn = 1)"""
+    sql += f"""
+    SELECT node, lab AS community FROM lab{iters} ORDER BY node
+    """
+    return sql
+
+
+@register("token_community_labels", _lpa_oracle(4))
+def token_community_labels_q(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities over the
+    token co-occurrence graph (top-100 df tokens): 4 rounds, majority
+    neighbor label, smallest-label ties — topical clusters for corpus
+    slicing.  Engine-exact (integer counts, total ordering), oracle =
+    unrolled per-round CTEs, the ``pagerank_importance`` recipe applied
+    to a label-valued fixpoint."""
+    from .ops.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"), min_token_length=1, stopwords=[], keep_duplicates=False)
+    occ = docs.select("doc_id", F.explode(toks).alias("tok")).distinct()
+    top = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(100)
+        .select("tok")
+    )
+    of = occ.join(F.broadcast(top), "tok")
+    a = of.select(F.col("doc_id"), F.col("tok").alias("a"))
+    b = of.select(F.col("doc_id"), F.col("tok").alias("b"))
+    edges = a.join(b, "doc_id").where(F.col("a") < F.col("b")).select("a", "b")
+    return label_propagation(edges, iters=4).orderBy("node")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -1630,3 +1630,16 @@ def test_phonetic_key_classic_soundex(spark):
         f"SELECT w, {phonetic_key_sql('w')} FROM (SELECT unnest({words!r}) w)"
     ).fetchall())
     assert got == duck
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge — hand-traced 4-round
+    synchronous fixpoint: the abc triangle keeps label 'a'; the bridge
+    injects 'c' into the xyz triangle, which converges to 'c'."""
+    from klinker_spark.ops.graph import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["community"] for r in label_propagation(df, iters=4).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "c", "y": "c", "z": "c"}
