@@ -6331,6 +6331,48 @@ def token_community_labels_q(spark, sf_dir):
     return label_propagation(edges, iters=4).orderBy("node")
 
 
+@register(
+    "scd2_user_state",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) ts_us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) prev
+      FROM events),
+    c AS (SELECT user_id, event_type, ts_us, event_id FROM s
+          WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS valid_to_us,
+           lead(ts_us) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) IS NULL AS is_current
+    FROM c
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def scd2_user_state_q(spark, sf_dir):
+    """SCD type-2 dimension history from the event stream: per user,
+    validity intervals of their event-type state (no-op repeats
+    collapsed, ``valid_to`` = next change, open interval = current
+    row).  One key shuffle, two windows over the reused exchange —
+    the metadata-table build every incremental 100 TB pipeline
+    maintains.  Timestamps compared as epoch micros."""
+    from .ops.temporal import scd2_intervals
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    out = scd2_intervals(ev, "user_id", "ts_us", "event_type", "event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("user_id", "valid_from_us")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

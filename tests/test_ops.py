@@ -1643,3 +1643,34 @@ def test_label_propagation_two_cliques(spark):
     df = spark.createDataFrame(edges, "a string, b string")
     got = {r["node"]: r["community"] for r in label_propagation(df, iters=4).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "c", "y": "c", "z": "c"}
+
+
+def test_scd2_intervals(spark):
+    from klinker_spark.ops.temporal import scd2_intervals
+
+    rows = [
+        ("u1", 10, "A", 1), ("u1", 20, "A", 2),  # no-op repeat dropped
+        ("u1", 30, "B", 3), ("u1", 40, "A", 4),
+        ("u2", 15, "X", 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v string, e long")
+    got = sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(df, "k", "ts", "v", "e").collect()
+    )
+    assert got == [
+        ("u1", "A", 10, 30, False),
+        ("u1", "A", 40, None, True),
+        ("u1", "B", 30, 40, False),
+        ("u2", "X", 15, None, True),
+    ]
+
+
+def test_scd2_timestamp_tie_break(spark):
+    from klinker_spark.ops.temporal import scd2_intervals
+
+    rows = [("u1", 10, "B", 2), ("u1", 10, "A", 1)]
+    df = spark.createDataFrame(rows, "k string, ts long, v string, e long")
+    got = {(r["v"]): (r["valid_from"], r["valid_to"]) for r in
+           scd2_intervals(df, "k", "ts", "v", "e").collect()}
+    assert got == {"A": (10, 10), "B": (10, None)}
