@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "neighbor_jaccard_join", "label_propagation"]
+__all__ = ["pagerank", "triangle_count", "neighbor_jaccard_join", "label_propagation", "k_core"]
 
 
 def pagerank(
@@ -317,3 +317,55 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def k_core(
+    edges: DataFrame, k: int, rounds: int = 6, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly delete nodes of degree
+    < ``k`` (and their edges); after ``rounds`` synchronous passes,
+    return the surviving nodes with their residual degree.
+
+    With enough rounds this is the exact k-core (the densely-connected
+    backbone — e.g. the customer/part interaction core worth keeping
+    when budgeting candidate pairs); a fixed ``rounds`` keeps the
+    computation deterministic and oracle-checkable.  Callers wanting
+    the true fixpoint compare ``rounds`` and ``rounds+1`` outputs
+    (equal ⇒ converged) — peeling cascades longer than ~6 rounds are
+    rare outside adversarial chains.
+
+    Scale: per round one degree aggregate + two semi-joins on the
+    surviving-node set; edge table shrinks monotonically; per-round
+    ``localCheckpoint`` bounds lineage (the :func:`pagerank`
+    contract).
+    """
+    e = (
+        edges.select(
+            F.col(a_col).cast("string").alias("x"), F.col(b_col).cast("string").alias("y")
+        )
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select("v"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return deg.where(F.col("core_degree") >= k)

@@ -6373,6 +6373,50 @@ def scd2_user_state_q(spark, sf_dir):
     ).orderBy("user_id", "valid_from_us")
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    sql = """
+    WITH e AS (SELECT DISTINCT 'c:' || o_custkey u, 'p:' || l_partkey v
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    a0 AS MATERIALIZED (SELECT u, v FROM e)"""
+    for r in range(rounds):
+        sql += f""",
+    d{r} AS (SELECT node, count(*) deg
+             FROM (SELECT u node FROM a{r} UNION ALL SELECT v FROM a{r})
+             GROUP BY node),
+    kp{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+    a{r + 1} AS MATERIALIZED (
+      SELECT u, v FROM a{r}
+      WHERE u IN (SELECT node FROM kp{r}) AND v IN (SELECT node FROM kp{r}))"""
+    sql += f"""
+    SELECT node, CAST(count(*) AS BIGINT) core_degree
+    FROM (SELECT u node FROM a{rounds} UNION ALL SELECT v FROM a{rounds})
+    GROUP BY node HAVING count(*) >= {k}
+    ORDER BY node
+    """
+    return sql
+
+
+@register("customer_part_kcore", _kcore_oracle(22, 6))
+def customer_part_kcore_q(spark, sf_dir):
+    """22-core of the bipartite customer–part interaction graph after
+    6 peeling rounds: the densely-connected purchasing backbone (the
+    subgraph worth full candidate enumeration when budgeting blocks).
+    Deterministic synchronous peeling; oracle = unrolled per-round
+    CTEs."""
+    from .ops.graph import k_core
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("b"),
+        )
+    )
+    return k_core(edges, k=22, rounds=6).orderBy("node")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

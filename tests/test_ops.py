@@ -1674,3 +1674,18 @@ def test_scd2_timestamp_tie_break(spark):
     got = {(r["v"]): (r["valid_from"], r["valid_to"]) for r in
            scd2_intervals(df, "k", "ts", "v", "e").collect()}
     assert got == {"A": (10, 10), "B": (10, None)}
+
+
+def test_k_core_peels_chain(spark):
+    """Triangle with a pendant chain: 2-core = the triangle only, and
+    the chain peels over multiple rounds (tests cascade)."""
+    from klinker_spark.ops.graph import k_core
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("c", "d"), ("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=2, rounds=4).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # one round is NOT enough: only f's removal has propagated partially
+    partial = {r["node"] for r in k_core(df, k=2, rounds=1).collect()}
+    assert partial == {"a", "b", "c", "d"}
