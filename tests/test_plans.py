@@ -581,3 +581,51 @@ def test_global_rank_no_corpus_single_partition_window(spark):
     assert plan.count("Exchange SinglePartition") <= 1
     assert "SPARK_PARTITION_ID" in plan or "_pid" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round6_graph_and_bpe_plans(spark, sf_dir):
+    """Round-6 operators keep the relational kernel clean: no
+    cartesian products anywhere; the BPE apply join broadcasts the
+    per-word subword table; triangle counting joins stay hash/broadcast
+    joins (degree-ordered orientation, no all-pairs)."""
+    from klinker_spark.queries import QUERIES
+
+    for name in (
+        "token_cooccurrence_triangles",
+        "neighbor_jaccard_blocking",
+        "token_community_labels",
+        "customer_part_kcore",
+        "phonetic_blocking",
+        "scd2_user_state",
+        "quality_classifier_calibration",
+    ):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+    plan = plan_of(QUERIES["bpe_token_count"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 windows share the key partitioning: exactly one
+    hashpartitioning exchange on the key."""
+    from klinker_spark.ops.temporal import scd2_intervals
+
+    df = spark.range(1000).selectExpr(
+        "cast(id % 50 as string) k", "id ts", "cast(id % 3 as string) v", "id e"
+    )
+    plan = plan_of(scd2_intervals(df, "k", "ts", "v", "e"))
+    assert plan.count("+- Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_phonetic_key_stays_codegen(spark):
+    """The phonetic chain is pure string expressions — no Python UDF,
+    no BatchEvalPython in the plan."""
+    from klinker_spark.functions.text import phonetic_key
+
+    df = spark.range(100).selectExpr("cast(id as string) w")
+    plan = plan_of(df.select(phonetic_key("w").alias("k")))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
