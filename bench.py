@@ -119,6 +119,16 @@ EXTRA_QUERIES = [
     "langid_confusion",
     "tfidf_cosine_join_capped",
     "sorted_neighborhood_multipass",
+    # round-6 additions
+    "bpe_train_merges",
+    "bpe_token_count",
+    "token_cooccurrence_triangles",
+    "neighbor_jaccard_blocking",
+    "token_community_labels",
+    "customer_part_kcore",
+    "phonetic_blocking",
+    "quality_classifier_calibration",
+    "scd2_user_state",
 ]
 
 
