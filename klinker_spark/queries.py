@@ -6417,6 +6417,140 @@ def customer_part_kcore_q(spark, sf_dir):
     return k_core(edges, k=22, rounds=6).orderBy("node")
 
 
+def _fk_oracle_one(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{name}' relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child}) n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child} WHERE {ck} IS NULL) n_null_key,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child}
+            WHERE {ck} IS NOT NULL
+              AND {ck} NOT IN (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL)) n_orphans,
+           CAST(round((1000000.0 * (
+               (SELECT count(*) FROM {child} WHERE {ck} IS NULL)
+             + (SELECT count(*) FROM {child}
+                WHERE {ck} IS NOT NULL
+                  AND {ck} NOT IN (SELECT {pk} FROM {parent} WHERE {pk} IS NOT NULL))))
+             / (SELECT count(*) FROM {child})) AS BIGINT) violation_ppm
+    """
+
+
+_FK_RELATIONS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "referential_integrity_audit",
+    " UNION ALL ".join(_fk_oracle_one(*r) for r in _FK_RELATIONS) + " ORDER BY relation",
+)
+def referential_integrity_audit_q(spark, sf_dir):
+    """Whole-schema foreign-key audit: per relation, row count, NULL
+    keys, orphaned keys (anti-join against the parent), violation rate
+    in ppm — the pre-flight data-quality gate an ingest pipeline runs
+    before joining 100 TB of facts against dimensions.  One anti-join
+    + aggregates per relation, all lazy, unioned into one result."""
+    from .ops.audit import fk_violations
+    from functools import reduce
+
+    tables = {
+        n: _t(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "part", "supplier", "customer", "nation", "region")
+    }
+    parts = [
+        fk_violations(tables[child], ck, tables[parent], pk, name)
+        for name, child, ck, parent, pk in _FK_RELATIONS
+    ]
+    return reduce(lambda a, b: a.unionAll(b), parts).orderBy("relation")
+
+
+@register(
+    "table_column_profile",
+    """
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) n,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) nl1,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) nd1,
+             min(CAST(o_orderkey AS VARCHAR)) mn1, max(CAST(o_orderkey AS VARCHAR)) mx1,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) nl2,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) nd2,
+             min(CAST(o_custkey AS VARCHAR)) mn2, max(CAST(o_custkey AS VARCHAR)) mx2,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) nl3,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) nd3,
+             min(CAST(o_orderstatus AS VARCHAR)) mn3, max(CAST(o_orderstatus AS VARCHAR)) mx3,
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) nl4,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) nd4,
+             min(CAST(o_orderpriority AS VARCHAR)) mn4, max(CAST(o_orderpriority AS VARCHAR)) mx4
+      FROM orders)
+    SELECT 'o_orderkey' "column", n n_rows, nl1 n_null, nd1 n_distinct, mn1 min_value, mx1 max_value FROM a
+    UNION ALL SELECT 'o_custkey', n, nl2, nd2, mn2, mx2 FROM a
+    UNION ALL SELECT 'o_orderstatus', n, nl3, nd3, mn3, mx3 FROM a
+    UNION ALL SELECT 'o_orderpriority', n, nl4, nd4, mn4, mx4 FROM a
+    ORDER BY "column"
+    """,
+)
+def table_column_profile_q(spark, sf_dir):
+    """One-pass column profiling of ``orders`` (key, FK, categorical
+    columns): nulls, exact distincts, min/max — the schema health
+    snapshot a pipeline records per ingest batch.  Single aggregate
+    (Spark multi-distinct expand), long-format output."""
+    from .ops.audit import column_profile
+
+    return column_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("column")
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id id,
+             md5(concat_ws(chr(1),
+                 COALESCE(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END,
+                          chr(0) || 'null'),
+                 COALESCE(source, chr(0) || 'null'))) fp
+      FROM documents WHERE doc_id % 7 <> 0),
+    new AS (
+      SELECT doc_id id,
+             md5(concat_ws(chr(1), COALESCE(text, chr(0) || 'null'),
+                           COALESCE(source, chr(0) || 'null'))) fp
+      FROM documents WHERE doc_id % 5 <> 0)
+    SELECT COALESCE(old.id, new.id) id,
+           CASE WHEN old.fp IS NULL THEN 'added'
+                WHEN new.fp IS NULL THEN 'removed'
+                WHEN old.fp <> new.fp THEN 'modified'
+                ELSE 'unchanged' END status
+    FROM old FULL OUTER JOIN new ON old.id = new.id
+    ORDER BY id
+    """,
+)
+def corpus_snapshot_diff_q(spark, sf_dir):
+    """Dataset-versioning diff between two corpus snapshots (simulated
+    from ``documents``: the old snapshot misses ids ≡0 mod 7 and
+    upper-cases text for ids ≡0 mod 11; the new one misses ids ≡0 mod
+    5): every id classified added/removed/modified/unchanged via full
+    outer join on id + content md5 fingerprint.  Downstream curation
+    re-processes only added+modified — the incremental-corpus
+    primitive."""
+    from .ops.audit import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(F.col("text")).alias("text"),
+        "source",
+    )
+    new = docs.where(F.col("doc_id") % 5 != 0).select("doc_id", "text", "source")
+    return snapshot_diff(old, new, "doc_id", ["text", "source"]).orderBy("id")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,
