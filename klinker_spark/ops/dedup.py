@@ -1080,3 +1080,101 @@ def edit_distance_dedup(
     pre.unpersist()
     base.unpersist()
     return out
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mask: int = 63,
+    base: int = 31,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS primitive): split each
+    document at positions where a ``window``-char polynomial rolling
+    hash satisfies ``h % (mask+1) == 0`` (average chunk ≈ mask+1
+    chars), then measure cross-document chunk sharing.
+
+    Because boundaries depend only on LOCAL content, inserting or
+    deleting text shifts boundaries only near the edit — unlike
+    fixed-size shingles, unaffected chunks keep their identity, which
+    is what makes CDC the standard primitive for dedup of
+    shifted/patched content.
+
+    Returns per doc: ``(id, n_chunks, n_shared_chunks,
+    shared_ppm)`` where a chunk is shared if its md5 occurs in more
+    than one document.
+
+    Spark-first: boundary computation is one projection (per-position
+    Horner window hash → boundary filter, all array expressions — no
+    UDF); the only shuffles are the chunk-frequency aggregate and the
+    join back.  Hash arithmetic stays in int64 (8 chars × 31^7 ≈ 7e12,
+    no overflow), so any engine reproduces identical boundaries.
+
+    Expression-shape lesson (cost, not correctness): the window hash
+    reads chars via ``ascii(substring(text, p, 1))`` DIRECTLY — an
+    intermediate char-code ARRAY column referenced inside the lambda
+    gets re-inlined by projection collapse and re-computed per
+    (position × window) step, turning O(len·w) into O(len²·w).  For
+    the same reason the cut array is materialized in a Project BELOW
+    the posexplode Generate, so the chunk substrings above reference
+    it as a computed attribute (Catalyst cannot collapse a Project
+    through a Generate), evaluating the boundary scan exactly once
+    per document.
+    """
+    w, b = window, base
+    t = text_col
+    # Horner fold over the w-char window ending at i: identical value
+    # to sum_j code(i-j)·base^j (the oracle's powers formulation)
+    hexpr = (
+        f"aggregate(sequence(i - {w - 1}, i), cast(0 as bigint), "
+        f"(acc, p) -> acc * {b} + cast(ascii(substring({t}, p, 1)) as bigint))"
+    )
+    cut_df = docs.where(F.length(F.col(t)) > 0).select(
+        F.col(id_col).alias("id"),
+        F.col(t),
+        # guard: Spark's sequence(a, b) DESCENDS when a > b (DuckDB
+        # yields []), so docs shorter than the window take the
+        # explicit single-chunk branch
+        F.expr(
+            f"concat(array(0), "
+            f"if(length({t}) >= {w}, "
+            f"filter(sequence({w}, length({t})), i -> i < length({t}) AND {hexpr} % {mask + 1} = 0), "
+            f"array()), "
+            f"array(length({t})))"
+        ).alias("_cuts"),
+    )
+    chunked = (
+        cut_df.select(
+            "id",
+            t,
+            "_cuts",
+            F.posexplode(F.expr("sequence(1, size(_cuts) - 1)")).alias("_p", "_k"),
+        )
+        .select(
+            "id",
+            F.md5(
+                F.expr(
+                    f"substring({t}, element_at(_cuts, _k) + 1, "
+                    f"element_at(_cuts, _k + 1) - element_at(_cuts, _k))"
+                )
+            ).alias("ch"),
+        )
+    )
+    dfreq = chunked.groupBy("ch").agg(F.countDistinct("id").alias("df"))
+    per_doc = (
+        chunked.join(dfreq, "ch")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("bigint").alias("n_shared_chunks"),
+        )
+    )
+    return per_doc.select(
+        "id",
+        "n_chunks",
+        "n_shared_chunks",
+        F.round(1000000.0 * F.col("n_shared_chunks") / F.col("n_chunks"))
+        .cast("bigint")
+        .alias("shared_ppm"),
+    )

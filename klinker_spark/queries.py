@@ -6551,6 +6551,50 @@ def corpus_snapshot_diff_q(spark, sf_dir):
     return snapshot_diff(old, new, "doc_id", ["text", "source"]).orderBy("id")
 
 
+_CDC_POWERS = "[" + ", ".join(str(31**j) for j in range(8)) + "]"
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH cuts AS (
+      SELECT doc_id id, text,
+             list_concat(list_concat([0],
+               list_filter(generate_series(8, length(text)),
+                 i -> i < length(text) AND
+                      list_sum(list_transform(generate_series(0, 7),
+                        j -> CAST(ord(substr(text, i - j, 1)) AS BIGINT)
+                             * ({_CDC_POWERS}[j + 1]))) % 64 = 0)),
+               [length(text)]) cuts
+      FROM documents WHERE length(text) > 0),
+    ch AS (
+      SELECT id, md5(unnest(list_transform(generate_series(1, len(cuts) - 1),
+                     k -> substr(text, cuts[k] + 1, cuts[k + 1] - cuts[k])))) ch
+      FROM cuts),
+    dfreq AS (SELECT ch, count(DISTINCT id) df FROM ch GROUP BY ch),
+    per AS (
+      SELECT id, CAST(count(*) AS BIGINT) n_chunks,
+             CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) n_shared_chunks
+      FROM ch JOIN dfreq USING (ch) GROUP BY id)
+    SELECT id, n_chunks, n_shared_chunks,
+           CAST(round((1000000.0 * n_shared_chunks) / n_chunks) AS BIGINT) shared_ppm
+    FROM per ORDER BY id
+    """,
+)
+def cdc_chunk_dedup_q(spark, sf_dir):
+    """Content-defined chunking dedup audit: rolling-hash boundaries
+    (8-char window, ~64-char average chunks) split every document
+    into shift-robust chunks; per doc, how many of its chunks also
+    occur in other documents.  The rsync/LBFS primitive — unlike
+    fixed shingles, an insertion only perturbs boundaries near the
+    edit, so unaffected chunks keep their identity.  Boundary
+    computation is one codegen array projection; shuffles: chunk
+    frequency + join-back."""
+    from .ops.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_t(spark, sf_dir, "documents")).orderBy("id")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,
