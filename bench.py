@@ -129,6 +129,14 @@ EXTRA_QUERIES = [
     "phonetic_blocking",
     "quality_classifier_calibration",
     "scd2_user_state",
+    "cdc_chunk_dedup",
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_transitions",
+    "top_event_paths",
+    "gap_fill_hourly",
+    "revenue_rollup",
+    "event_value_outliers",
 ]
 
 

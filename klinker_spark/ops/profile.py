@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["key_skew_stats", "salted_join", "global_rank", "sorted_neighborhood_pairs"]
+__all__ = [
+    "key_skew_stats",
+    "salted_join",
+    "global_rank",
+    "sorted_neighborhood_pairs",
+    "zscore_outliers",
+]
 
 
 def key_skew_stats(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
@@ -225,4 +231,44 @@ def sorted_neighborhood_pairs(
         F.when(F.col("sa") == "L", F.col("ia")).otherwise(F.col("ib")).alias("left_id"),
         F.when(F.col("sa") == "L", F.col("ib")).otherwise(F.col("ia")).alias("right_id"),
         (F.col("rb") - F.col("ra")).cast("int").alias("gap"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group z-score outlier flagging with FULLY INTEGER
+    arithmetic: a row is an outlier when ``(x·n − s)² > z²·(n·q − s²)``
+    over integer-snapped values ``x = round(value·scale)`` (s = Σx,
+    q = Σx² per group) — algebraically ``|x − μ| > z·σ`` (population
+    σ) with no division, no sqrt, no float accumulation, so any
+    engine reproduces the exact row set regardless of sum order.
+
+    Products run in decimal(38,0) (Spark) / int128 (DuckDB et al.):
+    with |x| ≤ 1e9 and n ≤ 1e10 the largest term (x·n − s)² stays
+    under 38 digits — headroom past 100 TB-scale group sizes.
+
+    Scale shape: one map-side-partial aggregate over ``group_cols``
+    (groups are typically tiny — the stats frame is broadcast back),
+    then a broadcast hash join + codegen filter over the fact rows.
+    No second shuffle, no window.
+    """
+    x = F.round(F.col(value_col) * scale).cast("decimal(20,0)")
+    base = df.withColumn("_x", x)
+    stats = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(38,0)").alias("_q"),
+    )
+    dev = F.col("_x") * F.col("_n") - F.col("_s")
+    var_num = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    return (
+        base.join(F.broadcast(stats), group_cols)
+        .where(dev * dev > F.lit(z * z) * var_num)
+        .drop("_n", "_s", "_q")
+        .withColumnRenamed("_x", "value_scaled")
     )
