@@ -137,6 +137,9 @@ EXTRA_QUERIES = [
     "gap_fill_hourly",
     "revenue_rollup",
     "event_value_outliers",
+    "bfs_reach",
+    "order_pareto_frontier",
+    "user_event_reservoir",
 ]
 
 

@@ -1422,3 +1422,34 @@ def bigram_logprob_quality(
     )
     occ.unpersist()
     return out
+
+
+def per_key_reservoir(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic per-key reservoir: exactly ``min(k, group size)``
+    rows per key, selected by md5-hash rank — the seedless distributed
+    analogue of a per-key reservoir sample (every row has equal,
+    engine-reproducible odds given distinct ids).
+
+    The pipeline use is per-source / per-user downsampling before
+    expensive stages: caps a heavy key's contribution at ``k`` rows so
+    a single hot source can't dominate a training mix.
+
+    Scale: one hash shuffle on the key + a window rank; per-group
+    state in the sort is the group's rows within its partition —
+    groups are processed independently, so a hot KEY costs only its
+    own group sort (and at extreme skew the rank-filter composes with
+    the pre-aggregate valve pattern documented in SCALE.md).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "sample_rank")
+    )

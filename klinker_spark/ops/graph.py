@@ -34,7 +34,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "neighbor_jaccard_join", "label_propagation", "k_core"]
+__all__ = [
+    "pagerank",
+    "triangle_count",
+    "neighbor_jaccard_join",
+    "label_propagation",
+    "k_core",
+    "bfs_distances",
+]
 
 
 def pagerank(
@@ -369,3 +376,54 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
     return deg.where(F.col("core_degree") >= k)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[str],
+    max_depth: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop distance from any
+    node in ``sources`` over the undirected graph, capped at
+    ``max_depth`` (nodes further away are absent).
+
+    Classic distributed frontier expansion: per level ONE equi-join
+    frontier⋈edges + a distinct + a left-anti against the settled set —
+    the frontier never holds more than the new level's nodes, and a
+    level that comes up empty short-circuits the loop.  Per-level
+    ``localCheckpoint`` bounds lineage (the :func:`pagerank` contract).
+    A fixed ``max_depth`` keeps the operator deterministic and
+    oracle-checkable against a depth-bounded recursive CTE (which
+    stays polynomial because (node, dist) pairs dedup per level).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col(a_col).cast("string").alias("u"),
+            F.col(b_col).cast("string").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    dist = spark.createDataFrame(
+        [(s, 0) for s in sources], "node STRING, dist INT"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -13,10 +13,10 @@ buckets like any other group-by key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hypertable_rollup", "value_histogram", "grouped_quantiles"]
+__all__ = ["hypertable_rollup", "value_histogram", "grouped_quantiles", "pareto_frontier"]
 
 
 def hypertable_rollup(
@@ -170,3 +170,40 @@ def grouped_quantiles(
             expr = F.percentile(c, F.lit(float(q)))
         aggs.append(F.round(expr, 6).alias(name))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_col: str,
+    max_col: str,
+    min_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Per-group skyline (Börzsönyi et al.'s Pareto frontier operator):
+    the rows not dominated by any other row of the group, maximizing
+    ``max_col`` while minimizing ``min_col``.
+
+    One sort per group: ordered by (max desc, min asc, tie asc), a row
+    survives iff the running minimum of ``min_col`` over all PRECEDING
+    rows (which all have max ≥ its own) is strictly greater than its
+    own — the textbook sort-filter skyline.  Duplicate (max, min)
+    points keep the smallest ``tie`` (first-wins dedup, deterministic).
+
+    Scale: the window partitions by ``group_col`` — groups compute in
+    parallel, no global sort.  For a GLOBAL skyline at 100 TB, run
+    this once per partition on a salted group key (local skylines),
+    then once on the union of survivors (the standard two-phase
+    distributed skyline: local pruning is sound because dominance is
+    transitive and partition-local dominance implies global).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(max_col).desc(), F.col(min_col).asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_min = F.min(min_col).over(w)
+    return (
+        df.withColumn("_pm", prev_min)
+        .where(F.col("_pm").isNull() | (F.col("_pm") > F.col(min_col)))
+        .drop("_pm")
+    )

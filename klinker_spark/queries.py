@@ -6802,6 +6802,110 @@ def event_value_outliers_q(spark, sf_dir):
     ).orderBy("event_id")
 
 
+# ------------------------------------------------------------------ BFS / skyline / reservoir
+@register(
+    "bfs_reach",
+    """
+    WITH RECURSIVE eraw AS (
+      SELECT 'c:' || CAST(o_custkey AS VARCHAR) u, 'p:' || CAST(l_partkey AS VARCHAR) v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT DISTINCT u, v
+          FROM (SELECT u, v FROM eraw UNION ALL SELECT v u, u v FROM eraw)),
+    walk(node, dist) AS (
+      SELECT 'c:1', 0
+      UNION
+      SELECT e.v, walk.dist + 1 FROM walk JOIN e ON walk.node = e.u
+      WHERE walk.dist < 4
+    )
+    SELECT node, CAST(min(dist) AS INT) dist FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def bfs_reach_q(spark, sf_dir):
+    """Multi-hop reachability: minimum hop distance from customer c:1
+    over the bipartite customer–part graph, capped at 4 hops.  Frontier
+    expansion — per level one equi-join + distinct + anti-join against
+    the settled set (never a path enumeration); the depth-bounded
+    recursive-CTE oracle stays polynomial because (node, dist) pairs
+    dedup per level."""
+    from .ops.graph import bfs_distances
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("b"),
+    )
+    return bfs_distances(edges, ["c:1"], max_depth=4).orderBy("node")
+
+
+@register(
+    "order_pareto_frontier",
+    """
+    WITH b AS (SELECT o_orderkey, c_nationkey nation,
+                      CAST(round(o_totalprice * 100) AS BIGINT) price_cents,
+                      epoch_us(o_orderdate) // 86400000000 day_idx
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    w AS (SELECT *, min(day_idx) OVER (
+            PARTITION BY nation
+            ORDER BY price_cents DESC, day_idx ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm
+          FROM b)
+    SELECT nation, o_orderkey, price_cents, day_idx
+    FROM w WHERE pm IS NULL OR pm > day_idx
+    ORDER BY nation, o_orderkey
+    """,
+)
+def order_pareto_frontier_q(spark, sf_dir):
+    """Per-nation skyline (Pareto frontier): orders not dominated on
+    (max totalprice, min orderdate) — the classic Börzsönyi et al.
+    skyline operator as one sort-filter window per nation group
+    (parallel across groups; two-phase local→global form documented
+    for the global-skyline case).  Integer cents / epoch days."""
+    from .ops.rollup import pareto_frontier
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey",
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        # NTZ parquet read; cast-to-timestamp under the UTC session
+        # preserves the wall-time instant (data/io.py::load_events)
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000").alias(
+            "day_idx"
+        ),
+    )
+    front = pareto_frontier(base, "nation", "price_cents", "day_idx", "o_orderkey")
+    return front.select("nation", "o_orderkey", "price_cents", "day_idx").orderBy(
+        "nation", "o_orderkey"
+    )
+
+
+@register(
+    "user_event_reservoir",
+    """
+    WITH r AS (SELECT user_id, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) rk
+               FROM events)
+    SELECT user_id, event_id, rk sample_rank FROM r WHERE rk <= 5
+    ORDER BY user_id, sample_rank
+    """,
+)
+def user_event_reservoir_q(spark, sf_dir):
+    """Deterministic per-key reservoir: exactly min(5, group size)
+    events per user by md5-hash rank — seedless, engine-reproducible
+    per-key downsampling (caps any hot key's contribution before
+    expensive stages).  One key shuffle + one window rank."""
+    from .ops.curation import per_key_reservoir
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    return per_key_reservoir(ev, "user_id", 5, "event_id").orderBy(
+        "user_id", "sample_rank"
+    )
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

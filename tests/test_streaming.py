@@ -512,3 +512,67 @@ def test_streaming_distinct_tracker(spark, events, tmp_path):
     assert got["estimate"] == want["estimate"]
     truth = sample.distinct().count()
     assert abs(got["estimate"] - truth) / truth < 0.2
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    """Stream ≡ batch: SCD2 intervals maintained per micro-batch equal
+    the batch operator's output on the same change stream (latest
+    emission per (key, valid_from) wins — the foreachBatch-MERGE
+    contract)."""
+    from datetime import datetime
+
+    from klinker_spark.streaming.scd2 import streaming_scd2
+
+    rows = [
+        # user 1: A -> A (no-op) -> B -> C
+        (1, datetime(2024, 1, 1, 0), 1, "A"),
+        (2, datetime(2024, 1, 1, 1), 1, "A"),
+        (3, datetime(2024, 1, 1, 2), 1, "B"),
+        (4, datetime(2024, 1, 1, 3), 1, "C"),
+        # user 2: single value, stays current
+        (5, datetime(2024, 1, 1, 0), 2, "X"),
+        # user 3: tie timestamps, event_id breaks the order
+        (7, datetime(2024, 1, 1, 0), 3, "Q"),
+        (6, datetime(2024, 1, 1, 0), 3, "P"),
+    ]
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value STRING"
+    changes = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "scd2_src")
+    # two files -> at least two micro-batches in availableNow mode
+    changes.where(F.col("event_id") <= 3).coalesce(1).write.mode("overwrite").parquet(src)
+    changes.where(F.col("event_id") > 3).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    q = (
+        streaming_scd2(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emission per interval wins; a tie-at-same-ts change yields a
+    # ZERO-LENGTH closed interval sharing (key, valid_from) with its
+    # successor, so the merge identity is (key, valid_from, value)
+    final = spark.sql(
+        """
+        select user_id, valid_from_us, value,
+               min(valid_to_us) valid_to_us,
+               min(valid_to_us) is null is_current
+        from scd2_stream group by user_id, valid_from_us, value
+        """
+    )
+    batch = streaming_scd2(changes)  # falls through to ops.temporal.scd2_intervals
+    key = lambda r: (r["user_id"], r["valid_from_us"], r["value"])  # noqa: E731
+    got = {key(r): (r["valid_to_us"], r["is_current"]) for r in final.collect()}
+    want = {key(r): (r["valid_to_us"], r["is_current"]) for r in batch.collect()}
+    assert got == want
+    # hand-checkable bits: user 3's tie resolved by event_id (P first,
+    # closed zero-length; Q current), user 1's chain A -> B -> C
+    t0 = int(datetime(2024, 1, 1, 0).timestamp() * 1_000_000)
+    assert want[(3, t0, "P")] == (t0, False)
+    assert want[(3, t0, "Q")] == (None, True)
+    u1 = sorted((k, v) for k, v in want.items() if k[0] == 1)
+    assert [k[2] for k, _ in u1] == ["A", "B", "C"]
+    assert [v[1] for _, v in u1] == [False, False, True]
