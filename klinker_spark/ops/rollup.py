@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hypertable_rollup", "value_histogram", "grouped_quantiles", "pareto_frontier"]
+__all__ = ["hypertable_rollup", "value_histogram", "grouped_quantiles", "pareto_frontier", "winsorize"]
 
 
 def hypertable_rollup(
@@ -206,4 +206,45 @@ def pareto_frontier(
         df.withColumn("_pm", prev_min)
         .where(F.col("_pm").isNull() | (F.col("_pm") > F.col(min_col)))
         .drop("_pm")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col_int: str,
+    lo_num: int = 1,
+    hi_num: int = 15,
+    denom: int = 16,
+) -> DataFrame:
+    """Per-group winsorization (tail clipping): values below the group's
+    ``lo_num/denom`` quantile or above ``hi_num/denom`` are clipped to
+    those fences — the standard outlier-robust preprocessing for
+    value/score columns before training-mix statistics.
+
+    Quantiles are DELIBERATELY dyadic (default 1/16, 15/16): with an
+    integer-snapped ``value_col_int`` and a power-of-two denominator,
+    PERCENTILE_CONT's interpolation ``a + g·(b−a)`` is EXACT in double
+    on any IEEE engine (g and the products are dyadic with ≤53-bit
+    mantissas) — engine-reproducible fences with no rounding lane.
+
+    Scale: one tiny per-group exact-percentile aggregate broadcast
+    back + a codegen least/greatest projection; the percentile buffers
+    each GROUP's values (bounded-cardinality groups — for huge groups
+    switch the fence computation to ``percentile_approx``, rows-only).
+    """
+    if denom & (denom - 1):
+        raise ValueError(f"winsorize: denom must be a power of two, got {denom}")
+    x = F.col(value_col_int)
+    fences = df.groupBy(*group_cols).agg(
+        F.percentile(x, F.lit(lo_num / denom)).alias("_lo"),
+        F.percentile(x, F.lit(hi_num / denom)).alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(fences), group_cols)
+        .withColumn(
+            "clipped",
+            F.least(F.greatest(x.cast("double"), F.col("_lo")), F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
     )

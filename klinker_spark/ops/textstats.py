@@ -26,6 +26,8 @@ __all__ = [
     "js_divergence_tokens",
     "zipf_fit",
     "distinct_ngram_ratio",
+    "skipgram_pairs",
+    "target_encode_loo",
 ]
 
 
@@ -529,5 +531,93 @@ def distinct_ngram_ratio(
             "n_ngrams",
             "n_distinct",
             F.round(F.col("n_distinct") / F.col("n_ngrams"), 6).alias("distinct_ratio"),
+        )
+    )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts — the word2vec training
+    pair generator: every ordered pair of tokens at distance ≤
+    ``window`` within a document, counted corpus-wide; pairs rarer
+    than ``min_count`` are dropped.
+
+    The pair enumeration is ONE array expression per document (nested
+    transform over token positions — no positional self-join, no
+    UDF); the only shuffle is the (center, context) count aggregate.
+    Output rows are bounded by vocab² ∩ observed, not corpus size.
+    Per-document cost is O(len·window); a degenerate vocabulary makes
+    the AGGREGATE key hot, not the enumeration (same valve as
+    pmi_bigrams: min_count floors the tail, the aggregate partials
+    absorb the head).
+    """
+    tk = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs = F.expr(
+        f"flatten(transform(tk, (x, i) -> "
+        f"transform(filter(sequence(greatest(0, i - {window}), "
+        f"least(size(tk) - 1, i + {window})), j -> j != i), "
+        f"j -> struct(x AS center, element_at(tk, j + 1) AS context))))"
+    )
+    return (
+        docs.select(tk.alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col_int: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Leakage-free (leave-one-out) target encoding: each row's
+    category feature is the mean target of OTHER rows in its category
+    — ``(Σ − x) / (n − 1)`` — so the encoding never sees the row's own
+    label (the standard high-cardinality categorical feature for
+    tabular models).
+
+    ``target_col_int`` must already be integer-snapped (cents, micro):
+    the LOO mean is computed as the integer half-up micro ratio
+    ``(2e6·(s − x) + (n−1)) // (2·(n−1))`` in decimal(38) — engine-
+    exact, no float accumulation.  Categories of size 1 get NULL (no
+    peers to encode from).
+
+    Scale: one tiny category aggregate broadcast back + a codegen
+    projection — no second shuffle, no window (same shape as
+    :func:`klinker_spark.ops.profile.zscore_outliers`).
+    """
+    x = F.col(target_col_int).cast("decimal(20,0)")
+    stats = df.groupBy(category_col).agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("_n"),
+        F.sum(x).cast("decimal(38,0)").alias("_s"),
+    )
+    # `div` (not `/`): decimal `/` re-rounds at the result scale
+    # (HALF_UP at scale 6+) BEFORE any floor, which can disagree with
+    # an engine's integer division by one ulp-of-scale; decimal `div`
+    # truncates the exact quotient.  Both operands are positive and
+    # the quotient (a micro mean ≤ ~5e13) fits `div`'s long result.
+    num = (F.col("_s") - x) * F.lit(2_000_000).cast("decimal(20,0)") + (
+        F.col("_n") - 1
+    )
+    den = (F.col("_n") - 1) * 2
+    return (
+        df.join(F.broadcast(stats), category_col)
+        .withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            *id_cols,
+            F.col(category_col),
+            F.when(F.col("_n") > 1, F.expr("_num div _den"))
+            .cast("bigint")
+            .alias("loo_mean_micro"),
         )
     )

@@ -6906,6 +6906,98 @@ def user_event_reservoir_q(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------ skip-grams / winsorize / target encoding
+@register(
+    "skipgram_pairs",
+    """
+    WITH t AS (SELECT list_filter(regexp_split_to_array(text, ' '),
+                                  x -> x <> '') tk
+               FROM documents),
+    arr AS (SELECT tk, len(tk) n FROM t WHERE len(tk) > 0),
+    pr AS (SELECT tk[i] center, tk[j] context
+           FROM arr, unnest(generate_series(1, n)) s(i),
+                unnest(generate_series(greatest(1, i - 2), least(n, i + 2))) s2(j)
+           WHERE j <> i)
+    SELECT center, context, count(*) n FROM pr GROUP BY center, context
+    HAVING count(*) >= 3 ORDER BY center, context
+    """,
+)
+def skipgram_pairs_q(spark, sf_dir):
+    """word2vec training-pair generation: ordered (center, context)
+    token pairs within distance 2, counted corpus-wide, min count 3.
+    Pair enumeration is one nested array transform per document (no
+    positional self-join, no UDF); the only shuffle is the pair-count
+    aggregate."""
+    from .ops.textstats import skipgram_pairs
+
+    return skipgram_pairs(
+        _t(spark, sf_dir, "documents"), window=2, min_count=3
+    ).orderBy("center", "context")
+
+
+@register(
+    "event_value_winsorized",
+    """
+    WITH b AS (SELECT event_id, event_type,
+                      CAST(round(value * 1000000) AS BIGINT) value_micro
+               FROM events),
+    f AS (SELECT event_type, quantile_cont(value_micro, 0.0625) lo,
+                 quantile_cont(value_micro, 0.9375) hi
+          FROM b GROUP BY event_type)
+    SELECT event_id, event_type, value_micro,
+           least(greatest(CAST(value_micro AS DOUBLE), lo), hi) clipped
+    FROM b JOIN f USING (event_type) ORDER BY event_id
+    """,
+)
+def event_value_winsorized_q(spark, sf_dir):
+    """Per-type winsorization at the dyadic 1/16 and 15/16 quantiles:
+    with integer-micro values and a power-of-two denominator the
+    PERCENTILE_CONT interpolation is EXACT in IEEE double on any
+    engine — reproducible fences, no rounding lane.  One tiny fence
+    aggregate broadcast back + a codegen clip."""
+    from .ops.rollup import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_micro"),
+    )
+    return winsorize(ev, ["event_type"], "value_micro").orderBy("event_id")
+
+
+@register(
+    "order_priority_target_encoding",
+    """
+    WITH b AS (SELECT o_orderkey, o_orderpriority,
+                      CAST(round(o_totalprice * 100) AS HUGEINT) cents
+               FROM orders),
+    st AS (SELECT o_orderpriority, CAST(count(*) AS HUGEINT) n, sum(cents) s
+           FROM b GROUP BY o_orderpriority)
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN n > 1 THEN
+             CAST((2000000 * (s - cents) + (n - 1)) // (2 * (n - 1)) AS BIGINT)
+           END loo_mean_micro
+    FROM b JOIN st USING (o_orderpriority) ORDER BY o_orderkey
+    """,
+)
+def order_priority_target_encoding_q(spark, sf_dir):
+    """Leakage-free (leave-one-out) target encoding of order priority
+    against price: each row's feature is the mean cents of OTHER rows
+    in its category, as the integer half-up micro ratio in decimal(38)
+    /int128 — engine-exact, no float accumulation.  One tiny category
+    aggregate broadcast back; no second shuffle."""
+    from .ops.textstats import target_encode_loo
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return target_encode_loo(
+        o, "o_orderpriority", "cents", ["o_orderkey"]
+    ).orderBy("o_orderkey")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

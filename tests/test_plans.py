@@ -265,7 +265,10 @@ def test_gate_prefix_oracle_policy():
     assert not missing, f"gate-prefix queries without oracle: {missing}"
     unknown = [n for n in _GATE_PRIORITY if n not in QUERIES]
     assert not unknown, f"_GATE_PRIORITY names not registered: {unknown}"
-    assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) == 50
+    # ≥50: positions past 50 are documented demotions (kept in the
+    # list so their relative order stays curated, not registration-
+    # incidental); the driver records only the first 50
+    assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) >= 50
     # the six r4 hash-red rows (oracles fixed in r5) must stay in the
     # gate until they record green
     for n in (
