@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "scd2_intervals"]
+__all__ = ["asof_join", "range_join", "scd2_intervals", "merge_intervals"]
 
 
 def asof_join(
@@ -193,4 +193,43 @@ def scd2_intervals(
             "valid_to",
             F.col("valid_to").isNull().alias("is_current"),
         )
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping or touching intervals per
+    key into maximal coverage islands — the classic interval-union
+    operator (session coverage, validity consolidation, downtime
+    merging).
+
+    One hash shuffle on the key; THREE window passes over the SAME
+    partitioning (running max of prior ends → new-island flag →
+    running island id), then one aggregate — Catalyst reuses the
+    single Exchange for all of them.  Timestamps are caller-provided
+    integers (epoch µs recommended), so island boundaries are exact.
+
+    Output: ``(key, island, start, end, n_rows)`` with ``island``
+    numbered 1.. per key in time order.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("_new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("start"),
+        F.max(end_col).alias("end"),
+        F.count(F.lit(1)).alias("n_rows"),
     )

@@ -6998,6 +6998,164 @@ def order_priority_target_encoding_q(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+# ------------------------------------------------------------------ frame sampling / PR curve / interval islands
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (SELECT doc_id media_id, text, length(text) ln FROM documents
+               WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
+    n AS (SELECT *, least(4, greatest(ln // 64, 1)) nf FROM b),
+    fr AS (SELECT media_id, CAST(i AS INT) frame_idx,
+                  least(64, ln - i * 64) n_bytes,
+                  ord(substr(text, i * 64 + 1, 1)) f0
+           FROM n, unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) s(i))
+    SELECT media_id, frame_idx, CAST(n_bytes AS BIGINT) n_bytes, CAST(f0 AS BIGINT) f0
+    FROM fr ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_frame_sample_q(spark, sf_dir):
+    """Video frame-sampling plumbing under an exact oracle: ASCII doc
+    bytes as the opaque payload, 64-byte 'frames', every frame up to 4
+    (UDTF shape — one output row per sampled frame).  The decoder is
+    the documented stub (byte slices); the oracle reproduces frame
+    count, per-frame byte length, and first-byte value, so the check
+    proves the Arrow plumbing (batch iteration, row explosion, binary
+    slicing) — ffmpeg drops into the same contract."""
+    from .ops.multimodal import pack_media, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.octet_length(F.col("text")) == F.length(F.col("text")))
+        & (F.length("text") > 0)
+    )
+    media = pack_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "video",
+    )
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("n_bytes"),
+        # frames are ASCII by construction; binary→string then ascii()
+        # reads the first byte
+        F.ascii(F.col("frame").cast("string")).cast("bigint").alias("f0"),
+    ).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "classifier_pr_curve",
+    f"""
+    WITH scored AS (SELECT CAST(round(prob * 1000000) AS BIGINT) pm, label
+                    FROM ({_qcls_oracle()}) base),
+    th AS (SELECT CAST(k AS INT) k, k * 100000 t
+           FROM unnest(generate_series(1, 9)) s(k)),
+    agg AS (SELECT k, t,
+                   CAST(sum(CASE WHEN pm >= t THEN label ELSE 0 END) AS BIGINT) tp,
+                   CAST(sum(CASE WHEN pm >= t THEN 1 - label ELSE 0 END) AS BIGINT) fp,
+                   CAST(sum(label) AS BIGINT) pos
+            FROM scored CROSS JOIN th GROUP BY k, t)
+    SELECT k AS threshold_decile, tp, fp,
+           CASE WHEN tp + fp > 0
+                THEN CAST(round((1000000.0 * tp) / (tp + fp)) AS BIGINT) END
+             AS precision_ppm,
+           CASE WHEN pos > 0
+                THEN CAST(round((1000000.0 * tp) / pos) AS BIGINT) END
+             AS recall_ppm
+    FROM agg ORDER BY threshold_decile
+    """,
+)
+def classifier_pr_curve_q(spark, sf_dir):
+    """Precision/recall curve for the deterministic quality classifier
+    at the nine decile thresholds — the operating-point picker that
+    complements the calibration diagram.  Threshold comparison happens
+    on micro-snapped scores (no float boundary lane); ONE aggregate
+    pass computes all nine points via conditional sums over the tiny
+    broadcast threshold frame."""
+    from .ops.quality_model import train_quality_scores_deterministic
+
+    scored = train_quality_scores_deterministic(
+        _t(spark, sf_dir, "documents"), F.col("source") == "src0"
+    ).select(
+        F.round(F.col("prob") * 1_000_000).cast("bigint").alias("pm"), "label"
+    )
+    th = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 100_000).alias("t")
+    )
+    agg = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("k", "t")
+        .agg(
+            F.sum(F.when(F.col("pm") >= F.col("t"), F.col("label")).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(F.col("pm") >= F.col("t"), 1 - F.col("label")).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    return agg.select(
+        F.col("k").alias("threshold_decile"),
+        "tp",
+        "fp",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(1_000_000.0 * F.col("tp") / (F.col("tp") + F.col("fp"))).cast(
+                "bigint"
+            ),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("pos") > 0,
+            F.round(1_000_000.0 * F.col("tp") / F.col("pos")).cast("bigint"),
+        ).alias("recall_ppm"),
+    ).orderBy("threshold_decile")
+
+
+@register(
+    "user_activity_islands",
+    """
+    WITH iv AS (SELECT user_id, epoch_us(ts) s, epoch_us(ts) + 300000000 e
+                FROM events),
+    f AS (SELECT user_id, s, e,
+                 CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                        OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END ni
+          FROM iv),
+    isl AS (SELECT user_id, s, e,
+                   sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) island
+            FROM f)
+    SELECT user_id, CAST(island AS BIGINT) island, min(s) start_us, max(e) end_us,
+           count(*) n_rows
+    FROM isl GROUP BY user_id, island ORDER BY user_id, island
+    """,
+)
+def user_activity_islands_q(spark, sf_dir):
+    """Gaps-and-islands interval union: each event spans [ts, ts+5min);
+    overlapping/touching spans merge into maximal per-user coverage
+    islands (session coverage as interval algebra, not inactivity
+    gaps).  One key shuffle; the running-max, island-flag, and
+    island-id windows all reuse the same Exchange."""
+    from .ops.temporal import merge_intervals
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300_000_000).alias("e"),
+    )
+    return merge_intervals(iv, "user_id", "s", "e").select(
+        "user_id",
+        "island",
+        F.col("start").alias("start_us"),
+        F.col("end").alias("end_us"),
+        "n_rows",
+    ).orderBy("user_id", "island")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -1,0 +1,81 @@
+"""merge_intervals (gaps-and-islands), sample_frames plumbing, PR
+curve — semantics + plan shape."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from klinker_spark.ops.multimodal import pack_media, sample_frames
+from klinker_spark.ops.temporal import merge_intervals
+
+
+def test_merge_intervals_islands(spark):
+    iv = spark.createDataFrame(
+        [
+            # key a: [0,10] [5,8] [10,20] merge (touching counts);
+            # [25,30] separate
+            ("a", 0, 10),
+            ("a", 5, 8),
+            ("a", 10, 20),
+            ("a", 25, 30),
+            # key b: containment — [0,100] swallows [10,20]
+            ("b", 0, 100),
+            ("b", 10, 20),
+        ],
+        "k STRING, s BIGINT, e BIGINT",
+    )
+    rows = {
+        (r["k"], r["island"]): (r["start"], r["end"], r["n_rows"])
+        for r in merge_intervals(iv, "k", "s", "e").collect()
+    }
+    assert rows == {
+        ("a", 1): (0, 20, 3),
+        ("a", 2): (25, 30, 1),
+        ("b", 1): (0, 100, 2),
+    }
+
+
+def test_merge_intervals_single_exchange(spark):
+    iv = spark.createDataFrame(
+        [("a", i, i + 2) for i in range(0, 20, 5)], "k STRING, s BIGINT, e BIGINT"
+    )
+    plan = (
+        merge_intervals(iv, "k", "s", "e")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # all three windows + the aggregate reuse ONE hash partitioning on
+    # the key (the final agg keys on (k, island), a superset refinement
+    # Spark satisfies without re-shuffling is not guaranteed — allow 2)
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_frames_slicing(spark):
+    docs = spark.createDataFrame(
+        [(1, b"A" * 64 + b"B" * 64 + b"C" * 10), (2, b"short")],
+        "doc_id BIGINT, payload BINARY",
+    )
+    media = pack_media(docs, "doc_id", "payload", "video")
+    rows = sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["frame"]))
+        for r in sample_frames(media, every_n_bytes=64, max_frames=4).collect()
+    )
+    # doc 1: 138 bytes -> 138//64 = 2 frames (64B each); doc 2: 1 frame
+    assert rows == [
+        (1, 0, b"A" * 64),
+        (1, 1, b"B" * 64),
+        (2, 0, b"short"),
+    ]
+
+
+def test_pr_curve_monotone_recall(spark):
+    from klinker_spark.queries import QUERIES
+
+    rows = QUERIES["classifier_pr_curve"](spark, "/root/testdata/sf0.001").collect()
+    recs = [r["recall_ppm"] for r in rows]
+    assert len(rows) == 9
+    # recall is non-increasing in the threshold
+    assert all(a >= b for a, b in zip(recs, recs[1:]))
+    assert all(r["tp"] + r["fp"] >= r["tp"] >= 0 for r in rows)
