@@ -42,16 +42,24 @@ def asof_join(
     ts_col: str,
     right_value_col: str,
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, the LATEST right row with
-    ``right.ts <= left.ts`` per ``by`` key (backward as-of, DuckDB
-    ``ASOF LEFT JOIN`` / pandas ``merge_asof`` semantics).
+    ``right.ts <= left.ts`` per ``by`` key (``direction="backward"``,
+    the default — DuckDB ``ASOF LEFT JOIN`` / pandas ``merge_asof``
+    semantics), or the EARLIEST right row with ``right.ts >= left.ts``
+    (``direction="forward"`` — the same union-merge plan scanning the
+    key's timeline in reverse; pandas ``merge_asof(direction=
+    "forward")``).
 
     Output: all left columns + ``matched_ts`` / ``matched_value``
-    (null when no right row qualifies, or when the match is older than
-    ``tolerance`` ts-units).  Multiple right rows sharing (key, ts)
-    collapse deterministically to ``max(right_value_col)``.
+    (null when no right row qualifies, or when the match is further
+    than ``tolerance`` ts-units in the match direction).  Multiple
+    right rows sharing (key, ts) collapse deterministically to
+    ``max(right_value_col)``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     r = (
         right.groupBy(by, ts_col)
@@ -76,9 +84,10 @@ def asof_join(
     u = l.unionByName(r.select(*l.columns))
     # right rows (side 0) sort before left rows at equal ts — equality
     # matches, as in ASOF's ts >= condition
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
@@ -89,7 +98,12 @@ def asof_join(
         F.last("_rv", ignorenulls=True).over(w).alias("matched_value"),
     ).where(F.col("_side") == 1)
     if tolerance is not None:
-        in_tol = (F.col("_lts") - F.col("matched_ts")) <= F.lit(tolerance)
+        gap = (
+            F.col("_lts") - F.col("matched_ts")
+            if direction == "backward"
+            else F.col("matched_ts") - F.col("_lts")
+        )
+        in_tol = gap <= F.lit(tolerance)
         filled = filled.select(
             "_lrow",
             F.when(in_tol, F.col("matched_ts")).alias("matched_ts"),

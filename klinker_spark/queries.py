@@ -7156,6 +7156,126 @@ def user_activity_islands_q(spark, sf_dir):
     ).orderBy("user_id", "island")
 
 
+# ------------------------------------------------------------------ forward as-of / pivot / unpivot
+@register(
+    "events_asof_join_forward",
+    """
+    WITH l AS (SELECT event_id, user_id, epoch_ms(ts) ts_ms FROM events
+               WHERE event_type = 'click'),
+    r AS (SELECT user_id, epoch_ms(ts) ts_ms, max(value) v FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, epoch_ms(ts)),
+    j AS (SELECT l.event_id, l.user_id, l.ts_ms,
+                 r.ts_ms AS m_ts, r.v AS m_v
+          FROM l ASOF LEFT JOIN r
+               ON l.user_id = r.user_id AND l.ts_ms <= r.ts_ms)
+    SELECT event_id, user_id, ts_ms,
+           CASE WHEN m_ts - ts_ms <= 86400000 THEN m_ts END AS matched_ts,
+           CASE WHEN m_ts - ts_ms <= 86400000
+                THEN round(m_v, 6) END AS matched_value
+    FROM j ORDER BY event_id
+    """,
+)
+def events_asof_join_forward_q(spark, sf_dir):
+    """FORWARD as-of join: for every click, the EARLIEST purchase by
+    the same user within the NEXT 24 h (time-to-conversion joins).
+    Same union-merge plan as the backward operator, scanning each
+    key's timeline in reverse — one sort per key, no candidate
+    explosion; oracle is DuckDB's native ASOF with the inequality
+    flipped."""
+    from .data.io import load_events
+    from .ops.temporal import asof_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts_ms", F.unix_millis("ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        ts_col="ts_ms",
+        right_value_col="value",
+        tolerance=86_400_000,
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "matched_ts",
+        F.round("matched_value", 6).alias("matched_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "event_type_hourly_pivot",
+    """
+    SELECT (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) "view"
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def event_type_hourly_pivot_q(spark, sf_dir):
+    """Hour-of-day × event-type PIVOT — the wide-format contingency
+    table.  Spark's pivot with an EXPLICIT value list compiles to one
+    aggregate with per-column conditional partials (no second pass to
+    discover columns, no per-type scan); absent combinations stay
+    null, matching SQL conditional sums."""
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.expr("unix_micros(ts) DIV 3600000000") % 24).alias("hour_of_day")
+    return (
+        ev.groupBy(hour)
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .orderBy("hour_of_day")
+    )
+
+
+@register(
+    "order_status_metrics_unpivot",
+    """
+    WITH per AS (SELECT o_orderstatus,
+                        CAST(count(*) AS BIGINT) n_orders,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          revenue_cents,
+                        CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                          max_cents
+                 FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, 'n_orders' metric, n_orders "value" FROM per
+    UNION ALL SELECT o_orderstatus, 'revenue_cents', revenue_cents FROM per
+    UNION ALL SELECT o_orderstatus, 'max_cents', max_cents FROM per
+    ORDER BY o_orderstatus, metric
+    """,
+)
+def order_status_metrics_unpivot_q(spark, sf_dir):
+    """UNPIVOT/melt: per-status metrics to long form via one `stack`
+    projection over the tiny aggregate — the metric-store layout
+    (entity, metric, value) downstream monitoring expects.  One
+    aggregate pass; the melt is projection-only (no join, no extra
+    shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("revenue_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+    return per.select(
+        "o_orderstatus",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'revenue_cents', revenue_cents,"
+            " 'max_cents', max_cents) AS (metric, value)"
+        ),
+    ).orderBy("o_orderstatus", "metric")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

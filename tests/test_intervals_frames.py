@@ -79,3 +79,27 @@ def test_pr_curve_monotone_recall(spark):
     # recall is non-increasing in the threshold
     assert all(a >= b for a, b in zip(recs, recs[1:]))
     assert all(r["tp"] + r["fp"] >= r["tp"] >= 0 for r in rows)
+
+
+def test_asof_join_forward_direction(spark):
+    from klinker_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (3, "b", 10)], "id BIGINT, k STRING, t BIGINT"
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 200, 2.0), ("a", 300, 3.0)], "k STRING, t BIGINT, v DOUBLE"
+    )
+    fwd = {
+        r["id"]: (r["matched_ts"], r["matched_value"])
+        for r in asof_join(left, right, "k", "t", "v", direction="forward").collect()
+    }
+    # equality matches; 250 -> next at 300; key b unmatched
+    assert fwd == {1: (100, 1.0), 2: (300, 3.0), 3: (None, None)}
+    tol = {
+        r["id"]: r["matched_ts"]
+        for r in asof_join(
+            left, right, "k", "t", "v", tolerance=40, direction="forward"
+        ).collect()
+    }
+    assert tol == {1: 100, 2: None, 3: None}  # 300-250=50 > 40
