@@ -140,6 +140,18 @@ EXTRA_QUERIES = [
     "bfs_reach",
     "order_pareto_frontier",
     "user_event_reservoir",
+    "skipgram_pairs",
+    "event_value_winsorized",
+    "order_priority_target_encoding",
+    "multimodal_frame_sample",
+    "classifier_pr_curve",
+    "user_activity_islands",
+    "events_asof_join_forward",
+    "event_type_hourly_pivot",
+    "order_status_metrics_unpivot",
+    "orders_upsert_merge",
+    "cumulative_unique_users",
+    "user_value_rolling_7d",
 ]
 
 

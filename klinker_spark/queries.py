@@ -7276,6 +7276,153 @@ def order_status_metrics_unpivot_q(spark, sf_dir):
     ).orderBy("o_orderstatus", "metric")
 
 
+# ------------------------------------------------------------------ upsert merge / cumulative uniques / RANGE rolling
+@register(
+    "orders_upsert_merge",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus,
+                         CAST(round(o_totalprice * 100) AS BIGINT) cents
+                  FROM orders WHERE o_orderkey % 3 != 0),
+    upd AS (SELECT o_orderkey, 'U' o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) + 1 cents
+            FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) o_orderkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) o_orderstatus,
+           coalesce(u.cents, b.cents) cents,
+           CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END "action"
+    FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def orders_upsert_merge_q(spark, sf_dir):
+    """Warehouse MERGE/upsert semantics as one full-outer join +
+    coalesce projection (matched → update, unmatched-source → insert,
+    unmatched-target → keep) with an `action` audit column — the
+    batch analogue of the foreachBatch upsert sink.  One shuffle on
+    the merge key; at table scale the target is the bucketed side so
+    the join co-locates."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    upd = o.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (cents + 1).alias("cents"),
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    j = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+    return j.select(
+        F.coalesce("u.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("u.cents", "b.cents").alias("cents"),
+        F.when(F.col("u.o_orderkey").isNull(), "kept")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("action"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "cumulative_unique_users",
+    """
+    WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) first_day
+               FROM events GROUP BY user_id),
+    d AS (SELECT first_day, count(*) n_new FROM f GROUP BY first_day)
+    SELECT first_day AS day_idx, n_new,
+           CAST(sum(n_new) OVER (ORDER BY first_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             cumulative_users
+    FROM d ORDER BY day_idx
+    """,
+)
+def cumulative_unique_users_q(spark, sf_dir):
+    """Running distinct-user count per day WITHOUT stateful distinct:
+    the first-touch trick — distinct-to-date(d) = Σ users whose FIRST
+    event day ≤ d, so one per-user min + a tiny per-day count + a
+    running sum replace any cumulative-distinct state.  The final
+    window is over the days table (≤ tens of thousands of rows at any
+    corpus size)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    f = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    d = f.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        F.col("first_day").alias("day_idx"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day_idx")
+
+
+@register(
+    "user_value_rolling_7d",
+    """
+    WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 day_idx,
+                      CAST(round(value * 1000000) AS BIGINT) micro
+               FROM events),
+    pd AS (SELECT user_id, day_idx,
+                  CAST(sum(micro) AS BIGINT) day_micro,
+                  CAST(count(*) AS BIGINT) day_n
+           FROM d GROUP BY user_id, day_idx)
+    SELECT user_id, day_idx,
+           CAST(sum(day_micro) OVER w AS BIGINT) roll_micro,
+           CAST(sum(day_n) OVER w AS BIGINT) roll_n,
+           CAST((2 * sum(day_micro) OVER w + sum(day_n) OVER w)
+                // (2 * sum(day_n) OVER w) AS BIGINT) roll_mean_micro
+    FROM pd
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day_idx
+    """,
+)
+def user_value_rolling_7d_q(spark, sf_dir):
+    """7-day rolling sum/count/mean per user via a RANGE window frame
+    (value-based, so calendar gaps are handled without grid
+    densification).  Events pre-aggregate to one row per (user, day)
+    BEFORE the window — the frame scans days, not events; the rolling
+    mean is the integer half-up micro ratio (no float lane)."""
+    ev = _t(spark, sf_dir, "events")
+    pd_ = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("micro"),
+        )
+        .groupBy("user_id", "day_idx")
+        .agg(
+            F.sum("micro").alias("day_micro"),
+            F.count(F.lit(1)).alias("day_n"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    rm = F.sum("day_micro").over(w)
+    rn = F.sum("day_n").over(w)
+    return pd_.select(
+        "user_id",
+        "day_idx",
+        rm.cast("bigint").alias("roll_micro"),
+        rn.cast("bigint").alias("roll_n"),
+        F.expr(
+            "(2 * sum(day_micro) OVER (PARTITION BY user_id ORDER BY day_idx"
+            " RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"
+            " + sum(day_n) OVER (PARTITION BY user_id ORDER BY day_idx"
+            " RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))"
+            " div (2 * sum(day_n) OVER (PARTITION BY user_id ORDER BY day_idx"
+            " RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))"
+        )
+        .cast("bigint")
+        .alias("roll_mean_micro"),
+    ).orderBy("user_id", "day_idx")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,
