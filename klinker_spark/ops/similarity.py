@@ -34,6 +34,7 @@ __all__ = [
     "csls_topk",
     "nicdm_topk",
     "mutual_rank_topk",
+    "jl_project",
 ]
 
 
@@ -737,3 +738,58 @@ def ann_topk_ivf(
         F.nanvl(F.col("sim"), F.lit(float("-inf"))).desc(), F.col("neighbor_id").asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def jl_project(
+    vecs: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003):
+    ``y_j = Σ_i sign(i, j) · x_i`` with a deterministic ±1 matrix
+    derived from md5 parity — the oblivious dimensionality-reduction
+    sketch that preserves pairwise distances within (1 ± ε) at
+    ``out_dim = O(log n / ε²)``, with NO training pass (unlike PCA/PQ:
+    nothing to fit, so streams and shards project independently).
+
+    Integer lane: components are micro-snapped before the signed sum,
+    so every output coordinate is an exact bigint on any engine.
+    Output is long form ``(id, out_dim, comp_micro)`` — callers
+    re-assemble arrays or feed the sketch straight into grouping.
+
+    Plan: posexplode → broadcast join against the (in_dim × out_dim)
+    sign matrix → (id, j) aggregate — whole-stage codegen end to end,
+    one shuffle (the aggregate).  The sign matrix is rows = d·k and
+    always broadcastable (even d = 4096, k = 64 is 262k slim rows).
+    """
+    spark = vecs.sparkSession
+    import hashlib
+
+    signs = [
+        (
+            i,
+            j,
+            1
+            if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1,
+        )
+        for i in range(in_dim)
+        for j in range(out_dim)
+    ]
+    sdf = spark.createDataFrame(signs, "i INT, j INT, sg INT")
+    ex = vecs.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("i", "_v")
+    ).select(
+        "id",
+        F.col("i").cast("int").alias("i"),
+        F.round(F.col("_v").cast("double") * 1_000_000).cast("bigint").alias("_m"),
+    )
+    return (
+        ex.join(F.broadcast(sdf), "i")
+        .groupBy("id", "j")
+        .agg(F.sum(F.col("_m") * F.col("sg")).alias("comp_micro"))
+        .select("id", F.col("j").alias("out_dim"), "comp_micro")
+    )

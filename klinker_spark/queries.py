@@ -7423,6 +7423,39 @@ def user_value_rolling_7d_q(spark, sf_dir):
     ).orderBy("user_id", "day_idx")
 
 
+# ------------------------------------------------------------------ JL projection
+@register(
+    "jl_projection_sketch",
+    """
+    WITH e AS (SELECT vec_id, i,
+                      CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                        micro
+               FROM (SELECT vec_id, embedding,
+                            unnest(generate_series(1, len(embedding))) i
+                     FROM embeddings)),
+    s AS (SELECT i, j,
+                 CASE WHEN ('0x' || substr(md5('0:' || (i - 1) || ':' || j), 1, 1))::INT
+                           % 2 = 0 THEN 1 ELSE -1 END sg
+          FROM unnest(generate_series(1, 64)) t(i)
+          CROSS JOIN unnest(generate_series(0, 15)) t2(j))
+    SELECT vec_id AS id, CAST(j AS INT) out_dim,
+           CAST(sum(micro * sg) AS BIGINT) comp_micro
+    FROM e JOIN s USING (i) GROUP BY vec_id, j ORDER BY id, out_dim
+    """,
+)
+def jl_projection_sketch_q(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection 64 → 16 dims: oblivious
+    (training-free) distance-preserving sketch with a deterministic
+    md5-parity ±1 matrix; micro-snapped signed sums make every output
+    coordinate an exact bigint.  posexplode → broadcast sign join →
+    one aggregate — codegen end to end."""
+    from .ops.similarity import jl_project
+
+    return jl_project(
+        _t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16
+    ).orderBy("id", "out_dim")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -74,3 +74,27 @@ def test_loo_plan_broadcasts_and_single_shuffle(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jl_projection_matches_naive(spark):
+    import hashlib
+
+    from klinker_spark.ops.similarity import jl_project
+
+    vecs = [
+        (1, [1.0, 0.0, -1.0, 0.5]),
+        (2, [0.25, 0.25, 0.25, 0.25]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = {
+        (r["id"], r["out_dim"]): r["comp_micro"]
+        for r in jl_project(df, in_dim=4, out_dim=3).collect()
+    }
+
+    def sg(i, j):
+        return 1 if int(hashlib.md5(f"0:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+    for vid, v in vecs:
+        for j in range(3):
+            want = sum(sg(i, j) * round(x * 1_000_000) for i, x in enumerate(v))
+            assert got[(vid, j)] == want
