@@ -7456,6 +7456,117 @@ def jl_projection_sketch_q(spark, sf_dir):
     ).orderBy("id", "out_dim")
 
 
+# ------------------------------------------------------------------ Fellegi–Sunter linkage scoring
+def _fs_wts() -> list[tuple[int, int]]:
+    from .ops.linkage import fs_weights_nano
+
+    return fs_weights_nano(m=[0.9, 0.85, 0.99], u=[0.05, 0.1, 0.001])
+
+
+_FS_W = _fs_wts()
+
+
+@register(
+    "fellegi_sunter_linkage",
+    f"""
+    WITH u AS (
+      SELECT 'L' side, CAST(c_custkey AS VARCHAR) id,
+             reverse(lower(c_name)) k, lower(c_name) nm
+      FROM customer
+      UNION ALL
+      SELECT 'R', CAST(s_suppkey AS VARCHAR),
+             reverse(lower(s_name)), lower(s_name) FROM supplier),
+    r AS (SELECT side, id, k, nm,
+                 row_number() OVER (ORDER BY k, side, id) rank
+          FROM u),
+    p AS (SELECT CASE WHEN a.side = 'L' THEN a.id ELSE b.id END left_id,
+                 CASE WHEN a.side = 'L' THEN a.nm ELSE b.nm END lk,
+                 CASE WHEN a.side = 'L' THEN b.id ELSE a.id END right_id,
+                 CASE WHEN a.side = 'L' THEN b.nm ELSE a.nm END rk
+          FROM r a JOIN r b
+            ON b.rank > a.rank AND b.rank - a.rank <= 4 AND a.side <> b.side),
+    g AS (SELECT *,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(lk) - 2, 0)),
+                   i -> substr(lk, i, 3))) ga,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(rk) - 2, 0)),
+                   i -> substr(rk, i, 3))) gb
+          FROM p),
+    feat AS (SELECT left_id, right_id,
+                    CAST(right(lk, 3) = right(rk, 3) AS INT) a_sfx,
+                    CAST(3 * len(list_intersect(ga, gb)) >= len(ga) + len(gb) AS INT)
+                      a_qg,
+                    CAST(CAST(regexp_extract(lk, '([0-9]+)$', 1) AS BIGINT)
+                         = CAST(regexp_extract(rk, '([0-9]+)$', 1) AS BIGINT) AS INT)
+                      a_num
+             FROM g),
+    sc AS (SELECT *,
+                  (CASE WHEN a_sfx = 1 THEN {_FS_W[0][0]} ELSE {_FS_W[0][1]} END
+                 + CASE WHEN a_qg = 1 THEN {_FS_W[1][0]} ELSE {_FS_W[1][1]} END
+                 + CASE WHEN a_num = 1 THEN {_FS_W[2][0]} ELSE {_FS_W[2][1]} END)
+                    score_nano
+           FROM feat)
+    SELECT left_id, right_id, a_sfx, a_qg, a_num,
+           CAST(score_nano AS BIGINT) score_nano,
+           score_nano >= 0 is_match
+    FROM sc ORDER BY left_id, right_id
+    """,
+)
+def fellegi_sunter_linkage_q(spark, sf_dir):
+    """Probabilistic record linkage: sorted-neighborhood candidates
+    (customer × supplier, window 5, reversed-name sort key) scored with the Fellegi–Sunter
+    log-likelihood-ratio model over three agreement features (3-char
+    suffix, q-gram Jaccard ≥ ½ as a pure integer test, numeric-suffix
+    equality).  Weights ln(m/u) / ln((1-m)/(1-u)) are nano-integer
+    literals computed driver-side (libm-free); scoring is a pure
+    projection over the candidate frame — no shuffle beyond
+    blocking."""
+    from .functions.text import qgrams
+    from .ops.linkage import fellegi_sunter_score
+    from .ops.profile import sorted_neighborhood_pairs
+
+    # SN sort key = REVERSED lowered name: the digit suffix leads, so
+    # customers and suppliers with near-equal numeric ids sort
+    # adjacently (forward order would segregate the two prefixes into
+    # disjoint ranges and emit only boundary pairs)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.reverse(F.lower("c_name")).alias("text"),
+        F.lower("c_name").alias("nm"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("id"),
+        F.reverse(F.lower("s_name")).alias("text"),
+        F.lower("s_name").alias("nm"),
+    )
+    pairs = (
+        sorted_neighborhood_pairs(
+            cust.select("id", "text"), supp.select("id", "text"), window=5
+        )
+        .join(cust.select(F.col("id").alias("left_id"), F.col("nm").alias("lk")), "left_id")
+        .join(supp.select(F.col("id").alias("right_id"), F.col("nm").alias("rk")), "right_id")
+    )
+    ga = F.array_distinct(qgrams(F.col("lk"), 3))
+    gb = F.array_distinct(qgrams(F.col("rk"), 3))
+    agreements = [
+        ("a_sfx", F.expr("right(lk, 3) = right(rk, 3)")),
+        (
+            "a_qg",
+            3 * F.size(F.array_intersect(ga, gb)) >= F.size(ga) + F.size(gb),
+        ),
+        (
+            "a_num",
+            F.regexp_extract("lk", r"([0-9]+)$", 1).cast("bigint")
+            == F.regexp_extract("rk", r"([0-9]+)$", 1).cast("bigint"),
+        ),
+    ]
+    scored = fellegi_sunter_score(pairs, agreements, _FS_W, threshold_nano=0)
+    return scored.select(
+        "left_id", "right_id", "a_sfx", "a_qg", "a_num", "score_nano", "is_match"
+    ).orderBy("left_id", "right_id")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

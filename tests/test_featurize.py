@@ -98,3 +98,34 @@ def test_jl_projection_matches_naive(spark):
         for j in range(3):
             want = sum(sg(i, j) * round(x * 1_000_000) for i, x in enumerate(v))
             assert got[(vid, j)] == want
+
+
+def test_fellegi_sunter_score_hand_computed(spark):
+    import math
+
+    from klinker_spark.ops.linkage import fellegi_sunter_score, fs_weights_nano
+
+    w = fs_weights_nano(m=[0.9], u=[0.1])
+    assert w[0][0] == round(1e9 * math.log(9.0))
+    assert w[0][1] == round(1e9 * math.log(1 / 9))
+    pairs = spark.createDataFrame(
+        [(1, 10, "abc", "abc"), (2, 20, "abc", "xyz")],
+        "left_id BIGINT, right_id BIGINT, lk STRING, rk STRING",
+    )
+    out = {
+        r["left_id"]: (r["a_eq"], r["score_nano"], r["is_match"])
+        for r in fellegi_sunter_score(
+            pairs, [("a_eq", F.col("lk") == F.col("rk"))], w
+        ).collect()
+    }
+    assert out[1] == (1, w[0][0], True)
+    assert out[2] == (0, w[0][1], False)
+
+
+def test_fs_weights_validate_params(spark):
+    import pytest
+
+    from klinker_spark.ops.linkage import fs_weights_nano
+
+    with pytest.raises(ValueError):
+        fs_weights_nano(m=[0.5], u=[0.9])  # u must be < m
