@@ -41,6 +41,7 @@ __all__ = [
     "label_propagation",
     "k_core",
     "bfs_distances",
+    "hits",
 ]
 
 
@@ -446,3 +447,62 @@ def bfs_distances(
         dist = dist.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    a_col: str = "c",
+    b_col: str = "p",
+) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg 1999) over a bipartite
+    edge list: hubs = left column, authorities = right column.
+
+    Authorities start at 1e6; each iteration computes hub scores as
+    neighbor sums then L1-normalizes to ppm with the integer half-up
+    ratio ``(2e6·s + T) // (2T)`` (no float accumulation — the same
+    lane as pagerank's micro units), then the symmetric authority
+    update.  Fixed ``iters`` keeps it deterministic and unrollable as
+    an oracle.
+
+    Scale: per iteration two equi-joins + two aggregates on the edge
+    partitioning; the L1 totals are one-row frames cross-joined
+    (broadcast); per-iteration ``localCheckpoint`` bounds lineage (the
+    pagerank contract).  Score sums stay under int64 while
+    1e6·max_degree·2e6 < 9.2e18 — i.e. max degree ≲ 4.6e6, far past
+    any blocking graph; beyond that, swap the ratio into decimal(38).
+
+    Returns ``(node, kind, score_ppm)`` — hubs tagged 'hub',
+    authorities 'auth'; both L1-normalized to ≈1e6 total.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("c"), F.col(b_col).alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = (
+        e.select("p")
+        .distinct()
+        .withColumn("score", F.lit(1_000_000).cast("bigint"))
+    )
+    hn = None
+    for _ in range(iters):
+        h = e.join(a, "p").groupBy("c").agg(F.sum("score").alias("s"))
+        tot_h = h.agg(F.sum("s").alias("tot"))
+        hn = (
+            h.crossJoin(F.broadcast(tot_h))
+            .select("c", F.expr("(2000000 * s + tot) div (2 * tot)").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+        a2 = e.join(hn, "c").groupBy("p").agg(F.sum("score").alias("s"))
+        tot_a = a2.agg(F.sum("s").alias("tot"))
+        a = (
+            a2.crossJoin(F.broadcast(tot_a))
+            .select("p", F.expr("(2000000 * s + tot) div (2 * tot)").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+    return hn.select(
+        F.col("c").alias("node"), F.lit("hub").alias("kind"), F.col("score").alias("score_ppm")
+    ).unionAll(
+        a.select(F.col("p"), F.lit("auth"), F.col("score"))
+    )

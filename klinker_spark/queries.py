@@ -7567,6 +7567,56 @@ def fellegi_sunter_linkage_q(spark, sf_dir):
     ).orderBy("left_id", "right_id")
 
 
+# ------------------------------------------------------------------ HITS hubs/authorities
+def _hits_oracle(iters: int = 2) -> str:
+    """Unrolled-CTE integer HITS twin of ``ops/graph.py::hits`` —
+    the pagerank-oracle recipe (hugeint sums, integer half-up ppm
+    normalization)."""
+    parts = [
+        """WITH e AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) c,
+                           'p:' || CAST(l_partkey AS VARCHAR) p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    an0 AS (SELECT DISTINCT p, CAST(1000000 AS HUGEINT) score FROM e)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    h{i} AS (SELECT c, CAST(sum(score) AS HUGEINT) s FROM e JOIN an{i - 1} USING (p) GROUP BY c),
+    ht{i} AS (SELECT CAST(sum(s) AS HUGEINT) tot FROM h{i}),
+    hn{i} AS (SELECT c, (2000000 * s + tot) // (2 * tot) score FROM h{i} CROSS JOIN ht{i}),
+    a{i} AS (SELECT p, CAST(sum(score) AS HUGEINT) s FROM e JOIN hn{i} USING (c) GROUP BY p),
+    at{i} AS (SELECT CAST(sum(s) AS HUGEINT) tot FROM a{i}),
+    an{i} AS (SELECT p, (2000000 * s + tot) // (2 * tot) score FROM a{i} CROSS JOIN at{i})"""
+        )
+    parts.append(
+        f"""
+    SELECT c AS node, 'hub' kind, CAST(score AS BIGINT) score_ppm FROM hn{iters}
+    UNION ALL
+    SELECT p, 'auth', CAST(score AS BIGINT) FROM an{iters}
+    ORDER BY kind, node"""
+    )
+    return "".join(parts)
+
+
+@register("hits_hubs_authorities", _hits_oracle(2))
+def hits_hubs_authorities_q(spark, sf_dir):
+    """Kleinberg HITS over the bipartite customer–part purchase graph
+    (hubs = customers, authorities = parts), two fixed iterations with
+    integer half-up L1-ppm normalization — the mutually-reinforcing
+    importance complement to PageRank's random-walk score.  Per
+    iteration two equi-joins + two aggregates; L1 totals are one-row
+    broadcasts; oracle is the unrolled-CTE twin."""
+    from .ops.graph import hits
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("p"),
+    )
+    return hits(edges, iters=2).orderBy("kind", "node")
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,

@@ -83,3 +83,21 @@ def test_per_key_reservoir_cap_and_determinism(spark):
     assert counts == {1: 3, 2: 3, 3: 1}  # min(k, group size)
     again = per_key_reservoir(df, "user_id", 3, "event_id")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_hits_two_hub_graph(spark):
+    from klinker_spark.ops.graph import hits
+
+    # hub c1 points at 3 authorities, c2 at 1; authority p1 shared
+    edges = spark.createDataFrame(
+        [("c1", "p1"), ("c1", "p2"), ("c1", "p3"), ("c2", "p1")],
+        "c STRING, p STRING",
+    )
+    rows = {(r["kind"], r["node"]): r["score_ppm"] for r in hits(edges, iters=2).collect()}
+    # c1 must out-score c2 as a hub; p1 (pointed at by both) out-scores p2/p3
+    assert rows[("hub", "c1")] > rows[("hub", "c2")]
+    assert rows[("auth", "p1")] > rows[("auth", "p2")]
+    assert rows[("auth", "p2")] == rows[("auth", "p3")]
+    # L1 normalization: each side sums to ~1e6 (half-up rounding slack)
+    assert abs(sum(v for (k, _), v in rows.items() if k == "hub") - 1_000_000) <= 2
+    assert abs(sum(v for (k, _), v in rows.items() if k == "auth") - 1_000_000) <= 2
