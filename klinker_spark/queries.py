@@ -7617,6 +7617,59 @@ def hits_hubs_authorities_q(spark, sf_dir):
     return hits(edges, iters=2).orderBy("kind", "node")
 
 
+# ------------------------------------------------------------------ time-decayed aggregate
+@register(
+    "time_decayed_user_value",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts) // 86400000000) d1 FROM events),
+    b AS (SELECT user_id,
+                 CAST(d1 - epoch_us(ts) // 86400000000 AS INT) age,
+                 CAST(round(value * 1000000) AS BIGINT) micro
+          FROM events CROSS JOIN mx)
+    SELECT user_id,
+           CAST(sum(CASE WHEN age <= 20
+                         THEN micro * (CAST(1 AS BIGINT) << (20 - age))
+                         ELSE 0 END) AS BIGINT) decayed_scaled,
+           CAST(sum(micro) AS BIGINT) raw_micro,
+           count(*) n_events
+    FROM b GROUP BY user_id ORDER BY user_id
+    """,
+)
+def time_decayed_user_value_q(spark, sf_dir):
+    """Exponentially time-decayed per-user value with half-life = 1
+    day, kept EXACT by choosing decay base 2 and integer scaling:
+    weight(age) = 2^(20-age) (ages past 20 half-lives contribute < 1
+    scaled unit and drop to an explicit 0), so the decayed sum is a
+    pure bigint — no float accumulation, engine-identical.  Consumers
+    read ``decayed = decayed_scaled / 2^20``; the 20-bit scale keeps
+    micro·2^20·per-user-count inside int64.  One aggregate; the
+    corpus max-day anchor is a one-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    mx = ev.agg(F.max(day).alias("d1"))
+    b = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.col("d1") - day).cast("int").alias("age"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("micro"),
+    )
+    return (
+        b.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("age") <= 20,
+                    F.col("micro") * F.expr("shiftleft(cast(1 as bigint), 20 - age)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("decayed_scaled"),
+            F.sum("micro").cast("bigint").alias("raw_micro"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations in rounds 1-2,
