@@ -152,6 +152,10 @@ EXTRA_QUERIES = [
     "orders_upsert_merge",
     "cumulative_unique_users",
     "user_value_rolling_7d",
+    "jl_projection_sketch",
+    "fellegi_sunter_linkage",
+    "hits_hubs_authorities",
+    "time_decayed_user_value",
 ]
 
 
