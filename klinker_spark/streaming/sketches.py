@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from ..ops.sketches import hll_estimate, hll_registers
 
-__all__ = ["streaming_distinct_tracker", "tracked_distinct_estimate"]
+__all__ = [
+    "streaming_distinct_tracker",
+    "tracked_distinct_estimate",
+    "streaming_frequency_tracker",
+    "tracked_frequency_sketch",
+]
 
 
 def streaming_distinct_tracker(
@@ -57,3 +62,47 @@ def tracked_distinct_estimate(spark: SparkSession, store_dir: str) -> DataFrame:
         .agg(F.max("mj").cast("int").alias("mj"))
     )
     return hll_estimate(regs)
+
+
+def streaming_frequency_tracker(
+    stream: DataFrame,
+    col: str,
+    store_dir: str,
+    width: int = 8192,
+    depth: int = 4,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """ForeachBatch writer for continuous FREQUENCY tracking: each
+    micro-batch's Count-Min sketch lands at ``store_dir/batch=N``
+    (idempotent batch-keyed overwrite).  Count-Min is LINEAR —
+    cell-wise SUM-merge of per-batch sketches equals the single-pass
+    sketch over the union — so the store never holds more than
+    ``batches · depth · width`` cells regardless of the key space,
+    and compaction is itself just the merge.  Returns the started
+    query."""
+    from ..ops.sketches import cm_build
+
+    def per_batch(batch_df, batch_id: int) -> None:
+        cm_build(batch_df, col, width=width, depth=depth).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{store_dir}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(per_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def tracked_frequency_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Sum-merge every batch's CM cells — EXACTLY the sketch one batch
+    pass over the union would produce (cell-wise addition is the CM
+    merge; replays of a batch id overwrite, so at-least-once delivery
+    cannot double-count)."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

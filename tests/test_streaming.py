@@ -576,3 +576,44 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
     u1 = sorted((k, v) for k, v in want.items() if k[0] == 1)
     assert [k[2] for k, _ in u1] == ["A", "B", "C"]
     assert [v[1] for _, v in u1] == [False, False, True]
+
+
+def test_streaming_frequency_tracker(spark, events, tmp_path):
+    """Per-batch Count-Min sketches SUM-merge to EXACTLY the batch
+    sketch over all data (CM is linear) — batching invisible."""
+    import os
+
+    from klinker_spark.ops.sketches import cm_build, cm_estimate
+    from klinker_spark.streaming.sketches import (
+        streaming_frequency_tracker,
+        tracked_frequency_sketch,
+    )
+
+    src = str(tmp_path / "cm_src")
+    store = str(tmp_path / "cm_store")
+    sample = events.limit(3000).select("event_type")
+    sample.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_frequency_tracker(
+        stream, "event_type", store, width=64, depth=3,
+        checkpoint_dir=str(tmp_path / "cm_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len([d for d in os.listdir(store) if d.startswith("batch=")]) >= 2
+    merged = tracked_frequency_sketch(spark, store)
+    want = cm_build(sample, "event_type", width=64, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, want.collect()))
+    # point estimate from the merged sketch upper-bounds the true count
+    est = {
+        r["key"]: r["est_count"]
+        for r in cm_estimate(
+            spark.createDataFrame([("click",)], "key STRING"), "key", merged,
+            width=64, depth=3,
+        ).collect()
+    }
+    truth = sample.where(F.col("event_type") == "click").count()
+    assert est["click"] >= truth
