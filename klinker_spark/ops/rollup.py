@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hypertable_rollup", "value_histogram", "grouped_quantiles", "pareto_frontier", "winsorize"]
+__all__ = ["hypertable_rollup", "value_histogram", "grouped_quantiles", "pareto_frontier", "pareto_frontier_global", "winsorize"]
 
 
 def hypertable_rollup(
@@ -248,3 +248,35 @@ def winsorize(
         )
         .drop("_lo", "_hi")
     )
+
+
+def pareto_frontier_global(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+    tie_col: str,
+    n_salts: int = 32,
+) -> DataFrame:
+    """GLOBAL skyline via the two-phase distributed algorithm: a local
+    skyline per hash-salt partition (parallel, prunes the bulk —
+    dominance is transitive, so any globally-dominated row is also
+    dominated within its salt OR by a surviving local-frontier row),
+    then one skyline over the union of survivors.
+
+    For n uniform 2-D points the expected frontier is O(log n), so
+    survivors ≈ n_salts·log(n/n_salts) and the second pass is a
+    near-trivial single sort; the worst case (all points on the
+    frontier — perfectly anti-correlated dimensions) degenerates to a
+    global sort, which is the information-theoretic floor for any
+    exact skyline.  Duplicate (max, min) points resolve to the
+    smallest ``tie`` globally (each local pass keeps its local min,
+    the global pass keeps the min of those).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(tie_col)), F.lit(n_salts))
+    )
+    local = pareto_frontier(salted, "_salt", max_col, min_col, tie_col)
+    glob = pareto_frontier(
+        local.withColumn("_g", F.lit(0)), "_g", max_col, min_col, tie_col
+    )
+    return glob.drop("_salt", "_g")

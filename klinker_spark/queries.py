@@ -7617,6 +7617,44 @@ def hits_hubs_authorities_q(spark, sf_dir):
     return hits(edges, iters=2).orderBy("kind", "node")
 
 
+# ------------------------------------------------------------------ global two-phase skyline
+@register(
+    "global_pareto_frontier",
+    """
+    WITH b AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) price_cents,
+                      epoch_us(o_orderdate) // 86400000000 day_idx
+               FROM orders),
+    w AS (SELECT *, min(day_idx) OVER (
+            ORDER BY price_cents DESC, day_idx ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm
+          FROM b)
+    SELECT o_orderkey, price_cents, day_idx
+    FROM w WHERE pm IS NULL OR pm > day_idx
+    ORDER BY o_orderkey
+    """,
+)
+def global_pareto_frontier_q(spark, sf_dir):
+    """GLOBAL skyline of all orders on (max totalprice, min orderdate)
+    via the two-phase distributed algorithm: local skyline per hash
+    salt (parallel bulk pruning — dominance is transitive), then one
+    skyline over the ~salts·log(n) survivors.  The oracle computes
+    the direct single-pass skyline, proving the two-phase rewrite is
+    EXACT, not approximate."""
+    from .ops.rollup import pareto_frontier_global
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000").alias(
+            "day_idx"
+        ),
+    )
+    front = pareto_frontier_global(base, "price_cents", "day_idx", "o_orderkey")
+    return front.select("o_orderkey", "price_cents", "day_idx").orderBy("o_orderkey")
+
+
 # ------------------------------------------------------------------ time-decayed aggregate
 @register(
     "time_decayed_user_value",

@@ -101,3 +101,17 @@ def test_hits_two_hub_graph(spark):
     # L1 normalization: each side sums to ~1e6 (half-up rounding slack)
     assert abs(sum(v for (k, _), v in rows.items() if k == "hub") - 1_000_000) <= 2
     assert abs(sum(v for (k, _), v in rows.items() if k == "auth") - 1_000_000) <= 2
+
+
+def test_global_pareto_two_phase_equals_direct(spark):
+    from klinker_spark.ops.rollup import pareto_frontier, pareto_frontier_global
+
+    # deterministic pseudo-random points, including duplicates
+    rows = [(k, (k * 7919) % 101, (k * 104729) % 97) for k in range(300)]
+    rows += [(1000 + k, (k * 7919) % 101, (k * 104729) % 97) for k in range(5)]
+    df = spark.createDataFrame(rows, "k BIGINT, mx BIGINT, mn BIGINT")
+    direct = pareto_frontier(df.withColumn("_g", F.lit(0)), "_g", "mx", "mn", "k")
+    two_phase = pareto_frontier_global(df, "mx", "mn", "k", n_salts=8)
+    a = sorted(r["k"] for r in direct.collect())
+    b = sorted(r["k"] for r in two_phase.collect())
+    assert a == b and len(a) >= 1
