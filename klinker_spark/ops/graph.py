@@ -87,14 +87,17 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_df = nodes.agg(F.count("*").alias("_n"))
-    # rank-vector delivery: when the per-node rank table fits in one
-    # executor (two slim columns), BROADCAST it into the edge join —
-    # the edge table never shuffles and each iteration is a map-side
-    # join + one aggregate (the GraphX-style small-graph fast path).
-    # Past ~5M nodes fall back to the shuffle join (auto unless
-    # overridden).
+    # rank-vector delivery: when the per-node rank table is small,
+    # BROADCAST it into the edge join — the edge table never shuffles
+    # and each iteration is a map-side join + one aggregate (the
+    # GraphX-style small-graph fast path).  The crossover is LOW:
+    # the broadcast is rebuilt every iteration (driver collect +
+    # serialize + ship), so past ~500k nodes the shuffle join wins —
+    # measured 4.8 s vs 8.8 s at 185k nodes (broadcast wins warm) but
+    # 40.8 s vs 20.9 s at 1.85M nodes (broadcast loses 2x).  Auto
+    # unless overridden.
     if broadcast_ranks is None:
-        broadcast_ranks = nodes.count() <= 5_000_000
+        broadcast_ranks = nodes.count() <= 500_000
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.round(F.lit(1e6) / F.col("_n")).cast("bigint").alias("rank_micro")
     )
