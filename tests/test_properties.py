@@ -293,3 +293,77 @@ def test_hll_shard_merge_invariant_property(spark, vals):
     got = hll_estimate(merged).first()
     assert list(got["registers"]) == list(whole["registers"])
     assert got["estimate"] == whole["estimate"]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 20)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_intervals_matches_naive_property(spark, spans):
+    """∀ interval sets: merged islands equal the classic sweep-line
+    union (same key)."""
+    from klinker_spark.ops.temporal import merge_intervals
+
+    rows = [("k", s, s + ln) for s, ln in spans]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k STRING, s BIGINT, e BIGINT")
+    got = sorted(
+        (r["start"], r["end"], r["n_rows"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    # naive sweep line
+    want = []
+    for s, e in sorted((s, e) for _, s, e in rows):
+        if want and s <= want[-1][1]:
+            want[-1] = (want[-1][0], max(want[-1][1], e), want[-1][2] + 1)
+        else:
+            want.append((s, e, 1))
+    assert got == [tuple(w) for w in want]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["a", "b", "c"])),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_matches_naive_simulation_property(spark, evs):
+    """∀ single-user event streams: funnel step counts equal a direct
+    simulation of the strict (ts, id) ordering."""
+    from datetime import datetime, timedelta
+
+    from klinker_spark.ops.behavior import funnel_steps
+
+    if not evs:
+        return
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(hours=t), 1, ty, 0.0) for i, (t, ty) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    steps = ["a", "b", "c"]
+    got = {r["step"]: r["n_users"] for r in funnel_steps(df, steps).collect()}
+    # simulate: first 'a' by (t, id); then first 'b' strictly after; ...
+    seq = sorted((t, i, ty) for i, (t, ty) in enumerate(evs))
+    reached = 0
+    cur = None
+    for want_ty in steps:
+        nxt = next(
+            ((t, i) for t, i, ty in seq if ty == want_ty and (cur is None or (t, i) > cur)),
+            None,
+        )
+        if nxt is None:
+            break
+        cur = nxt
+        reached += 1
+    for k, s in enumerate(steps, 1):
+        assert got[k] == (1 if reached >= k else 0)
