@@ -7617,6 +7617,53 @@ def hits_hubs_authorities_q(spark, sf_dir):
     return hits(edges, iters=2).orderBy("kind", "node")
 
 
+# ------------------------------------------------------------------ ANN recall audit
+@register(
+    "ann_recall_audit",
+    f"""
+    WITH iv AS (SELECT query_id, neighbor_id FROM ({_IVF_MD5_ORACLE}) t),
+    exx AS (SELECT query_id, neighbor_id FROM ({{knn}}) t),
+    hit AS (SELECT e.query_id, CAST(count(*) AS BIGINT) h
+            FROM exx e JOIN iv USING (query_id, neighbor_id)
+            GROUP BY e.query_id),
+    qs AS (SELECT DISTINCT query_id FROM exx)
+    SELECT qs.query_id, coalesce(h.h, 0) n_hits,
+           coalesce(h.h, 0) * 100000 recall_ppm
+    FROM qs LEFT JOIN hit h USING (query_id)
+    ORDER BY query_id
+    """.replace("{knn}", _KNN_ORACLE),
+)
+def ann_recall_audit_q(spark, sf_dir):
+    """Measure, don't guess: per-query recall@10 of the IVF
+    (hash-sample quantizer, 4/16 probes) against exact brute force —
+    the approximation-quality audit that decides probe counts before
+    trusting an ANN path at scale.  Both sides are deterministic, so
+    the audit itself is exact-oracled; recall_ppm = hits · 1e5 (pure
+    integer)."""
+    from .ops.similarity import ann_topk_ivf, brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 10 == 0)
+    ivf = ann_topk_ivf(q, emb, k=10, quantizer="hash_sample").select(
+        "query_id", "neighbor_id"
+    )
+    ex = brute_force_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    hits = ex.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return (
+        ex.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("h", F.lit(0)) * 100_000).cast("bigint").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ------------------------------------------------------------------ global two-phase skyline
 @register(
     "global_pareto_frontier",
