@@ -50,15 +50,23 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     broadcast_ranks: bool | None = None,
+    sources: list[str] | None = None,
 ) -> DataFrame:
-    """Fixed-iteration integer-micro-unit PageRank.
+    """Fixed-iteration integer-micro-unit PageRank; pass ``sources``
+    for the PERSONALIZED variant (random walk with restart): teleport
+    mass lands only on the source set, so ranks measure proximity to
+    the sources rather than global importance — the standard
+    seed-expansion primitive (related-entity discovery from a handful
+    of known matches).
 
     ``edges`` carries ``(head, tail)``; multi-edges count once each
     (dedup upstream if unwanted).  Returns ``(node, rank_micro,
     rank)`` for every node, ``rank = round(rank_micro / 1e6, 6)``.
 
-    Iteration: ``r₀ = round(1e6 / N)``;
-    ``r_{t+1}(v) = round((1-d)·1e6 / N) + round(d · Σ_{u→v} r_t(u) DIV outdeg(u))``.
+    Iteration: ``r₀ = round(1e6 / N)`` (or ``1e6/|S|`` on sources, 0
+    elsewhere);
+    ``r_{t+1}(v) = [v∈T]·round((1-d)·1e6 / |T|) + round(d · Σ_{u→v} r_t(u) DIV outdeg(u))``
+    with T = sources (or all nodes when unpersonalized).
     """
     tele = (1.0 - damping) * 1e6
     # loop-invariant tables materialize ONCE (eager localCheckpoint —
@@ -98,9 +106,25 @@ def pagerank(
     # unless overridden.
     if broadcast_ranks is None:
         broadcast_ranks = nodes.count() <= 500_000
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", F.round(F.lit(1e6) / F.col("_n")).cast("bigint").alias("rank_micro")
-    )
+    if sources is not None:
+        # tiny literal membership set: teleport targets
+        src = F.array(*[F.lit(x) for x in sources])
+        is_src = F.array_contains(src, F.col("node"))
+        n_src = float(len(sources))
+        ranks = nodes.select(
+            "node",
+            F.when(is_src, F.round(F.lit(1e6 / n_src)).cast("bigint"))
+            .otherwise(F.lit(0))
+            .alias("rank_micro"),
+        )
+        tele_term = F.when(
+            is_src, F.round(F.lit(tele / n_src)).cast("bigint")
+        ).otherwise(F.lit(0))
+    else:
+        ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+            "node", F.round(F.lit(1e6) / F.col("_n")).cast("bigint").alias("rank_micro")
+        )
+        tele_term = None
     for _ in range(iters):
         r = ranks.withColumnRenamed("node", "head")
         summed = (
@@ -118,7 +142,11 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.round(F.lit(tele) / F.col("_n")).cast("bigint")
+                    (
+                        tele_term
+                        if tele_term is not None
+                        else F.round(F.lit(tele) / F.col("_n")).cast("bigint")
+                    )
                     + F.round(
                         F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
                     ).cast("bigint")

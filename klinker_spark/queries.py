@@ -7617,6 +7617,79 @@ def hits_hubs_authorities_q(spark, sf_dir):
     return hits(edges, iters=2).orderBy("kind", "node")
 
 
+# ------------------------------------------------------------------ personalized PageRank
+def _ppr_oracle(sources: list[str], iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank twin of ``_pagerank_oracle`` —
+    teleport mass restricted to the source set."""
+    tele = (1.0 - damping) * 1e6
+    n_src = float(len(sources))
+    in_src = "node IN (" + ", ".join(f"'{s}'" for s in sources) + ")"
+    parts = [
+        """WITH edges AS (
+      SELECT concat('c:', CAST(o_custkey AS VARCHAR)) head,
+             concat('o:', CAST(o_orderkey AS VARCHAR)) tail FROM orders
+      UNION ALL
+      SELECT concat('o:', CAST(l_orderkey AS VARCHAR)),
+             concat('p:', CAST(l_partkey AS VARCHAR)) FROM lineitem),
+    nodes AS (SELECT head AS node FROM edges UNION SELECT tail FROM edges),
+    outdeg AS (SELECT head, count(*) outdeg FROM edges GROUP BY head),
+    r0 AS (SELECT node,
+                  CASE WHEN {in_src}
+                       THEN CAST(round(1e6 / {n}) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END rank_micro
+           FROM nodes)""".format(in_src=in_src, n=n_src)
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+    r{i + 1} AS (
+      SELECT nodes.node,
+             CASE WHEN {in_src.replace("node", "nodes.node")}
+                  THEN CAST(round({tele!r} / {n_src!r}) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END
+             + CAST(round({damping!r} * coalesce(s.s, 0)) AS BIGINT) AS rank_micro
+      FROM nodes
+      LEFT JOIN (SELECT e.tail node,
+                        CAST(sum(r{i}.rank_micro // od.outdeg) AS BIGINT) s
+                 FROM edges e
+                 JOIN r{i} ON e.head = r{i}.node
+                 JOIN outdeg od ON e.head = od.head
+                 GROUP BY e.tail) s ON nodes.node = s.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, rank_micro, round(rank_micro / 1e6, 6) AS rank
+    FROM r{iters} WHERE rank_micro > 0 ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register("personalized_pagerank", _ppr_oracle(["c:1", "c:2", "c:3"]))
+def personalized_pagerank_q(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) seeded at
+    three customers over the customer–order–part graph: proximity-to-
+    seed ranking, the standard seed-expansion primitive for growing a
+    match set from a handful of known links.  Same integer micro-unit
+    power iteration and unrolled oracle as global PageRank, with
+    teleport mass restricted to the seeds; only positively-ranked
+    (reachable) nodes are returned."""
+    from .ops.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = o.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("head"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("tail"),
+    ).unionAll(
+        li.select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")),
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")),
+        )
+    )
+    out = pagerank(edges, sources=["c:1", "c:2", "c:3"])
+    return out.where(F.col("rank_micro") > 0).orderBy("node")
+
+
 # ------------------------------------------------------------------ ANN recall audit
 @register(
     "ann_recall_audit",

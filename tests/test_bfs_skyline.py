@@ -115,3 +115,15 @@ def test_global_pareto_two_phase_equals_direct(spark):
     a = sorted(r["k"] for r in direct.collect())
     b = sorted(r["k"] for r in two_phase.collect())
     assert a == b and len(a) >= 1
+
+
+def test_personalized_pagerank_concentrates_near_seed(spark):
+    from klinker_spark.ops.graph import pagerank
+
+    # two disjoint chains; seed in chain 1 -> chain 2 gets zero mass
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "z")], "head STRING, tail STRING"
+    )
+    rows = {r["node"]: r["rank_micro"] for r in pagerank(edges, sources=["a"]).collect()}
+    assert rows["a"] > rows["b"] > rows["c"] > 0
+    assert rows["x"] == rows["y"] == rows["z"] == 0
