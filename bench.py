@@ -156,6 +156,9 @@ EXTRA_QUERIES = [
     "fellegi_sunter_linkage",
     "hits_hubs_authorities",
     "time_decayed_user_value",
+    "global_pareto_frontier",
+    "ann_recall_audit",
+    "personalized_pagerank",
 ]
 
 
