@@ -159,6 +159,7 @@ EXTRA_QUERIES = [
     "global_pareto_frontier",
     "ann_recall_audit",
     "personalized_pagerank",
+    "funnel_conversion_windowed",
 ]
 
 

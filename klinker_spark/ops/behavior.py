@@ -58,10 +58,15 @@ def funnel_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tie_col: str = "event_id",
+    step_within_us: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: for each step i, the number of users
     with an event of type ``steps[i]`` STRICTLY after their step-(i-1)
     completion (first qualifying event, ties broken by ``tie_col``).
+    ``step_within_us`` additionally bounds each CONSECUTIVE step gap
+    (step i within that many µs of step i-1 — the per-step-gap funnel;
+    the whole-window variant anchors on step 1 instead and is one
+    inequality swap away).
 
     Returns ``(step, event_type, n_users, conv_ppm)`` where
     ``conv_ppm`` is users-at-step / users-at-step-1 in parts per
@@ -77,9 +82,15 @@ def funnel_steps(
         if prev is None:
             reached = stage.groupBy(user_col).agg(F.min(key).alias("_reached"))
         else:
+            cond = key > F.col("_reached")
+            if step_within_us is not None:
+                cond = cond & (
+                    F.expr(f"unix_micros({ts_col})")
+                    <= F.expr("unix_micros(_reached.t)") + F.lit(step_within_us)
+                )
             reached = (
                 stage.join(prev, user_col)
-                .where(key > F.col("_reached"))
+                .where(cond)
                 .groupBy(user_col)
                 .agg(F.min(key).alias("_reached"))
             )

@@ -7617,6 +7617,44 @@ def hits_hubs_authorities_q(spark, sf_dir):
     return hits(edges, iters=2).orderBy("kind", "node")
 
 
+# ------------------------------------------------------------------ windowed funnel
+@register(
+    "funnel_conversion_windowed",
+    """
+    WITH s1 AS (SELECT user_id, min({'t': ts, 'i': event_id}) r
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min({'t': e.ts, 'i': e.event_id}) r
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND {'t': e.ts, 'i': e.event_id} > s1.r
+             AND epoch_us(e.ts) <= epoch_us(struct_extract(s1.r, 't')) + 21600000000
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min({'t': e.ts, 'i': e.event_id}) r
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'click' AND {'t': e.ts, 'i': e.event_id} > s2.r
+             AND epoch_us(e.ts) <= epoch_us(struct_extract(s2.r, 't')) + 21600000000
+           GROUP BY e.user_id),
+    c AS (SELECT (SELECT count(*) FROM s1) n1, (SELECT count(*) FROM s2) n2,
+                 (SELECT count(*) FROM s3) n3)
+    SELECT 1 step, 'signup' event_type, n1 n_users, (2000000*n1 + n1) // (2*n1) conv_ppm FROM c
+    UNION ALL SELECT 2, 'view', n2, (2000000*n2 + n1) // (2*n1) FROM c
+    UNION ALL SELECT 3, 'click', n3, (2000000*n3 + n1) // (2*n1) FROM c
+    ORDER BY step
+    """,
+)
+def funnel_conversion_windowed_q(spark, sf_dir):
+    """Windowed funnel (the ClickHouse-windowFunnel family, per-step
+    gap form): each step must land within 6 h of the previous step's
+    completion — time-bounded conversion, the funnel variant marketing
+    actually asks for.  Same k chained per-user struct-min aggregates;
+    the gap test is pure epoch-µs integer arithmetic."""
+    from .ops.behavior import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, ["signup", "view", "click"], step_within_us=21_600_000_000
+    ).orderBy("step")
+
+
 # ------------------------------------------------------------------ personalized PageRank
 def _ppr_oracle(sources: list[str], iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled personalized-PageRank twin of ``_pagerank_oracle`` —

@@ -200,3 +200,24 @@ def test_behavior_plans_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_step_window_bounds_gap(spark):
+    ev = _ev(
+        spark,
+        [
+            # user 1: view 1h after signup (inside 2h window)
+            (1, TS(1), 1, "signup", 0.0),
+            (2, TS(2), 1, "view", 0.0),
+            # user 2: view 5h after signup (outside)
+            (3, TS(1), 2, "signup", 0.0),
+            (4, TS(6), 2, "view", 0.0),
+        ],
+    )
+    out = {
+        r["event_type"]: r["n_users"]
+        for r in funnel_steps(
+            ev, ["signup", "view"], step_within_us=2 * 3600 * 1_000_000
+        ).collect()
+    }
+    assert out == {"signup": 2, "view": 1}
