@@ -160,6 +160,7 @@ EXTRA_QUERIES = [
     "ann_recall_audit",
     "personalized_pagerank",
     "funnel_conversion_windowed",
+    "bloom_semijoin_pushdown",
 ]
 
 

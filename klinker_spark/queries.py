@@ -7617,6 +7617,93 @@ def hits_hubs_authorities_q(spark, sf_dir):
     return hits(edges, iters=2).orderBy("kind", "node")
 
 
+# ------------------------------------------------------------------ bloom semi-join pushdown
+@register(
+    "bloom_semijoin_pushdown",
+    """
+    WITH hashes AS (SELECT unnest([0,1,2,3]) AS i),
+    dim AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) k FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+    hpos AS (SELECT (('0x' || substr(md5(i::VARCHAR || ':' || k), 1, 15))::BIGINT
+                     % 32768) p
+             FROM dim CROSS JOIN hashes),
+    words AS (SELECT (p // 32)::INT w, bit_or(1::BIGINT << (p % 32)::INT) word
+              FROM hpos GROUP BY 1),
+    fact AS (SELECT l_orderkey, CAST(l_orderkey AS VARCHAR) k FROM lineitem),
+    -- hit is a function of the KEY: probe distinct keys, join back to
+    -- rows (lineitem has several lines per order — grouping rows by
+    -- key would collapse the fact multiplicity)
+    fk AS (SELECT DISTINCT k FROM fact),
+    fpos AS (SELECT k,
+                    (('0x' || substr(md5(i::VARCHAR || ':' || k), 1, 15))::BIGINT
+                     % 32768) p
+             FROM fk CROSS JOIN hashes),
+    chk AS (SELECT k,
+                   bool_and(coalesce(((w.word >> (f.p % 32)::INT) & 1) = 1, false)) hit
+            FROM fpos f LEFT JOIN words w ON (f.p // 32)::INT = w.w
+            GROUP BY k),
+    truth AS (SELECT fact.l_orderkey, c.hit, (d.k IS NOT NULL) tru
+              FROM fact JOIN chk c USING (k) LEFT JOIN dim d ON fact.k = d.k)
+    SELECT CAST(count(*) AS BIGINT) n_fact,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) n_bloom_pass,
+           CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) n_true,
+           CAST(sum(CASE WHEN hit AND NOT tru THEN 1 ELSE 0 END) AS BIGINT) false_pos,
+           CAST(round((1000000.0 * sum(CASE WHEN hit AND NOT tru THEN 1 ELSE 0 END))
+                      / (count(*) - sum(CASE WHEN tru THEN 1 ELSE 0 END))) AS BIGINT)
+             fp_ppm
+    FROM truth
+    """,
+)
+def bloom_semijoin_pushdown_q(spark, sf_dir):
+    """Bloom semi-join pushdown audit — the runtime-filter pattern
+    engines use to prune a fact scan before the shuffle join: fold the
+    urgent-order keys into a 32k-bit Bloom (md5 twin, engine-exact),
+    probe every lineitem row MAP-SIDE, and measure what the filter
+    saves (rows passed, true matches, false-positive ppm).  The exact
+    semi-join then only sees the Bloom-hit sliver — at 100 TB that is
+    the difference between shuffling the whole fact table and
+    shuffling the matching fraction (+fp)."""
+    from .ops.bloom import bloom_build, bloom_ingest_gate
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(dim, "k", m_bits=1 << 15, hash_fn="md5")
+    fact = li.select(
+        "l_orderkey", F.col("l_orderkey").cast("string").alias("fingerprint")
+    )
+    gated = bloom_ingest_gate(fact, bloom, m_bits=1 << 15, hash_fn="md5")
+    truth = gated.join(
+        dim.withColumnRenamed("k", "fingerprint").withColumn("_t", F.lit(1)),
+        "fingerprint",
+        "left",
+    ).select(
+        F.col("maybe_dup").alias("hit"), F.col("_t").isNotNull().alias("tru")
+    )
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("tru"), 1).otherwise(0)).cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("hit") & ~F.col("tru"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("false_pos"),
+        F.round(
+            1_000_000.0
+            * F.sum(F.when(F.col("hit") & ~F.col("tru"), 1).otherwise(0))
+            / (
+                F.count(F.lit(1))
+                - F.sum(F.when(F.col("tru"), 1).otherwise(0))
+            )
+        )
+        .cast("bigint")
+        .alias("fp_ppm"),
+    )
+
+
 # ------------------------------------------------------------------ windowed funnel
 @register(
     "funnel_conversion_windowed",
