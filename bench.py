@@ -161,6 +161,7 @@ EXTRA_QUERIES = [
     "personalized_pagerank",
     "funnel_conversion_windowed",
     "bloom_semijoin_pushdown",
+    "event_hour_chi2",
 ]
 
 

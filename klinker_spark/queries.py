@@ -7617,6 +7617,69 @@ def hits_hubs_authorities_q(spark, sf_dir):
     return hits(edges, iters=2).orderBy("kind", "node")
 
 
+# ------------------------------------------------------------------ chi-square independence
+@register(
+    "event_hour_chi2",
+    """
+    WITH b AS (SELECT event_type t, (epoch_us(ts) // 3600000000) % 24 h FROM events),
+    o AS (SELECT t, h, CAST(count(*) AS HUGEINT) o FROM b GROUP BY t, h),
+    rt AS (SELECT t, CAST(count(*) AS HUGEINT) r FROM b GROUP BY t),
+    ct AS (SELECT h, CAST(count(*) AS HUGEINT) c FROM b GROUP BY h),
+    n AS (SELECT CAST(count(*) AS HUGEINT) n FROM b),
+    cells AS (
+      SELECT o.t, o.h,
+             (2000000000 * (o.o * n.n - rt.r * ct.c) * (o.o * n.n - rt.r * ct.c)
+              + n.n * rt.r * ct.c) // (2 * n.n * rt.r * ct.c) contrib_nano
+      FROM o JOIN rt USING (t) JOIN ct USING (h) CROSS JOIN n)
+    SELECT CAST(count(*) AS BIGINT) n_cells,
+           CAST((SELECT count(*) FROM rt) AS BIGINT) n_rows,
+           CAST((SELECT count(*) FROM ct) AS BIGINT) n_cols,
+           CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1)
+                AS BIGINT) dof,
+           CAST(sum(contrib_nano) AS BIGINT) chi2_nano
+    FROM cells
+    """,
+)
+def event_hour_chi2_q(spark, sf_dir):
+    """Pearson chi-square independence test of event type × hour of
+    day — the contingency-table screen for temporal usage patterns.
+    Per-cell contribution ``(o·N − r·c)² / (N·r·c)`` is computed as an
+    integer half-up NANO ratio in decimal(38)/int128, so the statistic
+    is a shuffle-order-free exact bigint (lesson (i) generalized to a
+    ratio-of-products).  Three tiny aggregates + a cells join; the
+    observed table only materializes |types|·|hours| rows."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_type").alias("t"),
+        (F.expr("unix_micros(ts) DIV 3600000000") % 24).alias("h"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    o = b.groupBy("t", "h").agg(dec(F.count(F.lit(1))).alias("o"))
+    rt = b.groupBy("t").agg(dec(F.count(F.lit(1))).alias("r"))
+    ct = b.groupBy("h").agg(dec(F.count(F.lit(1))).alias("c"))
+    n = b.agg(dec(F.count(F.lit(1))).alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "h")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_dev", F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+        .withColumn("_den", F.col("n") * F.col("r") * F.col("c"))
+        .withColumn(
+            "contrib_nano",
+            F.expr("(2000000000 * _dev * _dev + _den) div (2 * _den)"),
+        )
+    )
+    nr = rt.count()
+    nc = ct.count()
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.lit(nr).cast("bigint").alias("n_rows"),
+        F.lit(nc).cast("bigint").alias("n_cols"),
+        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.sum("contrib_nano").cast("bigint").alias("chi2_nano"),
+    )
+
+
 # ------------------------------------------------------------------ bloom semi-join pushdown
 @register(
     "bloom_semijoin_pushdown",
