@@ -162,6 +162,7 @@ EXTRA_QUERIES = [
     "funnel_conversion_windowed",
     "bloom_semijoin_pushdown",
     "event_hour_chi2",
+    "customer_rfm_segments",
 ]
 
 

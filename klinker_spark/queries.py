@@ -7617,6 +7617,74 @@ def hits_hubs_authorities_q(spark, sf_dir):
     return hits(edges, iters=2).orderBy("kind", "node")
 
 
+# ------------------------------------------------------------------ RFM segmentation
+@register(
+    "customer_rfm_segments",
+    """
+    WITH mx AS (SELECT max(epoch_us(o_orderdate) // 86400000000) d1 FROM orders),
+    rfm AS (SELECT o_custkey,
+                   CAST(d1 - max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) recency_days,
+                   CAST(count(*) AS BIGINT) frequency,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     monetary_cents
+            FROM orders CROSS JOIN mx GROUP BY o_custkey, d1),
+    binned AS (SELECT *,
+                      ntile(4) OVER (ORDER BY recency_days ASC, o_custkey) r_bin,
+                      ntile(4) OVER (ORDER BY frequency DESC, o_custkey) f_bin,
+                      ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) m_bin
+               FROM rfm)
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(r_bin AS INT) r_bin, CAST(f_bin AS INT) f_bin,
+           CAST(m_bin AS INT) m_bin,
+           CAST(r_bin * 100 + f_bin * 10 + m_bin AS INT) rfm_code
+    FROM binned ORDER BY o_custkey
+    """,
+)
+def customer_rfm_segments_q(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary),
+    the classic lifecycle-marketing rollup: per customer the three
+    metrics in exact integer units (epoch days, counts, cents) and
+    their ntile(4) bins under fully-deterministic total orders
+    (metric, custkey) — bin 1 = best on every axis.  One aggregate +
+    three window passes over the per-customer frame (dimension-sized,
+    not fact-sized); at 100 TB swap the unpartitioned ntile for the
+    distributed global_rank recipe (documented in ops/profile.py)."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000")
+    mx = o.agg(F.max(day).alias("d1"))
+    rfm = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "d1")
+        .agg(
+            (F.col("d1") - F.max(day)).cast("bigint").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+    binned = (
+        rfm.withColumn("r_bin", F.ntile(4).over(wr))
+        .withColumn("f_bin", F.ntile(4).over(wf))
+        .withColumn("m_bin", F.ntile(4).over(wm))
+    )
+    return binned.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_bin",
+        "f_bin",
+        "m_bin",
+        (F.col("r_bin") * 100 + F.col("f_bin") * 10 + F.col("m_bin"))
+        .cast("int")
+        .alias("rfm_code"),
+    ).orderBy("o_custkey")
+
+
 # ------------------------------------------------------------------ chi-square independence
 @register(
     "event_hour_chi2",
