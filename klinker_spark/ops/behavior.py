@@ -135,10 +135,16 @@ def retention_cohorts(
         events.select(F.col(user_col), day.alias("_day"))
         .join(first, user_col)
         .select(
-            ((F.col("_first_day") - anchor_day) / 7)
+            # floor (not cast-truncate): days before the anchor give
+            # negative numerators, and the DuckDB oracle's `// 7` floors
+            F.floor((F.col("_first_day") - anchor_day) / 7)
             .cast("int")
             .alias("cohort_week"),
-            ((F.col("_day") - F.col("_first_day")) / 7).cast("int").alias("week_offset"),
+            # _day - _first_day >= 0 by construction, but keep floor for
+            # symmetry with the oracle's integer `// 7`
+            F.floor((F.col("_day") - F.col("_first_day")) / 7)
+            .cast("int")
+            .alias("week_offset"),
             F.col(user_col),
         )
         .groupBy("cohort_week", "week_offset")

@@ -123,8 +123,9 @@ def bpe_train(
     oracle (``queries.py``) bit-exact.
     """
     vocab = word_vocab(docs, text_col)
-    rep = vocab.withColumn("syms", _initial_syms("w")).persist()
-    rep.count()  # materialize once; iterations rebuild only the replace tower
+    rep_base = vocab.withColumn("syms", _initial_syms("w")).persist()
+    rep_base.count()  # materialize once; iterations rebuild only the replace tower
+    rep = rep_base
 
     merges: list[tuple[int, str, str, int]] = []
     for r in range(iters):
@@ -141,6 +142,13 @@ def bpe_train(
         pat = f" {a}{SEP}{b} "
         repl = f" {a}{b} "
         rep = rep.withColumn("syms", F.replace("syms", F.lit(pat), F.lit(repl)))
+    # Materialize the final (vocab-sized) segmentation and release the
+    # training cache HERE: consumers hold only a checkpoint-backed frame,
+    # so no corpus-derived cache block outlives training.  (Calling
+    # .unpersist() on the returned derived frame is a no-op — the cache
+    # lives on the pre-loop base.)
+    rep = rep.localCheckpoint(eager=True)
+    rep_base.unpersist()
     return merges, rep
 
 

@@ -506,6 +506,8 @@ def hits(
     Returns ``(node, kind, score_ppm)`` — hubs tagged 'hub',
     authorities 'auth'; both L1-normalized to ≈1e6 total.
     """
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     e = (
         edges.select(F.col(a_col).alias("c"), F.col(b_col).alias("p"))
         .distinct()

@@ -266,9 +266,28 @@ def zscore_outliers(
     )
     dev = F.col("_x") * F.col("_n") - F.col("_s")
     var_num = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    # Overflow must fail LOUDLY, not filter silently: under non-ANSI
+    # mode a decimal(38,0) product past 38 digits yields NULL and the
+    # WHERE would drop the row (outliers vanishing beyond the
+    # documented |x| ≤ 1e9 / n ≤ 1e10 envelope).  Guard both squares:
+    # dev² fits iff |dev| < 1e19, z²·var_num iff var_num < 10³⁸/z².
+    dev_bound = F.expr("CAST('9999999999999999999' AS DECIMAL(38,0))")
+    var_bound = F.expr(f"CAST('{10**38 // (z * z) - 1}' AS DECIMAL(38,0))")
+    overflow = (
+        (F.col("_x").isNotNull() & var_num.isNull())
+        | (F.abs(dev) > dev_bound)
+        | (var_num > var_bound)
+    )
+    pred = F.when(
+        overflow,
+        F.expr(
+            "raise_error('zscore_outliers: integer envelope exceeded"
+            " (|value*scale| <= 1e9, n <= 1e10) - rescale inputs')"
+        ).cast("boolean"),
+    ).otherwise(dev * dev > F.lit(z * z) * var_num)
     return (
         base.join(F.broadcast(stats), group_cols)
-        .where(dev * dev > F.lit(z * z) * var_num)
+        .where(pred)
         .drop("_n", "_s", "_q")
         .withColumnRenamed("_x", "value_scaled")
     )

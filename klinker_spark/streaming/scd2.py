@@ -92,10 +92,13 @@ def streaming_scd2(
 
         v, f, t, late = state.get if state.exists else (None, None, None, 0)
         closed = []  # (value, from, to)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts_us", "tie"])
+        # Drain ALL Arrow chunks before sorting: applyInPandasWithState
+        # may split one key's batch across chunks in arbitrary order, so
+        # a per-chunk sort would misclassify an earlier-timestamped event
+        # in a later chunk as cross-batch-late and silently skip it.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_us", "tie"])
             for ts_us, tie, val in zip(pdf["ts_us"], pdf["tie"], pdf["value"]):
                 ts_us, tie = int(ts_us), int(tie)
                 if f is not None and (ts_us, tie) <= (f, t):

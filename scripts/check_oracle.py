@@ -107,6 +107,24 @@ def main():
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             stypes = spark_arrow_types(sdf)
+            nested = [
+                c
+                for c, t in stypes.items()
+                if "list<" in t or "struct" in t or "map<" in t
+            ]
+            if nested:
+                # The driver's canonicalizer (pandas sort_values over
+                # object cells) cannot sort/hash list/struct/map cells —
+                # the r6 hll_distinct_sketch ERR.  Refuse here so the
+                # local gate is canonicalization-faithful, not just
+                # hash-faithful: reshape the query (array_join / explode).
+                results[name] = {
+                    "status": "NESTED_TYPE",
+                    "error": f"driver-hasher-hostile nested output columns: {nested}",
+                }
+                n_fail += 1
+                print(f"FAIL  {name}: nested output columns {nested} (driver canonicalizer cannot hash lists)")
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             results[name] = {"status": "SPARK_ERROR", "error": str(ex)[:500]}

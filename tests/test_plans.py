@@ -254,8 +254,10 @@ GATE_ROWS_ONLY_ALLOWED = {
 def test_gate_prefix_oracle_policy():
     """The driver's correctness gate records a fixed-size prefix of the
     registry; every slot must carry an exact DuckDB oracle unless it is
-    one of the nine documented rows-only coverage rotations, and the
-    curated priority list must stay consistent."""
+    one of the nine documented rows-only coverage rotations.  The
+    curated list is EXACTLY the 50 recorded slots (r6-advice invariant:
+    the list is a coverage rotation, never a demotion vehicle — names
+    outside it keep natural registration order)."""
     from klinker_spark.queries import ORACLES, QUERIES, _GATE_PRIORITY
 
     names = list(QUERIES)
@@ -265,17 +267,10 @@ def test_gate_prefix_oracle_policy():
     assert not missing, f"gate-prefix queries without oracle: {missing}"
     unknown = [n for n in _GATE_PRIORITY if n not in QUERIES]
     assert not unknown, f"_GATE_PRIORITY names not registered: {unknown}"
-    # ≥50: positions past 50 are documented demotions (kept in the
-    # list so their relative order stays curated, not registration-
-    # incidental); the driver records only the first 50
-    assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) >= 50
-    # the six r4 hash-red rows (oracles fixed in r5) must stay in the
-    # gate until they record green
-    for n in (
-        "corpus_clean_pipeline", "pack_sequences", "vocab_coverage",
-        "corpus_rollup", "duplicated_span_stats", "token_budget_mix",
-    ):
-        assert n in _GATE_PRIORITY[:10], n
+    assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) == 50
+    # the r6 ERR row (array output reshaped in r7) must stay in the
+    # gate until it records green
+    assert "hll_distinct_sketch" in _GATE_PRIORITY[:5]
 
 
 def test_curation_plan_shapes(spark, sf_dir):
@@ -632,3 +627,28 @@ def test_phonetic_key_stays_codegen(spark):
     plan = plan_of(df.select(phonetic_key("w").alias("k")))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_no_nested_output_columns(spark, sf_dir):
+    """Every registered query must emit SCALAR output columns only.
+    The driver's correctness canonicalizer (pandas sort_values over
+    object cells) cannot sort/hash Python lists — the r6
+    hll_distinct_sketch ERR — so array/map/struct outputs must be
+    reshaped (array_join / explode / micro-int CSV) in query AND
+    oracle.  scripts/check_oracle.py enforces the same refusal at
+    gate time; this test pins it for every NEW registration.
+    Schema-only: each query DataFrame is built (eager driver work
+    included) but never executed."""
+    from klinker_spark.queries import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nested:
+            offenders[name] = nested
+    assert not offenders, f"nested (driver-unhashable) output columns: {offenders}"
