@@ -180,6 +180,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Prebuild the persisted ANN indexes UNTIMED (r6 verdict #6: the
+    # indexed queries are search-only benchmarks; on a fresh checkout
+    # the first invocation would otherwise pay the one-off index build
+    # inside its timed window).  The query fns cache on disk, so this
+    # is a no-op when the warehouse already holds the index.
+    def _prebuild_indexes(sf_path: str) -> None:
+        for q in ("ann_topk_ivf_indexed", "ann_topk_ivfpq_indexed_md5"):
+            try:
+                QUERIES[q](spark, sf_path)  # builds eagerly, returns lazy DF
+            except Exception as ex:  # pragma: no cover - bench resilience
+                print(f"# index prebuild {q}@{sf_path} failed: {ex}", file=sys.stderr)
+
+    _prebuild_indexes(SF_DIR)
+
     # bench hygiene (round-2 verdict): record machine load and a second
     # warm iteration per query so round-over-round comparisons can be
     # adjudicated — a contended sandbox shows up as load_avg >> n_cpus
@@ -263,6 +277,7 @@ def main() -> None:
             gen = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(gen)
             gen.generate(1.0, sf1_dir, seed=42)
+        _prebuild_indexes(sf1_dir)
         for name in sf1_queries:
             _reset()
             t0 = time.time()
@@ -280,32 +295,54 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
-                "queries_curation": curation,
-                "curation_total": round(sum(curation.values()), 3),
-                "queries_extra": extras,
-                "sf1": {
-                    "dir": sf1_dir,
-                    "queries": sf1_timings,
-                    "total": round(sum(sf1_timings.values()), 3),
-                    # log10(t_sf1 / t_sf0.1): 1.0 = linear in data size,
-                    # < 1 sublinear, 2.0 quadratic
-                    "scaling_exponent_vs_main_sf": exponents,
-                },
-                "load_avg": [round(x, 2) for x in load_start],
-                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    full = {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "queries_curation": curation,
+        "curation_total": round(sum(curation.values()), 3),
+        "queries_extra": extras,
+        "sf1": {
+            "dir": sf1_dir,
+            "queries": sf1_timings,
+            "total": round(sum(sf1_timings.values()), 3),
+            # log10(t_sf1 / t_sf0.1): 1.0 = linear in data size,
+            # < 1 sublinear, 2.0 quadratic
+            "scaling_exponent_vs_main_sf": exponents,
+        },
+        "load_avg": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The full record (every section) goes to a sidecar file — the
+    # driver keeps only a 2000-char tail of stdout, which truncated the
+    # r6 record mid-JSON.  The LAST stdout line is a compact headline
+    # (metric/value/unit/queries/sf + section totals) sized to survive
+    # that tail.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(f"# full record: {local_path}", file=sys.stderr)
+    compact = {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": full["sf"],
+        "warm_total": full["warm_total"],
+        "curation_total": full["curation_total"],
+        "sf1_total": full["sf1"]["total"],
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # still too big for the tail: totals only
+        compact["queries"] = {"total_only": total}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

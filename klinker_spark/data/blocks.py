@@ -220,22 +220,64 @@ class BlockManager:
         changing; blocks with more comparisons than the threshold are
         dropped.
 
-        Implemented as one window pipeline over a **total** order
-        ``(comparisons, block_key)`` (the reference's pandas cumsum order
-        is index-dependent; a total order makes the result deterministic,
-        SURVEY §4 delta 3).  Two shuffles (sort + scalar min), no UDFs.
+        Implemented over a **total** order ``(comparisons, block_key)``
+        (the reference's pandas cumsum order is index-dependent; a total
+        order makes the result deterministic, SURVEY §4 delta 3).
+
+        Scale shape: the cumulative sums use the ``global_rank`` recipe
+        (``ops/profile.py``) — range-repartition on the order, cumsum
+        WITHIN each partition (parallel windows), then add per-partition
+        offsets (a ≤ P-row aggregate, broadcast back).  The window input
+        here is one row per BLOCK (≈ distinct tokens — 10⁸–10⁹ at corpus
+        scale), so the old unpartitioned window would sort it in ONE
+        task.  The cross-partition ``lag`` is reconstructed exactly: the
+        previous row of a partition's first row is the previous
+        partition's LAST row, whose cumulative cc is the offset ratio and
+        whose cardinality is that partition's max (rows are sorted).
         """
         sized = self.with_sizes()
-        w = Window.orderBy("comparisons", "block_key").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+        order = [F.col("comparisons"), F.col("block_key")]
+        tmp = (
+            sized.repartitionByRange(*order)
+            .sortWithinPartitions(*order)
+            .withColumn("_pid", F.spark_partition_id())
         )
-        wlag = Window.orderBy("comparisons", "block_key")
+        w_loc = Window.partitionBy("_pid").orderBy(*order)
+        w_cum = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tmp = tmp.withColumn("_la", F.sum("assignments").over(w_cum)).withColumn(
+            "_lc", F.sum("comparisons").over(w_cum)
+        )
+        parts = tmp.groupBy("_pid").agg(
+            F.sum("assignments").alias("_ta"),
+            F.sum("comparisons").alias("_tc"),
+            F.max("comparisons").alias("_last_card"),
+        )
+        w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offs = parts.select(
+            "_pid",
+            F.coalesce(F.sum("_ta").over(w_off), F.lit(0)).alias("_offa"),
+            F.coalesce(F.sum("_tc").over(w_off), F.lit(0)).alias("_offc"),
+            F.lag("_last_card").over(Window.orderBy("_pid")).alias("_prev_last"),
+        )
         cum = (
-            sized.withColumn("cum_assign", F.sum("assignments").over(w))
-            .withColumn("cum_comp", F.sum("comparisons").over(w))
+            tmp.join(F.broadcast(offs), "_pid")
+            .withColumn("cum_assign", F.col("_la") + F.col("_offa"))
+            .withColumn("cum_comp", F.col("_lc") + F.col("_offc"))
             .withColumn("cc", F.round(F.col("cum_assign") / F.col("cum_comp"), cc_round))
-            .withColumn("prev_cc", F.lag("cc").over(wlag))
-            .withColumn("prev_card", F.lag("comparisons").over(wlag))
+            .withColumn(
+                "prev_cc",
+                F.coalesce(
+                    F.lag("cc").over(w_loc),
+                    F.when(
+                        F.col("_offc") > 0,
+                        F.round(F.col("_offa") / F.col("_offc"), cc_round),
+                    ),
+                ),
+            )
+            .withColumn(
+                "prev_card",
+                F.coalesce(F.lag("comparisons").over(w_loc), F.col("_prev_last")),
+            )
         )
         thresh = (
             cum.where(

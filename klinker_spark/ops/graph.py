@@ -270,18 +270,23 @@ def neighbor_jaccard_join(
     # orders⋈lineitem join) recomputes per consumer (measured 26 s →
     # ~8 s on the sf0.1 customer×supplier query).  Released before
     # return; the result is materialized per the dedup cache contract.
+    #
+    # Ids keep their NATIVE types through the joins/aggregates — the
+    # candidate shuffle is |pairs|-sized (12 M at sf0.1) and hashing /
+    # comparing bigints beats strings ~2×; only the final projection
+    # casts to string (the op's type-stable output contract).
     l = (
         left.select(
-            F.col(left.columns[0]).cast("string").alias("lid"),
-            F.col(left.columns[1]).cast("string").alias("nbr"),
+            F.col(left.columns[0]).alias("lid"),
+            F.col(left.columns[1]).alias("nbr"),
         )
         .distinct()
         .persist()
     )
     r = (
         right.select(
-            F.col(right.columns[0]).cast("string").alias("rid"),
-            F.col(right.columns[1]).cast("string").alias("nbr"),
+            F.col(right.columns[0]).alias("rid"),
+            F.col(right.columns[1]).alias("nbr"),
         )
         .distinct()
         .persist()
@@ -301,6 +306,9 @@ def neighbor_jaccard_join(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     scored = (
+        # size joins: AQE broadcasts whichever side fits (nl/nr are
+        # entity-sized — broadcastable at bench scale, shuffleable at
+        # 100 TB; no forced broadcast so neither regime breaks)
         common.join(nl, "lid")
         .join(nr, "rid")
         .select(
@@ -316,11 +324,20 @@ def neighbor_jaccard_join(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lid").orderBy(F.col("jaccard_ppm").desc(), F.col("rid"))
+    # tie-break on the STRING form of rid regardless of input type —
+    # the documented contract (and the SQL oracle) order lexically
+    w = Window.partitionBy("lid").orderBy(
+        F.col("jaccard_ppm").desc(), F.col("rid").cast("string")
+    )
     out = (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
-        .select("lid", "rid", "jaccard_ppm", F.col("rk").cast("int").alias("rk"))
+        .select(
+            F.col("lid").cast("string").alias("lid"),
+            F.col("rid").cast("string").alias("rid"),
+            "jaccard_ppm",
+            F.col("rk").cast("int").alias("rk"),
+        )
         .localCheckpoint(eager=True)
     )
     for cached in {base_l, base_r, l, r}:

@@ -154,8 +154,12 @@ def global_rank(
 
     Cost: the range exchange (sampling pass + shuffle — what any
     global sort pays), one tiny count aggregate, one broadcast join.
+
+    ``order_cols`` entries may be names or Column sort expressions
+    (``F.col("x").desc()``) — repartitionByRange, sortWithinPartitions
+    and the window all accept either.
     """
-    cols = [F.col(c) for c in order_cols]
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     tmp = (
         df.repartitionByRange(*cols)
         .sortWithinPartitions(*cols)
@@ -172,6 +176,53 @@ def global_rank(
         tmp.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("bigint"))
         .drop("_pid", "_lr", "_off")
+    )
+
+
+def ntile_global(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    out_col: str,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Distributed EXACT ``ntile(n_buckets) OVER (ORDER BY …)`` — the
+    SQL-standard split (the first ``n % k`` buckets get ``ceil(n/k)``
+    rows, the rest ``floor(n/k)``) computed from :func:`global_rank`
+    instead of an unpartitioned window, so the frame never funnels
+    through one task.  All arithmetic is integer (``div``), no float
+    rounding at bucket edges.
+
+    ``order_cols`` must be a total order (tie-breaking id included) and
+    may contain ``.desc()`` sort expressions.  Cost: one range exchange
+    per call, plus one scalar count broadcast — UNLESS the caller
+    passes ``n_rows`` (one driver-side ``count()`` amortized across
+    several ntile passes over the same frame), in which case the
+    bucket split is a pure literal expression and the plan stays
+    linear (no broadcast subtree re-executing the input per pass).
+    """
+    ranked = global_rank(df, order_cols, "_nt_r")
+    k = int(n_buckets)
+    if n_rows is not None:
+        q, rem = divmod(int(n_rows), k)
+        bucket = (
+            f"CAST(CASE WHEN _nt_r <= {(q + 1) * rem} "
+            f"THEN (_nt_r + {q}) div {q + 1} "
+            f"ELSE {rem} + (_nt_r - {(q + 1) * rem} + {max(q, 1) - 1}) div {max(q, 1)} "
+            f"END AS INT)"
+        )
+        return ranked.withColumn(out_col, F.expr(bucket)).drop("_nt_r")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_nt_n"))
+    expr = (
+        f"CAST(CASE WHEN _nt_r <= ((_nt_n div {k}) + 1) * (_nt_n % {k}) "
+        f"THEN (_nt_r + (_nt_n div {k})) div ((_nt_n div {k}) + 1) "
+        f"ELSE (_nt_n % {k}) + (_nt_r - ((_nt_n div {k}) + 1) * (_nt_n % {k}) "
+        f"+ (_nt_n div {k}) - 1) div (_nt_n div {k}) END AS INT)"
+    )
+    return (
+        ranked.join(F.broadcast(n))
+        .withColumn(out_col, F.expr(expr))
+        .drop("_nt_r", "_nt_n")
     )
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "nicdm_topk",
     "mutual_rank_topk",
     "jl_project",
+    "margin_bitext_mine",
 ]
 
 
@@ -792,4 +793,67 @@ def jl_project(
         .groupBy("id", "j")
         .agg(F.sum(F.col("_m") * F.col("sg")).alias("comp_micro"))
         .select("id", F.col("j").alias("out_dim"), "comp_micro")
+    )
+
+
+def margin_bitext_mine(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
+) -> DataFrame:
+    """Margin-based parallel-text / hard-negative mining (Artetxe &
+    Schwenk 2019, the LASER bitext miner): for every left vector, the
+    best right candidate scored by the DISTANCE margin — cosine minus
+    the mean of both directions' k-NN cosines — which suppresses hubs
+    that score high against EVERYTHING.
+
+    Integer lane: per-pair cosines micro-round FIRST (both engines see
+    the identical double, the knn_topk lane), then everything else is
+    integer — the margin is kept ×2k-scaled to avoid division:
+    ``margin_scaled = 2k·cos_micro − Σ_kNN(x) cos_micro − Σ_kNN(y)
+    cos_micro`` (same ordering as the true distance margin, exact).
+
+    Scale shape: two brute-force top-k passes (broadcast/sharded per
+    ``impl`` — swap in the IVF probe for 100 TB candidate generation),
+    two k-row-per-id aggregates, one join on the candidate pair.
+    Cos(x,y) = cos(y,x), so the backward pass re-ranks the same pair
+    set, never new pairs.
+
+    Output: ``(query_id, neighbor_id, cos_micro, margin_scaled)`` —
+    the top-1 margin candidate per left id, ties by neighbor_id.
+    """
+    from pyspark.sql import Window
+
+    micro = lambda c: F.round(c * 1e6).cast("bigint")  # noqa: E731
+    fwd = brute_force_topk(left, right, k=k, id_col=id_col, vec_col=vec_col, impl=impl)
+    bwd = brute_force_topk(right, left, k=k, id_col=id_col, vec_col=vec_col, impl=impl)
+    fm = fwd.select("query_id", "neighbor_id", micro(F.col("sim")).alias("cos_micro"))
+    sx = fm.groupBy("query_id").agg(F.sum("cos_micro").alias("_sx"))
+    sy = (
+        bwd.select(F.col("query_id").alias("_rid"), micro(F.col("sim")).alias("_cm"))
+        .groupBy("_rid")
+        .agg(F.sum("_cm").alias("_sy"))
+    )
+    cand = (
+        fm.join(sx, "query_id")
+        .join(sy, fm["neighbor_id"] == sy["_rid"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_micro",
+            (2 * k * F.col("cos_micro") - F.col("_sx") - F.col("_sy")).alias(
+                "margin_scaled"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("margin_scaled").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
     )

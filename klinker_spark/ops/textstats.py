@@ -28,6 +28,7 @@ __all__ = [
     "distinct_ngram_ratio",
     "skipgram_pairs",
     "target_encode_loo",
+    "ngram_lm_score",
 ]
 
 
@@ -619,5 +620,98 @@ def target_encode_loo(
             F.when(F.col("_n") > 1, F.expr("_num div _den"))
             .cast("bigint")
             .alias("loo_mean_micro"),
+        )
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020):
+    score every document by its average bigram negative log-likelihood
+    under an add-one-smoothed bigram model trained on a REFERENCE
+    corpus — the classic perplexity filter that ranks crawl text by
+    closeness to a trusted distribution.
+
+    Model: ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with unigram /
+    bigram counts and vocabulary size ``V`` from ``ref``; an unseen
+    history backs off to ``1/V``.  Since ``c(w1,w2) ≤ c(w1)`` and
+    ``1 ≤ V``, every per-bigram NLL is ≥ 0.
+
+    Integer-exact lane (the pmi_bigrams convention): each bigram's
+    ``-ln P`` is computed once from the identical small-int ratio and
+    nano-rounded to a bigint FIRST; per-document totals are then pure
+    integer sums — shuffle-order-free, so the oracle is exact.  The
+    per-doc average is the integer half-up ratio ``(2·Σ + n) div 2n``.
+
+    Scale shape: reference counts are two aggregates; scoring
+    pre-aggregates each document's repeated bigrams before the count
+    join (join rows ≤ distinct (doc, w1, w2)), joins on the bigram key
+    (hash, never all-pairs), and finishes with one per-doc aggregate.
+    V rides a one-row broadcast.  Documents with < 2 tokens are
+    excluded (no bigram evidence).
+
+    Output: ``(doc_id, n_bigrams, nll_nano_sum, avg_nll_nano)`` —
+    lower ``avg_nll_nano`` = closer to the reference distribution.
+    """
+    tk = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    big = F.expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"
+    )
+
+    def bigrams(frame: DataFrame, *extra):
+        return (
+            frame.select(*extra, tk.alias("tk"))
+            .where(F.size("tk") >= 2)
+            .select(*extra, F.explode(big).alias("b"))
+            .select(*extra, "b.w1", "b.w2")
+        )
+
+    cu = (
+        ref.select(F.explode(tk).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    cb = bigrams(ref).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    vocab = cu.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+
+    per_doc = (
+        bigrams(docs, F.col(id_col))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .join(cb, ["w1", "w2"], "left")
+        .join(cu, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            "occ",
+            F.round(
+                F.log(
+                    (F.coalesce("cu", F.lit(0)) + F.col("v"))
+                    / (F.coalesce("cb", F.lit(0)) + F.lit(1))
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("nll_nano"),
+        )
+    )
+    return (
+        per_doc.groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("occ") * F.col("nll_nano")).cast("bigint").alias("nll_nano_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "nll_nano_sum",
+            F.expr("(2 * nll_nano_sum + n_bigrams) div (2 * n_bigrams)").alias(
+                "avg_nll_nano"
+            ),
         )
     )

@@ -2222,7 +2222,8 @@ def ann_topk_ivf_indexed_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "spark-warehouse", f"ivf_{sf_tag}")
-    build_ivf_index(emb, path, n_centroids=16)
+    if not os.path.isdir(os.path.join(path, "lists")):
+        build_ivf_index(emb, path, n_centroids=16)
     out = ann_topk_ivf_indexed(emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4)
     return out.withColumn("sim", F.round("sim", 6))
 
@@ -2244,7 +2245,8 @@ def ann_topk_ivf_indexed_md5_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(), f"klinker_ivf_md5_{sf_tag}")
-    build_ivf_index(emb, path, n_centroids=16, quantizer="hash_sample")
+    if not os.path.isdir(os.path.join(path, "lists")):
+        build_ivf_index(emb, path, n_centroids=16, quantizer="hash_sample")
     out = ann_topk_ivf_indexed(
         emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4
     )
@@ -6972,6 +6974,108 @@ def skipgram_pairs_q(spark, sf_dir):
 
 
 @register(
+    "ngram_lm_perplexity",
+    """
+    WITH tkn AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), x -> x <> '') tk
+                 FROM documents),
+    ref AS (SELECT tk FROM tkn WHERE doc_id % 10 = 0),
+    cu AS (SELECT w1, CAST(count(*) AS BIGINT) cu
+           FROM (SELECT unnest(tk) w1 FROM ref) GROUP BY w1),
+    v AS (SELECT CAST(count(*) AS BIGINT) v FROM cu),
+    rb AS (SELECT tk[i] w1, tk[i + 1] w2
+           FROM (SELECT tk, len(tk) n FROM ref WHERE len(tk) >= 2),
+                unnest(generate_series(1, n - 1)) s(i)),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) cb FROM rb GROUP BY w1, w2),
+    db AS (SELECT doc_id, tk[i] w1, tk[i + 1] w2
+           FROM (SELECT doc_id, tk, len(tk) n FROM tkn WHERE len(tk) >= 2),
+                unnest(generate_series(1, n - 1)) s(i)),
+    agg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) occ
+            FROM db GROUP BY doc_id, w1, w2),
+    sc AS (SELECT a.doc_id, a.occ,
+                  CAST(round(1e9 * ln((coalesce(cu.cu, 0) + v.v) * 1.0
+                                      / (coalesce(cb.cb, 0) + 1)))
+                       AS BIGINT) nll_nano
+           FROM agg a LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1)
+           CROSS JOIN v),
+    tot AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) n_bigrams,
+                   CAST(sum(occ * nll_nano) AS BIGINT) nll_nano_sum
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, nll_nano_sum,
+           CAST((2 * nll_nano_sum + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+             avg_nll_nano
+    FROM tot ORDER BY doc_id
+    """,
+)
+def ngram_lm_perplexity_q(spark, sf_dir):
+    """CCNet-style perplexity quality filter: every document scored by
+    its average bigram negative log-likelihood under an add-one bigram
+    LM trained on the doc_id % 10 == 0 reference slice — lower = closer
+    to the trusted distribution.  Per-bigram NLL is nano-rounded before
+    the integer per-doc sums (the pmi lane), so the approximate-model
+    operator carries an EXACT oracle."""
+    from .ops.textstats import ngram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    return ngram_lm_score(docs, ref).orderBy("doc_id")
+
+
+def _bitext_margin_oracle() -> str:
+    cos = _COS_SQL.format(a="l.embedding", b="r.embedding")
+    return f"""
+    WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    sims AS (SELECT l.vec_id qid, r.vec_id nid,
+                    CAST(round(({cos}) * 1e6) AS BIGINT) cm,
+                    {cos} sim
+             FROM l CROSS JOIN r),
+    rk AS (SELECT qid, nid, cm,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) frk,
+                  row_number() OVER (PARTITION BY nid
+                                     ORDER BY sim DESC, qid) brk
+           FROM sims),
+    sx AS (SELECT qid, CAST(sum(cm) AS BIGINT) sx FROM rk WHERE frk <= 4
+           GROUP BY qid),
+    sy AS (SELECT nid, CAST(sum(cm) AS BIGINT) sy FROM rk WHERE brk <= 4
+           GROUP BY nid),
+    cand AS (SELECT k.qid query_id, k.nid neighbor_id, k.cm cos_micro,
+                    8 * k.cm - sx.sx - sy.sy margin_scaled
+             FROM rk k JOIN sx USING (qid) JOIN sy USING (nid)
+             WHERE k.frk <= 4)
+    SELECT query_id, neighbor_id, cos_micro,
+           CAST(margin_scaled AS BIGINT) margin_scaled
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY margin_scaled DESC,
+                                                neighbor_id) mrk
+          FROM cand)
+    WHERE mrk = 1 ORDER BY query_id
+    """
+
+
+@register("bitext_margin_mining", _bitext_margin_oracle())
+def bitext_margin_mining_q(spark, sf_dir):
+    """LASER-style margin-based bitext / hard-negative mining over the
+    embedding table split by vec_id parity (even = source side, odd =
+    target side): per source vector the best target by the distance
+    margin 2k·cos − Σ kNN-cos(x) − Σ kNN-cos(y), k=4 — the hub-robust
+    pairing score used to mine parallel text and hard negatives at
+    corpus scale.  Cosines micro-round before the integer margin, so
+    the miner is exact-oracled."""
+    from .ops.similarity import margin_bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return margin_bitext_mine(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        k=4,
+    ).orderBy("query_id")
+
+
+
+
+@register(
     "event_value_winsorized",
     """
     WITH b AS (SELECT event_id, event_type,
@@ -7682,9 +7786,11 @@ def customer_rfm_segments_q(spark, sf_dir):
     metrics in exact integer units (epoch days, counts, cents) and
     their ntile(4) bins under fully-deterministic total orders
     (metric, custkey) — bin 1 = best on every axis.  One aggregate +
-    three window passes over the per-customer frame (dimension-sized,
-    not fact-sized); at 100 TB swap the unpartitioned ntile for the
-    distributed global_rank recipe (documented in ops/profile.py)."""
+    three DISTRIBUTED quartile passes (ops/profile.py::ntile_global —
+    range-partitioned rank + integer SQL-standard split, no
+    unpartitioned window even though the frame is dimension-sized:
+    customers scale 100× too)."""
+    from .ops.profile import ntile_global
     o = _t(spark, sf_dir, "orders")
     day = F.expr("unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000")
     mx = o.agg(F.max(day).alias("d1"))
@@ -7699,13 +7805,24 @@ def customer_rfm_segments_q(spark, sf_dir):
             ),
         )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
-    binned = (
-        rfm.withColumn("r_bin", F.ntile(4).over(wr))
-        .withColumn("f_bin", F.ntile(4).over(wf))
-        .withColumn("m_bin", F.ntile(4).over(wm))
+    # materialize the dimension-sized RFM frame once (the three chained
+    # ntile passes would otherwise re-run the fact aggregate), count it
+    # once, and feed the count to all three passes as a literal — the
+    # plan stays linear: three range exchanges, no broadcast subtrees
+    rfm = rfm.localCheckpoint(eager=True)
+    n_cust = rfm.count()
+    binned = ntile_global(
+        rfm, [F.col("recency_days").asc(), F.col("o_custkey")], 4, "r_bin", n_cust
+    )
+    binned = ntile_global(
+        binned, [F.col("frequency").desc(), F.col("o_custkey")], 4, "f_bin", n_cust
+    )
+    binned = ntile_global(
+        binned,
+        [F.col("monetary_cents").desc(), F.col("o_custkey")],
+        4,
+        "m_bin",
+        n_cust,
     )
     return binned.select(
         "o_custkey",

@@ -1689,3 +1689,99 @@ def test_k_core_peels_chain(spark):
     # one round is NOT enough: only f's removal has propagated partially
     partial = {r["node"] for r in k_core(df, k=2, rounds=1).collect()}
     assert partial == {"a", "b", "c", "d"}
+
+
+def test_ntile_global_matches_builtin_ntile(spark):
+    """Distributed ntile == Spark's single-window ntile for bucket
+    counts that divide n evenly and not (n=503, k=4 leaves rem=3), for
+    asc and desc orders, and with the literal-count fast path."""
+    import random
+
+    from pyspark.sql import Window
+
+    from klinker_spark.ops.profile import ntile_global
+
+    rnd = random.Random(11)
+    rows = [(i, rnd.randrange(1000)) for i in range(503)]
+    df = spark.createDataFrame(rows, "id int, v int").repartition(8)
+    for order, w in [
+        ([F.col("v").asc(), F.col("id")], Window.orderBy(F.col("v").asc(), F.col("id"))),
+        ([F.col("v").desc(), F.col("id")], Window.orderBy(F.col("v").desc(), F.col("id"))),
+    ]:
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn("b", F.ntile(4).over(w)).collect()
+        }
+        got = {r["id"]: r["b"] for r in ntile_global(df, order, 4, "b").collect()}
+        assert got == want
+        fast = {
+            r["id"]: r["b"]
+            for r in ntile_global(df, order, 4, "b", n_rows=503).collect()
+        }
+        assert fast == want
+    # n divisible by k, and n < k edge (every row its own bucket)
+    small = spark.createDataFrame([(i, i) for i in range(3)], "id int, v int")
+    got = {r["id"]: r["b"] for r in ntile_global(small, [F.col("v"), F.col("id")], 4, "b").collect()}
+    assert got == {0: 1, 1: 2, 2: 3}
+    gotf = {r["id"]: r["b"] for r in ntile_global(small, [F.col("v"), F.col("id")], 4, "b", n_rows=3).collect()}
+    assert gotf == got
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Add-one bigram LM against a hand-built reference: exact counts,
+    smoothing, unseen-history backoff, and the nano half-up average."""
+    import math
+
+    from klinker_spark.ops.textstats import ngram_lm_score
+
+    ref = spark.createDataFrame(
+        [(0, "a b a b"), (10, "a c")], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z z"), (3, "x")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in ngram_lm_score(docs, ref).collect()}
+    # reference: cu = {a:3, b:2, c:1}, V = 3; cb = {(a,b):2, (b,a):1, (a,c):1}
+    nll = lambda cu, cb: round(1e9 * math.log((cu + 3) / (cb + 1)))
+    # doc 1: one bigram (a,b): ln((3+3)/(2+1))
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["nll_nano_sum"] == nll(3, 0 + 2)
+    assert out[1]["avg_nll_nano"] == (2 * out[1]["nll_nano_sum"] + 1) // 2
+    # doc 2: (z,z) unseen history -> ln((0+3)/(0+1))
+    assert out[2]["nll_nano_sum"] == nll(0, 0)
+    # doc 3: single token -> excluded
+    assert 3 not in out
+
+
+def test_margin_bitext_mine_suppresses_hub(spark):
+    """The margin score must prefer a mutually-close pair over a hub
+    vector that scores high against everything (the failure mode plain
+    cosine top-1 has)."""
+    from klinker_spark.ops.similarity import margin_bitext_mine
+
+    # left L0 and right R0 are a true pair; right H is a hub nearly
+    # parallel to everything on the left.
+    left = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.2]), (2, [0.0, 1.0, 0.2]), (4, [0.7, 0.7, 0.2])],
+        "vec_id bigint, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [(1, [1.0, 0.05, 0.2]), (3, [0.05, 1.0, 0.2]), (5, [0.58, 0.58, 0.58])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["query_id"]: r for r in margin_bitext_mine(left, right, k=2).collect()}
+    assert out[0]["neighbor_id"] == 1
+    assert out[2]["neighbor_id"] == 3
+    # margin is the 2k-scaled distance margin: recompute for one pair
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    cm = lambda a, b: round(cos(a, b) * 1e6)
+    l0, r1, r3, r5 = [1.0, 0.0, 0.2], [1.0, 0.05, 0.2], [0.05, 1.0, 0.2], [0.58, 0.58, 0.58]
+    l2, l4 = [0.0, 1.0, 0.2], [0.7, 0.7, 0.2]
+    sx = cm(l0, r1) + max(cm(l0, r3), cm(l0, r5))  # top-2 of L0
+    sy = cm(l0, r1) + cm(l4, r1)  # top-2 of R1 over left
+    assert out[0]["margin_scaled"] == 4 * cm(l0, r1) - sx - sy

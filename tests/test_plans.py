@@ -652,3 +652,41 @@ def test_no_nested_output_columns(spark, sf_dir):
         if nested:
             offenders[name] = nested
     assert not offenders, f"nested (driver-unhashable) output columns: {offenders}"
+
+
+def test_purge_no_corpus_single_partition_window(spark, sf_dir):
+    """purge()'s cumulative-CC walk is one row per BLOCK (corpus-sized
+    at scale): the cumsum must run as range-partitioned parallel
+    windows + a broadcast offset join (the global_rank recipe), never a
+    single unpartitioned Window.  Allowed SinglePartition exchanges are
+    only the ≤P-row offset/threshold aggregates — the plan must carry
+    the range exchange and the partition-id windows."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["purge_blocks"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    assert "SPARK_PARTITION_ID" in plan or "_pid" in plan
+    assert "CartesianProduct" not in plan
+    # no Window node may order the block frame without a partition key:
+    # every Window over (comparisons, block_key) must be keyed by _pid
+    import re
+
+    for seg in re.findall(r"Arguments: \[[^\]]*windowspecdefinition\([^\)]*\)", plan):
+        if "comparisons" in seg:
+            assert "_pid" in seg, seg
+
+
+def test_rfm_no_unpartitioned_ntile(spark, sf_dir):
+    """customer_rfm_segments' quartiles run on the distributed
+    ntile_global recipe: every window over the customer frame is keyed
+    by _pid (no `WindowExec: No Partition Defined` at scale)."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["customer_rfm_segments"](spark, sf_dir))
+    assert "ntile" not in plan.lower()
+    assert "rangepartitioning" in plan.lower()
+    import re
+
+    for seg in re.findall(r"Arguments: \[[^\]]*windowspecdefinition\([^\)]*\)", plan):
+        if any(c in seg for c in ("recency_days", "frequency", "monetary_cents")):
+            assert "_pid" in seg, seg
