@@ -36,6 +36,7 @@ __all__ = [
     "mutual_rank_topk",
     "jl_project",
     "margin_bitext_mine",
+    "kcenter_sample",
 ]
 
 
@@ -856,4 +857,65 @@ def margin_bitext_mine(
         cand.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .drop("_rk")
+    )
+
+def kcenter_sample(
+    emb: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-point sampling (Gonzalez 1985 k-center): a diversity
+    coreset for training-data selection — greedily pick the point
+    farthest (squared L2) from everything selected so far.  The
+    classic 2-approximation to the k-center objective, and the
+    standard "cover the embedding space with k exemplars" primitive
+    (coreset selection, prototype picking, eval-set seeding).
+
+    Deterministic: seed = min id; each round picks the max min-distance
+    point, ties by id ascending; distances are micro-rounded bigints
+    (the identical fold in any engine), so the whole trajectory is
+    exact-oracled.
+
+    Scale shape: k-1 passes, each ONE codegen scan computing the
+    squared distance to the single newly-added center (a literal
+    array) + a running least(); the argmax is a TakeOrdered (never a
+    global sort), and only the k selected rows ever reach the driver.
+    Per-round localCheckpoint keeps lineage flat (the pagerank
+    contract).  Intrinsically k sequential scans — that IS
+    farthest-point sampling; k is small by construction.
+
+    Output: ``(sel_round, vec_id, mind_micro)`` — ``mind_micro`` the
+    point's min squared distance (×1e6) at selection time, NULL for
+    the seed.
+    """
+    pts = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def d2_to(center_vals) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in center_vals])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1e6
+        ).cast("bigint")
+
+    seed = pts.orderBy("id").limit(1).collect()[0]
+    rows = [(0, seed["id"], None)]
+    state = pts.withColumn("mind", d2_to(seed["v"])).localCheckpoint(eager=True)
+    for r in range(1, k):
+        nxt = state.orderBy(F.col("mind").desc(), "id").limit(1).collect()[0]
+        rows.append((r, nxt["id"], int(nxt["mind"])))
+        if r < k - 1:
+            state = state.withColumn(
+                "mind", F.least("mind", d2_to(nxt["v"]))
+            ).localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        rows, "sel_round int, vec_id bigint, mind_micro bigint"
     )

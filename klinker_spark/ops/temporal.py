@@ -32,7 +32,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "scd2_intervals", "merge_intervals"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "scd2_intervals",
+    "merge_intervals",
+    "event_value_twap",
+    "event_value_ohlc",
+]
 
 
 def asof_join(
@@ -246,4 +253,98 @@ def merge_intervals(
         F.min(start_col).alias("start"),
         F.max(end_col).alias("end"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+def event_value_twap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average value per key (TWAP — the time-series
+    mean that doesn't over-count bursts): each observation holds until
+    the next one, so its weight is the µs gap to the successor; the
+    key's last observation carries no interval and drops out.
+
+    Integer lane: values micro-snap once, every term is
+    ``micro · gap_us`` in decimal(38,0) (|value| ≤ 1e12 with gaps up
+    to ~300 years stays under 38 digits), the final mean is the
+    integer half-up ratio ``(2Σwv + Σw) div 2Σw`` — shuffle-order-free
+    ⇒ exact oracle.
+
+    One key-partitioned lead window + one aggregate (single shuffle).
+    Output: ``(user_id, n_intervals, span_us, twap_micro)``; keys with
+    a single event are excluded (no interval evidence).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    iv = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("_t"),
+            F.round(F.col(value_col) * 1e6).cast("decimal(38,0)").alias("_v"),
+            F.col(tie_col),
+        )
+        .withColumn("_nt", F.lead("_t").over(
+            Window.partitionBy("user_id").orderBy("_t", tie_col)
+        ))
+        .where(F.col("_nt").isNotNull())
+        .select(
+            "user_id",
+            (F.col("_nt") - F.col("_t")).cast("decimal(38,0)").alias("_w"),
+            "_v",
+        )
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("_w").alias("_sw"),
+            F.sum(F.col("_w") * F.col("_v")).alias("_swv"),
+        )
+        .select(
+            "user_id",
+            F.col("n_intervals").cast("bigint").alias("n_intervals"),
+            F.col("_sw").cast("bigint").alias("span_us"),
+            F.expr("CAST((2 * _swv + _sw) div (2 * _sw) AS BIGINT)").alias(
+                "twap_micro"
+            ),
+        )
+    )
+
+
+def event_value_ohlc(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """OHLC candles per (key, time bucket) — the classic market-data /
+    metrics rollup: open = first value in the bucket, close = last
+    (both on the (ts, tie) total order), high/low = extremes.
+
+    One aggregate, no window: open/close ride struct-min/struct-max on
+    the total order (min_by/max_by semantics with a deterministic
+    tie-break), values micro-snapped so the oracle is exact.  Output:
+    ``(user_id, bucket_idx, n_events, open_micro, high_micro,
+    low_micro, close_micro)``.
+    """
+    mv = F.round(F.col(value_col) * 1e6).cast("bigint")
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"unix_micros({ts_col}) DIV {bucket_us}").alias("bucket_idx"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.col(tie_col).cast("bigint").alias("_i"),
+        mv.alias("_v"),
+    )
+    first = F.min(F.struct("_t", "_i", "_v"))["_v"]
+    last = F.max(F.struct("_t", "_i", "_v"))["_v"]
+    return base.groupBy("user_id", "bucket_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        first.alias("open_micro"),
+        F.max("_v").alias("high_micro"),
+        F.min("_v").alias("low_micro"),
+        last.alias("close_micro"),
     )

@@ -7073,6 +7073,110 @@ def bitext_margin_mining_q(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled-CTE twin of ``ops.similarity.kcenter_sample`` — one
+    (min-distance, argmax) CTE pair per greedy round."""
+    d2 = (
+        "CAST(round(1e6 * list_sum(list_transform(list_zip(p.v, c.v),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))) AS BIGINT)"
+    )
+    parts = [
+        """
+    WITH pts AS (SELECT vec_id id, list_transform(embedding, x -> x::DOUBLE) v
+                 FROM embeddings),
+    c0 AS (SELECT id, v FROM pts ORDER BY id LIMIT 1),"""
+    ]
+    for r in range(1, k):
+        src = "pts p CROSS JOIN c0 c" if r == 1 else f"m{r-1} p CROSS JOIN c{r-1} c"
+        mind = d2 if r == 1 else f"least(p.mind, {d2})"
+        parts.append(
+            f"""
+    m{r} AS (SELECT p.id, p.v, {mind} mind FROM {src}),
+    c{r} AS (SELECT id, v, mind FROM m{r} ORDER BY mind DESC, id LIMIT 1),"""
+        )
+    sel = [
+        "    SELECT 0 sel_round, (SELECT id FROM c0) vec_id,\n"
+        "           CAST(NULL AS BIGINT) mind_micro"
+    ]
+    for r in range(1, k):
+        sel.append(f"    SELECT {r}, (SELECT id FROM c{r}), (SELECT mind FROM c{r})")
+    return (
+        "".join(parts).rstrip()[:-1]
+        + "\n"
+        + "\n    UNION ALL\n".join(sel)
+        + "\n    ORDER BY sel_round"
+    )
+
+
+@register("kcenter_coreset", _kcenter_oracle(6))
+def kcenter_coreset_q(spark, sf_dir):
+    """Farthest-point (k-center) coreset over the embedding table:
+    6 maximally-spread exemplars with their selection-time min squared
+    distances — the diversity-selection primitive for training-data
+    curation.  Deterministic seed/tie-breaks + micro-int distances =>
+    the full greedy trajectory is exact-oracled (unrolled CTEs)."""
+    from .ops.similarity import kcenter_sample
+
+    return kcenter_sample(_t(spark, sf_dir, "embeddings"), k=6)
+
+
+@register(
+    "event_value_twap",
+    """
+    WITH b AS (SELECT user_id, epoch_us(ts) t,
+                      CAST(round(value * 1e6) AS HUGEINT) v, event_id
+               FROM events),
+    iv AS (SELECT user_id,
+                  CAST(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                       - t AS HUGEINT) w,
+                  v
+           FROM b QUALIFY w IS NOT NULL),
+    agg AS (SELECT user_id, CAST(count(*) AS BIGINT) n_intervals,
+                   sum(w) sw, sum(w * v) swv
+            FROM iv GROUP BY user_id)
+    SELECT user_id, n_intervals, CAST(sw AS BIGINT) span_us,
+           CAST((2 * swv + sw) // (2 * sw) AS BIGINT) twap_micro
+    FROM agg ORDER BY user_id
+    """,
+)
+def event_value_twap_q(spark, sf_dir):
+    """Time-weighted average event value per user (TWAP): each value
+    holds until the user's next event, weights are µs gaps, the mean is
+    the integer half-up decimal(38)/HUGEINT ratio — exact across
+    engines, one lead window + one aggregate."""
+    from .ops.temporal import event_value_twap
+
+    return event_value_twap(_t(spark, sf_dir, "events")).orderBy("user_id")
+
+
+@register(
+    "event_value_ohlc_hourly",
+    """
+    WITH b AS (SELECT user_id, epoch_us(ts) // 3600000000 bucket_idx,
+                      epoch_us(ts) t, event_id i,
+                      CAST(round(value * 1e6) AS BIGINT) v
+               FROM events)
+    SELECT user_id, bucket_idx, CAST(count(*) AS BIGINT) n_events,
+           (min({'t': t, 'i': i, 'v': v})).v open_micro,
+           max(v) high_micro, min(v) low_micro,
+           (max({'t': t, 'i': i, 'v': v})).v close_micro
+    FROM b GROUP BY user_id, bucket_idx
+    ORDER BY user_id, bucket_idx
+    """,
+)
+def event_value_ohlc_hourly_q(spark, sf_dir):
+    """Hourly OHLC candles per user (open/high/low/close in micro
+    units): open/close are struct-min/max on the (ts, event_id) total
+    order, high/low plain extremes — ONE aggregate, no window, the
+    market-data rollup shape that scales to any bucket count."""
+    from .ops.temporal import event_value_ohlc
+
+    return event_value_ohlc(_t(spark, sf_dir, "events")).orderBy(
+        "user_id", "bucket_idx"
+    )
+
+
+
 
 
 @register(

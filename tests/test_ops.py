@@ -1785,3 +1785,65 @@ def test_margin_bitext_mine_suppresses_hub(spark):
     sx = cm(l0, r1) + max(cm(l0, r3), cm(l0, r5))  # top-2 of L0
     sy = cm(l0, r1) + cm(l4, r1)  # top-2 of R1 over left
     assert out[0]["margin_scaled"] == 4 * cm(l0, r1) - sx - sy
+
+
+def test_event_value_twap_hand_computed(spark):
+    """TWAP against a hand-built series: interval weights, last-event
+    drop, single-event exclusion, integer half-up mean."""
+    from klinker_spark.ops.temporal import event_value_twap
+
+    rows = [
+        # user 1: value 2.0 for 10us, 4.0 for 30us -> twap = (20+120)/40 = 3.5
+        (1, 100, 2.0, 1),
+        (1, 110, 4.0, 2),
+        (1, 140, 9.9, 3),   # last event: no interval
+        (2, 50, 7.0, 4),    # single event: excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint, value double, event_id bigint").selectExpr(
+        "user_id", "timestamp_micros(us) ts", "value", "event_id"
+    )
+    out = {r["user_id"]: r.asDict() for r in event_value_twap(df).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_intervals"] == 2
+    assert out[1]["span_us"] == 40
+    assert out[1]["twap_micro"] == 3_500_000
+
+
+def test_event_value_ohlc_hand_computed(spark):
+    """OHLC: open/close on the (ts, tie) total order including a
+    same-timestamp tie, high/low extremes."""
+    from klinker_spark.ops.temporal import event_value_ohlc
+
+    rows = [
+        (1, 10, 5.0, 2),
+        (1, 10, 3.0, 1),   # same ts, lower tie -> the true open
+        (1, 20, 9.0, 3),
+        (1, 30, 1.0, 4),   # close
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint, value double, event_id bigint").selectExpr(
+        "user_id", "timestamp_micros(us) ts", "value", "event_id"
+    )
+    r = event_value_ohlc(df, bucket_us=1000).collect()[0]
+    assert (r["open_micro"], r["high_micro"], r["low_micro"], r["close_micro"]) == (
+        3_000_000, 9_000_000, 1_000_000, 1_000_000,
+    )
+    assert r["n_events"] == 4
+
+
+def test_kcenter_sample_greedy_trajectory(spark):
+    """FPS picks the farthest point each round with deterministic
+    tie-breaks; min-distances are non-increasing."""
+    from klinker_spark.ops.similarity import kcenter_sample
+
+    pts = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 0.0]),
+        (2, [0.0, 8.0]),
+        (3, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<double>")
+    out = sorted(kcenter_sample(df, k=3).collect(), key=lambda r: r["sel_round"])
+    assert [r["vec_id"] for r in out] == [0, 1, 2]  # seed, farthest (100), then 64
+    assert out[0]["mind_micro"] is None
+    assert out[1]["mind_micro"] == 100_000_000
+    assert out[2]["mind_micro"] == 64_000_000
