@@ -7121,6 +7121,73 @@ def kcenter_coreset_q(spark, sf_dir):
 
 
 @register(
+    "perplexity_bucket_mix",
+    "WITH lm AS ("
+    + ORACLES["ngram_lm_perplexity"]
+    + """),
+    tok AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+                                           x -> x <> '')) n_tokens
+            FROM documents),
+    j AS (SELECT lm.doc_id, lm.avg_nll_nano, tok.n_tokens
+          FROM lm JOIN tok USING (doc_id)),
+    b AS (SELECT *, ntile(4) OVER (ORDER BY avg_nll_nano, doc_id) bucket
+          FROM j),
+    agg AS (SELECT bucket, CAST(count(*) AS BIGINT) n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) n_tokens,
+                   CAST(min(avg_nll_nano) AS BIGINT) min_nll_nano,
+                   CAST(max(avg_nll_nano) AS BIGINT) max_nll_nano
+            FROM b GROUP BY bucket),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) tot FROM agg)
+    SELECT CAST(bucket AS INT) bucket, n_docs, n_tokens,
+           min_nll_nano, max_nll_nano,
+           CAST(round(1000000.0 * n_tokens / tot) AS BIGINT) token_share_ppm
+    FROM agg CROSS JOIN t ORDER BY bucket
+    """,
+)
+def perplexity_bucket_mix_q(spark, sf_dir):
+    """The CCNet recipe end-to-end: documents quartiled by LM
+    perplexity (distributed ntile over the nano-NLL scores — head =
+    cleanest text) with per-bucket doc/token budgets and corpus token
+    shares, the table a data-mixing plan reads to up/down-weight
+    quality tiers.  Composes ngram_lm_score × ntile_global × one
+    rollup; exact oracle reuses the LM CTE verbatim."""
+    from .ops.profile import ntile_global
+    from .ops.textstats import ngram_lm_score, ws_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = ngram_lm_score(docs, docs.where(F.col("doc_id") % 10 == 0))
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    j = lm.join(toks, "doc_id")
+    b = ntile_global(j, [F.col("avg_nll_nano"), F.col("doc_id")], 4, "bucket")
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("avg_nll_nano").alias("min_nll_nano"),
+        F.max("avg_nll_nano").alias("max_nll_nano"),
+    )
+    tot = agg.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            "min_nll_nano",
+            "max_nll_nano",
+            F.round(1000000.0 * F.col("n_tokens") / F.col("_tot"))
+            .cast("bigint")
+            .alias("token_share_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "event_value_twap",
     """
     WITH b AS (SELECT user_id, epoch_us(ts) t,

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "streaming_dedup",
     "windowed_event_counts",
+    "windowed_ohlc",
     "streaming_token_blocks",
     "incremental_new_docs",
     "neardup_band_keys",
@@ -58,6 +59,56 @@ def windowed_event_counts(
         src.groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def windowed_ohlc(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window OHLC candles per key — the streaming twin of
+    ``ops.temporal.event_value_ohlc``: open/close ride struct-min/max
+    on the (ts, tie) total order inside ONE windowed aggregate, so the
+    stream pays only watermark-bounded per-window state (no ordering
+    state, no per-event log).  Batch frames skip the watermark and
+    produce the identical result (parity-tested).
+
+    Output: ``(window_start, user_id, n_events, open_micro,
+    high_micro, low_micro, close_micro)``, values micro-snapped.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    base = src.select(
+        F.window(F.col(ts_col), window).alias("w"),
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.col(tie_col).cast("bigint").alias("_i"),
+        F.round(F.col(value_col) * 1e6).cast("bigint").alias("_v"),
+    )
+    first = F.min(F.struct("_t", "_i", "_v"))["_v"]
+    last = F.max(F.struct("_t", "_i", "_v"))["_v"]
+    return (
+        base.groupBy("w", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            first.alias("open_micro"),
+            F.max("_v").alias("high_micro"),
+            F.min("_v").alias("low_micro"),
+            last.alias("close_micro"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "open_micro",
+            "high_micro",
+            "low_micro",
+            "close_micro",
+        )
     )
 
 

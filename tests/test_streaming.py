@@ -617,3 +617,48 @@ def test_streaming_frequency_tracker(spark, events, tmp_path):
     }
     truth = sample.where(F.col("event_type") == "click").count()
     assert est["click"] >= truth
+
+
+def test_windowed_ohlc_stream_equals_batch(spark, events, tmp_path):
+    """Streaming OHLC over a file stream produces exactly the batch
+    operator's rows for every closed window (struct-min/max open/close
+    survive micro-batching because min/max are merge-associative)."""
+    from klinker_spark.streaming.dedup import windowed_ohlc
+
+    ev = events.limit(3000)
+    src = str(tmp_path / "ohlc_src")
+    # two files -> at least two micro-batches with availableNow
+    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = windowed_ohlc(stream, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["user_id"]): (
+            r["n_events"], r["open_micro"], r["high_micro"],
+            r["low_micro"], r["close_micro"],
+        )
+        for r in spark.sql("select * from ohlc_stream").collect()
+    }
+    want = {
+        (r["window_start"], r["user_id"]): (
+            r["n_events"], r["open_micro"], r["high_micro"],
+            r["low_micro"], r["close_micro"],
+        )
+        for r in windowed_ohlc(ev).collect()
+    }
+    assert got  # closed windows actually emitted
+    # every emitted window matches the batch result exactly
+    for k, v in got.items():
+        assert want[k] == v, k
+    # append mode may hold back the final (unclosed) window only
+    assert len(want) - len(got) <= 1
