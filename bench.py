@@ -163,6 +163,13 @@ EXTRA_QUERIES = [
     "bloom_semijoin_pushdown",
     "event_hour_chi2",
     "customer_rfm_segments",
+    # round-7 additions
+    "ngram_lm_perplexity",
+    "bitext_margin_mining",
+    "kcenter_coreset",
+    "event_value_twap",
+    "event_value_ohlc_hourly",
+    "perplexity_bucket_mix",
 ]
 
 

@@ -4,7 +4,7 @@ Runs every ``queries()`` entry on Spark and (where present) its
 ``oracle_sql()`` on DuckDB over the same parquet, then compares
 row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
