@@ -170,6 +170,7 @@ EXTRA_QUERIES = [
     "event_value_twap",
     "event_value_ohlc_hourly",
     "perplexity_bucket_mix",
+    "cross_source_dup_matrix",
 ]
 
 

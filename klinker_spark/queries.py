@@ -7188,6 +7188,49 @@ def perplexity_bucket_mix_q(spark, sf_dir):
 
 
 @register(
+    "cross_source_dup_matrix",
+    "WITH pairs AS ("
+    + ORACLES["minhash_dedup_md5"]
+    + """),
+    lab AS (SELECT p.doc_a, p.doc_b, da.source sa, db.source sb
+            FROM pairs p
+            JOIN documents da ON p.doc_a = da.doc_id
+            JOIN documents db ON p.doc_b = db.doc_id),
+    norm AS (SELECT least(sa, sb) source_a, greatest(sa, sb) source_b
+             FROM lab)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) n_dup_pairs
+    FROM norm GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def cross_source_dup_matrix_q(spark, sf_dir):
+    """Provenance view of near-duplication: the MinHash near-dup pair
+    list joined back to document sources and rolled up into a
+    (source_a, source_b) matrix — the table that tells a corpus owner
+    WHERE duplication lives (mirror sites, cross-source scrapes) and
+    which source pair to deduplicate first.  Two dimension-key joins +
+    one tiny aggregate on top of the exact-oracled pair list."""
+    from .ops.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, num_perm=32, bands=8, hash_fn="md5")
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
     "event_value_twap",
     """
     WITH b AS (SELECT user_id, epoch_us(ts) t,
