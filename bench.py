@@ -171,6 +171,9 @@ EXTRA_QUERIES = [
     "event_value_ohlc_hourly",
     "perplexity_bucket_mix",
     "cross_source_dup_matrix",
+    "leakage_safe_split",
+    "kmv_source_overlap",
+    "golden_records",
 ]
 
 

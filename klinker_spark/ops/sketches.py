@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "kmv_distinct",
+    "kmv_set_ops",
     "hll_distinct",
     "hll_registers",
     "hll_estimate",
@@ -382,4 +383,59 @@ def cm_heavy_hitters(
         .groupBy(F.col(key_col).alias("key"))
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= min_count)
+    )
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """KMV (theta-style) SET OPERATIONS from two mergeable sketches:
+    estimate |A ∪ B|, Jaccard(A, B) and |A ∩ B| without ever comparing
+    the sets — the sketch algebra that lets 100 TB corpora answer
+    "how much do these two sources overlap" from k-row summaries.
+
+    Union sketch = k smallest of the merged min-sets (the standard KMV
+    merge); Jaccard = fraction of the union sketch present in BOTH
+    input sketches (Beyer et al. 2007); intersection = jaccard ×
+    union.  Deterministic md5 fractions ⇒ all three estimates are
+    engine-exact (EXACT oracle for an approximate operator).
+
+    Scale shape: each sketch is a TakeOrdered top-k (per-partition
+    k-selection, k-row driver merge); everything after runs on ≤ 3k
+    rows.  Output (one row): ``(k_used, union_estimate, n_shared,
+    jaccard_micro, intersection_estimate)``.
+    """
+    def mins(df: DataFrame) -> DataFrame:
+        frac = (
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("string")), 1, _KMV_HEX_DIGITS),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(_KMV_DENOM)
+        )
+        return (
+            df.select(frac.alias("h"))
+            .where(F.col("h").isNotNull())
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ma, mb = mins(a), mins(b)
+    u = ma.unionAll(mb).distinct().orderBy("h").limit(k)
+    tagged = u.join(
+        ma.withColumn("_ina", F.lit(1)), "h", "left"
+    ).join(mb.withColumn("_inb", F.lit(1)), "h", "left")
+    est = F.when(
+        F.count("*") >= k, (F.lit(k - 1)) / F.max("h")
+    ).otherwise(F.count("*").cast("double"))
+    shared = F.sum(
+        F.when(F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1).otherwise(0)
+    )
+    return tagged.agg(
+        F.count("*").alias("k_used"),
+        F.round(est, 6).alias("union_estimate"),
+        shared.cast("bigint").alias("n_shared"),
+        F.round(1000000.0 * shared / F.count("*"))
+        .cast("bigint")
+        .alias("jaccard_micro"),
+        F.round((shared / F.count("*")) * est, 6).alias("intersection_estimate"),
     )

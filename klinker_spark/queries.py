@@ -2524,6 +2524,62 @@ _HLL_A2 = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256)
 
 
 @register(
+    "kmv_source_overlap",
+    """
+    WITH ta AS (SELECT DISTINCT
+                  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 AS h
+                FROM (SELECT unnest(string_split(lower(text), ' ')) tok
+                      FROM documents WHERE doc_id % 2 = 0)),
+    tb AS (SELECT DISTINCT
+                  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 AS h
+                FROM (SELECT unnest(string_split(lower(text), ' ')) tok
+                      FROM documents WHERE doc_id % 2 = 1)),
+    ma AS (SELECT h FROM ta ORDER BY h LIMIT 256),
+    mb AS (SELECT h FROM tb ORDER BY h LIMIT 256),
+    u AS (SELECT DISTINCT h FROM (SELECT h FROM ma UNION ALL SELECT h FROM mb)
+          ORDER BY h LIMIT 256),
+    tagged AS (SELECT u.h,
+                      CASE WHEN u.h IN (SELECT h FROM ma) THEN 1 ELSE 0 END ina,
+                      CASE WHEN u.h IN (SELECT h FROM mb) THEN 1 ELSE 0 END inb
+               FROM u)
+    SELECT CAST(count(*) AS BIGINT) k_used,
+           round(CASE WHEN count(*) >= 256 THEN 255.0 / max(h)
+                      ELSE count(*)::DOUBLE END, 6) union_estimate,
+           CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             n_shared,
+           CAST(round(1000000.0 * sum(CASE WHEN ina = 1 AND inb = 1
+                                           THEN 1 ELSE 0 END) / count(*))
+                AS BIGINT) jaccard_micro,
+           round((sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                  * 1.0 / count(*))
+                 * CASE WHEN count(*) >= 256 THEN 255.0 / max(h)
+                        ELSE count(*)::DOUBLE END, 6) intersection_estimate
+    FROM tagged
+    """,
+)
+def kmv_source_overlap_q(spark, sf_dir):
+    """Sketch-algebra set overlap: the distinct-token vocabularies of
+    the even and odd document halves compared entirely through KMV
+    sketches — union size, Jaccard, and intersection size estimated
+    from two 256-row summaries (Beyer et al. 2007), never from the
+    sets.  Deterministic md5 fractions make every estimate exact-
+    oracled."""
+    from .ops.sketches import kmv_set_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = lambda d: d.select(  # noqa: E731
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    return kmv_set_ops(
+        tok(docs.where(F.col("doc_id") % 2 == 0)),
+        tok(docs.where(F.col("doc_id") % 2 == 1)),
+        "tok",
+    )
+
+
+@register(
     "hll_distinct_sketch",
     f"""
     WITH el AS (SELECT md5(unnest(string_split(lower(text), ' '))) h
@@ -4421,6 +4477,67 @@ def dedup_components_q(spark, sf_dir):
 
 
 _DEDUP_COMPONENTS_ORACLE = ORACLES["dedup_components"]
+
+
+@register(
+    "golden_records",
+    "WITH RECURSIVE "
+    + _NGRAM_PAIRS_SQL
+    + """
+    , edges AS (SELECT doc_a AS id, doc_b AS nid FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT id, id AS lab FROM (SELECT DISTINCT id FROM edges)
+              UNION
+              SELECT e.id, r.lab FROM edges e JOIN reach r ON r.id = e.nid),
+    comp AS (SELECT id, min(lab) AS lab FROM reach GROUP BY id),
+    lab AS (SELECT d.doc_id, coalesce(c.lab, d.doc_id) cluster_id,
+                   d.n_chars, d.source
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) cluster_size,
+           (max({'c': n_chars, 'i': -doc_id})).i * -1 rep_doc_id,
+           (max({'c': n_chars, 'i': -doc_id})).c rep_n_chars,
+           CAST(count(DISTINCT source) AS BIGINT) n_sources,
+           CAST(sum(n_chars) AS BIGINT) total_chars
+    FROM lab GROUP BY cluster_id
+    HAVING count(*) > 1 ORDER BY cluster_id
+    """,
+)
+def golden_records_q(spark, sf_dir):
+    """Golden-record construction — the last mile of entity
+    resolution: near-dup clusters (exact 3-gram Jaccard → transitive
+    closure) collapse to ONE survivor each, chosen by the
+    deterministic most-informative rule (max chars, min doc_id on
+    ties) via a single struct-max aggregate; per cluster the size,
+    survivor, source diversity and total bytes.  Only multi-doc
+    clusters are emitted (singletons need no merge)."""
+    from .ops.curation import connected_components
+    from .ops.dedup import ngram_jaccard_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dedup(docs, shingle_k=3, threshold=0.4).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    lab = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        "n_chars",
+        "source",
+    )
+    pick = F.max(F.struct(F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("i")))
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            (pick["i"] * -1).alias("rep_doc_id"),
+            pick["c"].alias("rep_n_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .where(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
+    )
 
 
 @register("dedup_components_star", _DEDUP_COMPONENTS_ORACLE)
@@ -7227,6 +7344,79 @@ def cross_source_dup_matrix_q(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "leakage_safe_split",
+    "WITH pairs AS ("
+    + ORACLES["minhash_dedup_md5"]
+    + """),
+    base AS (SELECT doc_id,
+                    CASE WHEN doc_id % 10 = 7 THEN 'test' ELSE 'train' END split0
+             FROM documents),
+    leak AS (SELECT DISTINCT x.did doc_id FROM (
+               SELECT p.doc_a did, p.doc_b other FROM pairs p
+               UNION ALL
+               SELECT p.doc_b, p.doc_a FROM pairs p) x
+             JOIN base bo ON x.other = bo.doc_id AND bo.split0 = 'test'
+             JOIN base bd ON x.did = bd.doc_id AND bd.split0 = 'train'),
+    lab AS (SELECT b.doc_id,
+                   CASE WHEN l.doc_id IS NOT NULL THEN 'dropped'
+                        ELSE b.split0 END split
+            FROM base b LEFT JOIN leak l USING (doc_id))
+    SELECT split, CAST(count(*) AS BIGINT) n_docs,
+           CAST(min(doc_id) AS BIGINT) min_doc_id,
+           CAST(max(doc_id) AS BIGINT) max_doc_id
+    FROM lab GROUP BY split ORDER BY split
+    """,
+)
+def leakage_safe_split_q(spark, sf_dir):
+    """Decontaminated train/test split — the eval-hygiene primitive:
+    docs split deterministically (doc_id % 10 == 7 → test), then every
+    TRAIN doc that MinHash-near-dups a TEST doc is dropped, so eval
+    examples cannot leak into training through near-copies.  One
+    anti-join against the exact-oracled near-dup pair list; output is
+    the per-split census."""
+    from .ops.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 7, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split0"),
+    )
+    pairs = minhash_lsh_dedup(docs, num_perm=32, bands=8, hash_fn="md5")
+    sym = pairs.select(
+        F.col("doc_a").alias("did"), F.col("doc_b").alias("other")
+    ).unionAll(pairs.select(F.col("doc_b"), F.col("doc_a")))
+    test_ids = base.where(F.col("split0") == "test").select(
+        F.col("doc_id").alias("other")
+    )
+    train_ids = base.where(F.col("split0") == "train").select(
+        F.col("doc_id").alias("did")
+    )
+    leak = (
+        sym.join(test_ids, "other", "left_semi")
+        .join(train_ids, "did", "left_semi")
+        .select(F.col("did").alias("doc_id"))
+        .distinct()
+    )
+    lab = base.join(
+        leak.withColumn("_leak", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("_leak"), F.lit("dropped")).otherwise(F.col("split0")).alias("split"),
+    )
+    return (
+        lab.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
     )
 
 

@@ -1847,3 +1847,29 @@ def test_kcenter_sample_greedy_trajectory(spark):
     assert out[0]["mind_micro"] is None
     assert out[1]["mind_micro"] == 100_000_000
     assert out[2]["mind_micro"] == 64_000_000
+
+
+def test_kmv_set_ops_semantics(spark):
+    """KMV set algebra sanity: identical sets -> Jaccard 1e6 and
+    intersection == union; disjoint sets -> Jaccard 0; small sets are
+    exact (k not reached)."""
+    from klinker_spark.ops.sketches import kmv_set_ops
+
+    a = spark.createDataFrame([(f"t{i}",) for i in range(100)], "tok string")
+    b = spark.createDataFrame([(f"t{i}",) for i in range(100)], "tok string")
+    r = kmv_set_ops(a, b, "tok").collect()[0]
+    assert r["jaccard_micro"] == 1_000_000
+    assert r["union_estimate"] == 100.0
+    assert r["intersection_estimate"] == 100.0
+
+    c = spark.createDataFrame([(f"u{i}",) for i in range(100)], "tok string")
+    r2 = kmv_set_ops(a, c, "tok").collect()[0]
+    assert r2["jaccard_micro"] == 0
+    assert r2["union_estimate"] == 200.0
+    assert r2["intersection_estimate"] == 0.0
+
+    # half overlap, still under k: exact
+    d = spark.createDataFrame([(f"t{i}",) for i in range(50, 150)], "tok string")
+    r3 = kmv_set_ops(a, d, "tok").collect()[0]
+    assert r3["union_estimate"] == 150.0
+    assert r3["n_shared"] == 50
