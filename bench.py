@@ -174,6 +174,7 @@ EXTRA_QUERIES = [
     "leakage_safe_split",
     "kmv_source_overlap",
     "golden_records",
+    "sliding_window_counts",
 ]
 
 

@@ -2324,6 +2324,51 @@ def windowed_event_counts_q(spark, sf_dir):
 
 
 @register(
+    "sliding_window_counts",
+    """
+    WITH b AS (SELECT epoch_us(ts) t, event_type,
+                      CAST(round(value * 1e6) AS BIGINT) v
+               FROM events),
+    w AS (SELECT ((t // 900000000) - k.k) * 900000000 window_start_us,
+                 event_type, v
+          FROM b CROSS JOIN (SELECT unnest(generate_series(0, 3)) k) k)
+    SELECT window_start_us, event_type,
+           CAST(count(*) AS BIGINT) n_events,
+           CAST(sum(v) AS BIGINT) sum_value_micro
+    FROM w GROUP BY window_start_us, event_type
+    ORDER BY window_start_us, event_type
+    """,
+)
+def sliding_window_counts_q(spark, sf_dir):
+    """SLIDING-window rollup (1 h windows every 15 min — each event
+    lands in exactly 4 overlapping windows): the trend-smoothing
+    variant of the tumbling rollup, one window-explode + aggregate,
+    integer micro sums so overlap arithmetic is engine-exact.  The
+    same expression runs under a watermark in Structured Streaming
+    (F.window's slideDuration)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias(
+                "sum_value_micro"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_micro").cast("bigint").alias("sum_value_micro"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+    return out
+
+
+@register(
     "events_dedup_earliest",
     """
     SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
