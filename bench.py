@@ -222,6 +222,14 @@ def main() -> None:
     # real per-query cost.  The gc happens outside the timed window.
     def _reset():
         spark.catalog.clearCache()
+        # Python GC FIRST: localCheckpoint blocks of dropped frames are
+        # held alive by py4j refs on the Python side; without
+        # gc.collect() the JVM ContextCleaner never sees them dead and
+        # old blocks evict-churn later queries (measured: pagerank sf1
+        # 24 s fresh vs 52 s behind a session's worth of orphan blocks).
+        import gc
+
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
 
     for name in BENCH_QUERIES:

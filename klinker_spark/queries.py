@@ -3054,19 +3054,38 @@ def pagerank_importance_q(spark, sf_dir):
     PageRank over the customer→order→part edge graph, top 200 by
     ``(rank_micro DESC, node)``.  Engine-exact (integer mass, one
     round per float op) — the TRAINED-model-style exact oracle applied
-    to an iterative graph algorithm."""
+    to an iterative graph algorithm.
+
+    Node ids ride the iterative shuffles as BIGINTS (tag·2⁴² + key —
+    hashing/comparing long keys beats 12-char strings ~2× in the
+    per-iteration join+aggregate) and decode to the oracle's "c:/o:/p:"
+    strings only in the final top-200 projection; the rank arithmetic
+    is representation-independent, so the string-node oracle is
+    unchanged."""
     from .ops.graph import pagerank
 
+    TAG = 1 << 42
     o = _t(spark, sf_dir, "orders").select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("head"),
-        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("tail"),
+        (F.lit(1 * TAG) + F.col("o_custkey")).alias("head"),
+        (F.lit(2 * TAG) + F.col("o_orderkey")).alias("tail"),
     )
     li = _t(spark, sf_dir, "lineitem").select(
-        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("head"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("tail"),
+        (F.lit(2 * TAG) + F.col("l_orderkey")).alias("head"),
+        (F.lit(3 * TAG) + F.col("l_partkey")).alias("tail"),
     )
     pr = pagerank(o.union(li), iters=5, damping=0.85)
-    return pr.orderBy(F.col("rank_micro").desc(), "node").limit(200)
+    tag = F.expr(f"node DIV {TAG}")
+    decoded = pr.select(
+        F.concat(
+            F.when(tag == 1, F.lit("c:"))
+            .when(tag == 2, F.lit("o:"))
+            .otherwise(F.lit("p:")),
+            (F.col("node") % TAG).cast("string"),
+        ).alias("node"),
+        "rank_micro",
+        "rank",
+    )
+    return decoded.orderBy(F.col("rank_micro").desc(), "node").limit(200)
 
 
 @register(

@@ -102,6 +102,12 @@ def main():
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        # free the previous query's checkpoint/broadcast blocks:
+        # py4j refs on the Python side keep them alive until a Python
+        # GC runs (see bench.py::_reset)
+        import gc
+
+        gc.collect()
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
