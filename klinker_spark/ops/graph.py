@@ -467,18 +467,18 @@ def bfs_distances(
     stays polynomial because (node, dist) pairs dedup per level).
     """
     spark = edges.sparkSession
+    # native-typed ids (see k_core); the seed frame inherits the edge
+    # column's type
     e = (
-        edges.select(
-            F.col(a_col).cast("string").alias("u"),
-            F.col(b_col).cast("string").alias("v"),
-        )
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
     e = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     e = e.localCheckpoint(eager=True)
+    node_type = e.schema["u"].dataType.simpleString()
     dist = spark.createDataFrame(
-        [(s, 0) for s in sources], "node STRING, dist INT"
+        [(s, 0) for s in sources], f"node {node_type}, dist INT"
     ).localCheckpoint(eager=True)
     frontier = dist
     for d in range(1, max_depth + 1):

@@ -6626,14 +6626,21 @@ def customer_part_kcore_q(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    edges = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("b"),
-        )
+    # tagged-bigint node ids through the peeling rounds (the pagerank
+    # lane); decode to the oracle's c:/p: strings at output only
+    TAG = 1 << 42
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.lit(1 * TAG) + F.col("o_custkey")).alias("a"),
+        (F.lit(3 * TAG) + F.col("l_partkey")).alias("b"),
     )
-    return k_core(edges, k=22, rounds=6).orderBy("node")
+    kc = k_core(edges, k=22, rounds=6)
+    return kc.select(
+        F.concat(
+            F.when(F.expr(f"node DIV {TAG}") == 1, F.lit("c:")).otherwise(F.lit("p:")),
+            (F.col("node") % TAG).cast("string"),
+        ).alias("node"),
+        *[c for c in kc.columns if c != "node"],
+    ).orderBy("node")
 
 
 def _fk_oracle_one(name: str, child: str, ck: str, parent: str, pk: str) -> str:
@@ -7051,11 +7058,20 @@ def bfs_reach_q(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # tagged-bigint node ids through the frontier joins; decode at output
+    TAG = 1 << 42
     edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("b"),
+        (F.lit(1 * TAG) + F.col("o_custkey")).alias("a"),
+        (F.lit(3 * TAG) + F.col("l_partkey")).alias("b"),
     )
-    return bfs_distances(edges, ["c:1"], max_depth=4).orderBy("node")
+    bd = bfs_distances(edges, [1 * TAG + 1], max_depth=4)
+    return bd.select(
+        F.concat(
+            F.when(F.expr(f"node DIV {TAG}") == 1, F.lit("c:")).otherwise(F.lit("p:")),
+            (F.col("node") % TAG).cast("string"),
+        ).alias("node"),
+        "dist",
+    ).orderBy("node")
 
 
 @register(
@@ -8218,11 +8234,22 @@ def hits_hubs_authorities_q(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # tagged-bigint node ids through the per-iteration joins; the
+    # score arithmetic is representation-independent, decode at output
+    TAG = 1 << 42
     edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("p"),
+        (F.lit(1 * TAG) + F.col("o_custkey")).alias("c"),
+        (F.lit(3 * TAG) + F.col("l_partkey")).alias("p"),
     )
-    return hits(edges, iters=2).orderBy("kind", "node")
+    h = hits(edges, iters=2)
+    return h.select(
+        F.concat(
+            F.when(F.expr(f"node DIV {TAG}") == 1, F.lit("c:")).otherwise(F.lit("p:")),
+            (F.col("node") % TAG).cast("string"),
+        ).alias("node"),
+        "kind",
+        "score_ppm",
+    ).orderBy("kind", "node")
 
 
 # ------------------------------------------------------------------ RFM segmentation
