@@ -33,16 +33,30 @@ def entry(spark: SparkSession) -> DataFrame:
     for prebuild in ("ann_topk_ivfpq_indexed_md5", "ann_topk_ivf_indexed"):
         try:
             QUERIES[prebuild](spark, "/root/testdata/sf0.01")
-        except Exception:  # smoke must not fail on index prebuild
-            pass
+        except Exception as ex:  # smoke must not fail on index prebuild,
+            # but a broken build must surface HERE, not as an opaque
+            # gate failure later
+            print(f"# entry(): ANN index prebuild {prebuild} failed: {ex}", file=sys.stderr)
 
     return QUERIES["relational_token_blocking"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from klinker_spark.ckpt import release_all
     from klinker_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    def _with_hygiene(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver runs hundreds of rows in one session; free the
+            # previous row's localCheckpoint blocks before each query so
+            # orphaned storage never evict-churns later rows (the same
+            # contract as bench.py::_reset)
+            release_all(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _with_hygiene(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -222,11 +222,18 @@ def main() -> None:
     # real per-query cost.  The gc happens outside the timed window.
     def _reset():
         spark.catalog.clearCache()
-        # Python GC FIRST: localCheckpoint blocks of dropped frames are
-        # held alive by py4j refs on the Python side; without
-        # gc.collect() the JVM ContextCleaner never sees them dead and
-        # old blocks evict-churn later queries (measured: pagerank sf1
-        # 24 s fresh vs 52 s behind a session's worth of orphan blocks).
+        # EXPLICITLY drop every persistent RDD (localCheckpoint blocks
+        # + leaked persists).  The r7 gc.collect() approach was not
+        # enough: blocks created inside query closures stay pinned by
+        # py4j refs the ContextCleaner never observes dead within the
+        # session, and the orphans evict-churned later queries
+        # (measured: pagerank sf1 24 s fresh vs ~50 s behind a
+        # session's worth of orphan blocks — the r7 headline
+        # regression).  Between bench queries nothing from the prior
+        # query may be referenced again, so a blanket unpersist is safe.
+        from klinker_spark.ckpt import release_all
+
+        release_all(spark)
         import gc
 
         gc.collect()

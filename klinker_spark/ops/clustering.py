@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ckpt import release as _free
 from ..functions.vectors import cosine
 
 __all__ = ["dbscan_labels", "hdbscan_labels", "mutual_reachability_edges", "boruvka_mst"]
@@ -240,6 +241,7 @@ def boruvka_mst(
             ed.join(lab_a, "a").join(lab_b, "b").where(F.col("ca") != F.col("cb"))
         ).localCheckpoint(eager=True)
         if cross.isEmpty():
+            _free(cross)
             break
         wnd = Window.partitionBy("comp").orderBy(
             F.col("w").asc(), F.col("a").asc(), F.col("b").asc()
@@ -253,11 +255,15 @@ def boruvka_mst(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        prev_mst = mst
+        # first round checkpoints too: the forest must be self-contained
+        # so each round's sel blocks can free at round end
         mst = (
-            sel.select("a", "b", "w")
+            sel.select("a", "b", "w").localCheckpoint(eager=True)
             if mst is None
             else mst.unionByName(sel.select("a", "b", "w")).localCheckpoint(eager=True)
         )
+        _free(prev_mst)
         n_sel = sel.count()
         if n_sel <= BORUVKA_DRIVER_CONTRACT_MAX:
             # driver union-find over the selected component pairs
@@ -278,6 +284,7 @@ def boruvka_mst(
             mapping = [(c, find(c)) for c in list(parent)]
             ctype = comp.schema["comp"].dataType.simpleString()
             relabel = local_df(spark, mapping, f"comp {ctype}, label {ctype}")
+            prev_comp = comp
             comp = (
                 comp.join(F.broadcast(relabel), "comp", "left")
                 .select("id", F.coalesce("label", "comp").alias("comp"))
@@ -288,13 +295,22 @@ def boruvka_mst(
             relabel_df = connected_components(
                 contract, "src", "dst", vertices=comp.select("comp").distinct()
             )
+            prev_comp = comp
             comp = (
                 comp.join(relabel_df.withColumnRenamed("id", "comp"), "comp")
                 .select("id", F.col("label").alias("comp"))
                 .localCheckpoint(eager=True)
             )
+            _free(relabel_df)
+        # round teardown: the contracted labels supersede prev_comp; the
+        # selected-edge and crossing tables are folded into mst/comp
+        _free(prev_comp)
+        _free(sel)
+        _free(cross)
     else:
         raise RuntimeError(f"boruvka_mst did not converge in {max_iter} rounds")
+    _free(comp)
+    _free(ed)
     if mst is None:
         return spark.createDataFrame([], "a string, b string, w double")
     return mst

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ckpt import release as _free
 from ..functions.text import tokenize, word_shingles
 
 __all__ = [
@@ -275,11 +276,13 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        _free(labels)
         labels = new_labels
         if changed == 0:
             converged = True
             break
     und.unpersist()
+    _free(pairs)
     if not converged:
         raise RuntimeError(
             f"connected_components: min-label propagation did not converge "
@@ -338,11 +341,12 @@ def _star_components(pairs: DataFrame, ids: DataFrame, max_iter: int) -> DataFra
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if new_e.count() == e.count() and new_e.subtract(e).count() == 0:
-            e = new_e
+        same = new_e.count() == e.count() and new_e.subtract(e).count() == 0
+        _free(e)
+        e = new_e
+        if same:
             converged = True
             break
-        e = new_e
     if not converged:
         raise RuntimeError(
             f"connected_components(star): did not converge within "

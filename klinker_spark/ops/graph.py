@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import release as _free
+
 __all__ = [
     "pagerank",
     "triangle_count",
@@ -126,6 +128,7 @@ def pagerank(
         )
         tele_term = None
     for _ in range(iters):
+        prev = ranks
         r = ranks.withColumnRenamed("node", "head")
         summed = (
             edges_w.join(F.broadcast(r) if broadcast_ranks else r, "head")
@@ -157,6 +160,12 @@ def pagerank(
             # broadcast build; the table is 2 slim columns per node
             .localCheckpoint(eager=True)
         )
+        # superseded round's blocks free NOW (ckpt contract): at most
+        # two rank versions ever hold storage, and nothing leaks into
+        # the session once the final ranks materialize
+        _free(prev)
+    _free(edges_w)
+    _free(nodes)
     return ranks.select(
         "node", "rank_micro", F.round(F.col("rank_micro") / 1e6, 6).alias("rank")
     )
@@ -382,6 +391,7 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lab")
     for _ in range(iters):
         nbr_lab = labels.select(F.col("node").alias("nbr"), "lab")
+        prev = labels
         labels = (
             adj.join(nbr_lab, "nbr")
             .groupBy("node", "lab")
@@ -391,6 +401,8 @@ def label_propagation(
             .select("node", "lab")
             .localCheckpoint(eager=True)
         )
+        _free(prev)
+    _free(adj)
     return labels.select("node", F.col("lab").alias("community"))
 
 
@@ -431,12 +443,14 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.where(F.col("deg") >= k).select("node")
+        prev = e
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+        _free(prev)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))
@@ -491,9 +505,16 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
+            _free(nxt)
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        new_dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        # the consumed frontier (last level's nxt) and the superseded
+        # settled set free now; in round 1 they are the same frame
+        if frontier is not dist:
+            _free(frontier)
+        _free(dist)
+        dist, frontier = new_dist, nxt
+    _free(e)
     return dist
 
 
@@ -539,18 +560,23 @@ def hits(
     for _ in range(iters):
         h = e.join(a, "p").groupBy("c").agg(F.sum("score").alias("s"))
         tot_h = h.agg(F.sum("s").alias("tot"))
+        prev_h = hn
         hn = (
             h.crossJoin(F.broadcast(tot_h))
             .select("c", F.expr("(2000000 * s + tot) div (2 * tot)").alias("score"))
             .localCheckpoint(eager=True)
         )
+        _free(prev_h)
         a2 = e.join(hn, "c").groupBy("p").agg(F.sum("score").alias("s"))
         tot_a = a2.agg(F.sum("s").alias("tot"))
+        prev_a = a
         a = (
             a2.crossJoin(F.broadcast(tot_a))
             .select("p", F.expr("(2000000 * s + tot) div (2 * tot)").alias("score"))
             .localCheckpoint(eager=True)
         )
+        _free(prev_a)
+    _free(e)
     return hn.select(
         F.col("c").alias("node"), F.lit("hub").alias("kind"), F.col("score").alias("score_ppm")
     ).unionAll(

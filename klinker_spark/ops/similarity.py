@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ckpt import release as _free
 from ..functions.vectors import cosine, dot, l2_norm, topk_cosine_join
 
 __all__ = [
@@ -893,6 +894,9 @@ def kcenter_sample(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    # output id field keeps the INPUT id type (string ids are as legal
+    # as the bench's bigints); empty input has no seed — fail loudly
+    id_type = pts.schema["id"].dataType.simpleString()
 
     def d2_to(center_vals) -> F.Column:
         arr = F.array(*[F.lit(float(x)) for x in center_vals])
@@ -905,17 +909,23 @@ def kcenter_sample(
             * 1e6
         ).cast("bigint")
 
-    seed = pts.orderBy("id").limit(1).collect()[0]
+    seeds = pts.orderBy("id").limit(1).collect()
+    if not seeds:
+        raise ValueError("kcenter_sample: empty input — no seed point to start FPS from")
+    seed = seeds[0]
     rows = [(0, seed["id"], None)]
     state = pts.withColumn("mind", d2_to(seed["v"])).localCheckpoint(eager=True)
     for r in range(1, k):
         nxt = state.orderBy(F.col("mind").desc(), "id").limit(1).collect()[0]
         rows.append((r, nxt["id"], int(nxt["mind"])))
         if r < k - 1:
+            prev = state
             state = state.withColumn(
                 "mind", F.least("mind", d2_to(nxt["v"]))
             ).localCheckpoint(eager=True)
+            _free(prev)
+    _free(state)
     spark = emb.sparkSession
     return spark.createDataFrame(
-        rows, "sel_round int, vec_id bigint, mind_micro bigint"
+        rows, f"sel_round int, vec_id {id_type}, mind_micro bigint"
     )

@@ -277,7 +277,6 @@ def event_value_twap(
     Output: ``(user_id, n_intervals, span_us, twap_micro)``; keys with
     a single event are excluded (no interval evidence).
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
     iv = (
         events.select(
             F.col(user_col).alias("user_id"),

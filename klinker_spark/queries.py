@@ -2208,6 +2208,55 @@ def ann_topk_ivf_md5_q(spark, sf_dir):
     return out.withColumn("sim", F.round("sim", 6))
 
 
+def _src_fingerprint(src_path: str) -> list:
+    """Driver-side (no Spark job) fingerprint of a source parquet file
+    or directory: sorted (name, size, mtime) triples.  Catches the
+    same-path-regenerated-data staleness case without a count job in
+    the timed search path."""
+    import os
+
+    if os.path.isdir(src_path):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src_path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+    else:
+        files = [src_path]
+    return [
+        [os.path.basename(p), os.path.getsize(p), int(os.path.getmtime(p))]
+        for p in files
+    ]
+
+
+def _index_current(path: str, src_path: str) -> bool:
+    """True iff ``path`` holds a COMPLETED index built from the data
+    currently at ``src_path``.  The manifest is written last by
+    :func:`_write_index_manifest`, so a crashed build (no manifest) or
+    an index built from older regenerated data (fingerprint mismatch)
+    both trigger a rebuild instead of silently serving wrong lists."""
+    import json as _json
+    import os
+
+    mf = os.path.join(path, "_MANIFEST.json")
+    if not os.path.isfile(mf):
+        return False
+    try:
+        with open(mf) as fh:
+            return _json.load(fh).get("src_fingerprint") == _src_fingerprint(src_path)
+    except Exception:
+        return False
+
+
+def _write_index_manifest(path: str, src_path: str, **meta) -> None:
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        _json.dump({"src_fingerprint": _src_fingerprint(src_path), **meta}, fh)
+
+
 @register("ann_topk_ivf_indexed")
 def ann_topk_ivf_indexed_q(spark, sf_dir):
     """Persisted-IVF ANN: build the partitioned-parquet inverted-list
@@ -2222,8 +2271,10 @@ def ann_topk_ivf_indexed_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "spark-warehouse", f"ivf_{sf_tag}")
-    if not os.path.isdir(os.path.join(path, "lists")):
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not _index_current(path, src):
         build_ivf_index(emb, path, n_centroids=16)
+        _write_index_manifest(path, src, kind="ivf", n_centroids=16, quantizer="kmeans")
     out = ann_topk_ivf_indexed(emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4)
     return out.withColumn("sim", F.round("sim", 6))
 
@@ -2245,8 +2296,10 @@ def ann_topk_ivf_indexed_md5_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(tempfile.gettempdir(), f"klinker_ivf_md5_{sf_tag}")
-    if not os.path.isdir(os.path.join(path, "lists")):
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not _index_current(path, src):
         build_ivf_index(emb, path, n_centroids=16, quantizer="hash_sample")
+        _write_index_manifest(path, src, kind="ivf", n_centroids=16, quantizer="hash_sample")
     out = ann_topk_ivf_indexed(
         emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4
     )
@@ -3048,6 +3101,26 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85, k: int = 200) -> str
     return "".join(parts)
 
 
+#: Tagged-bigint node encoding for the graph queries: ``tag·2⁵⁶ + key``.
+#: 2⁵⁶ keeps TPC-H keys in-envelope to sf ~1e10 (orderkey ≈ 6e12 at
+#: sf 1e6), and 3·2⁵⁶ + 2⁵⁶ ≈ 2.9e17 stays far under int64; keys at or
+#: above the shift RAISE in the encode projection (one predictable
+#: bigint comparison inside codegen — no extra job, no silent tag-space
+#: collision).
+_NODE_TAG_SHIFT = 1 << 56
+
+
+def _tag_node(tag: int, key_col: str):
+    kc = F.col(key_col).cast("bigint")
+    return F.when(
+        (kc < 0) | (kc >= F.lit(_NODE_TAG_SHIFT)),
+        F.expr(
+            f"raise_error(concat('node key outside tagged-bigint envelope "
+            f"[0, 2^56) in column {key_col}: ', CAST(`{key_col}` AS STRING)))"
+        ).cast("bigint"),
+    ).otherwise(F.lit(tag * _NODE_TAG_SHIFT) + kc)
+
+
 @register("pagerank_importance", _pagerank_oracle())
 def pagerank_importance_q(spark, sf_dir):
     """Global entity importance: 5-iteration integer-micro-unit
@@ -3064,14 +3137,14 @@ def pagerank_importance_q(spark, sf_dir):
     unchanged."""
     from .ops.graph import pagerank
 
-    TAG = 1 << 42
+    TAG = _NODE_TAG_SHIFT
     o = _t(spark, sf_dir, "orders").select(
-        (F.lit(1 * TAG) + F.col("o_custkey")).alias("head"),
-        (F.lit(2 * TAG) + F.col("o_orderkey")).alias("tail"),
+        _tag_node(1, "o_custkey").alias("head"),
+        _tag_node(2, "o_orderkey").alias("tail"),
     )
     li = _t(spark, sf_dir, "lineitem").select(
-        (F.lit(2 * TAG) + F.col("l_orderkey")).alias("head"),
-        (F.lit(3 * TAG) + F.col("l_partkey")).alias("tail"),
+        _tag_node(2, "l_orderkey").alias("head"),
+        _tag_node(3, "l_partkey").alias("tail"),
     )
     pr = pagerank(o.union(li), iters=5, damping=0.85)
     tag = F.expr(f"node DIV {TAG}")
@@ -5786,9 +5859,14 @@ def ann_topk_ivfpq_indexed_md5_q(spark, sf_dir):
         "spark-warehouse",
         f"ivfpq_{sf_tag}",
     )
-    if not os.path.isdir(os.path.join(path, "codebooks")):
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if not _index_current(path, src):
         build_ivfpq_index(
             emb, path, n_centroids=16, m=8, k_codes=16, quantizer="hash_sample"
+        )
+        _write_index_manifest(
+            path, src, kind="ivfpq", n_centroids=16, m=8, k_codes=16,
+            quantizer="hash_sample",
         )
     out = ann_topk_ivfpq(emb.where(F.col("vec_id") % 10 == 0), path, k=10, n_probe=4)
     return out.withColumn("dist", F.round("dist", 6))
@@ -6628,10 +6706,10 @@ def customer_part_kcore_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     # tagged-bigint node ids through the peeling rounds (the pagerank
     # lane); decode to the oracle's c:/p: strings at output only
-    TAG = 1 << 42
+    TAG = _NODE_TAG_SHIFT
     edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        (F.lit(1 * TAG) + F.col("o_custkey")).alias("a"),
-        (F.lit(3 * TAG) + F.col("l_partkey")).alias("b"),
+        _tag_node(1, "o_custkey").alias("a"),
+        _tag_node(3, "l_partkey").alias("b"),
     )
     kc = k_core(edges, k=22, rounds=6)
     return kc.select(
@@ -7059,10 +7137,10 @@ def bfs_reach_q(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     # tagged-bigint node ids through the frontier joins; decode at output
-    TAG = 1 << 42
+    TAG = _NODE_TAG_SHIFT
     edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        (F.lit(1 * TAG) + F.col("o_custkey")).alias("a"),
-        (F.lit(3 * TAG) + F.col("l_partkey")).alias("b"),
+        _tag_node(1, "o_custkey").alias("a"),
+        _tag_node(3, "l_partkey").alias("b"),
     )
     bd = bfs_distances(edges, [1 * TAG + 1], max_depth=4)
     return bd.select(
@@ -7349,7 +7427,7 @@ def perplexity_bucket_mix_q(spark, sf_dir):
     quality tiers.  Composes ngram_lm_score × ntile_global × one
     rollup; exact oracle reuses the LM CTE verbatim."""
     from .ops.profile import ntile_global
-    from .ops.textstats import ngram_lm_score, ws_token_count
+    from .ops.textstats import ngram_lm_score
 
     docs = _t(spark, sf_dir, "documents")
     lm = ngram_lm_score(docs, docs.where(F.col("doc_id") % 10 == 0))
@@ -8236,10 +8314,10 @@ def hits_hubs_authorities_q(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     # tagged-bigint node ids through the per-iteration joins; the
     # score arithmetic is representation-independent, decode at output
-    TAG = 1 << 42
+    TAG = _NODE_TAG_SHIFT
     edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        (F.lit(1 * TAG) + F.col("o_custkey")).alias("c"),
-        (F.lit(3 * TAG) + F.col("l_partkey")).alias("p"),
+        _tag_node(1, "o_custkey").alias("c"),
+        _tag_node(3, "l_partkey").alias("p"),
     )
     h = hits(edges, iters=2)
     return h.select(
@@ -8758,71 +8836,68 @@ def time_decayed_user_value_q(spark, sf_dir):
 # pushed past the window on purpose.  The round-by-round ledger of who
 # has recorded what lives in COVERAGE.md.
 _GATE_PRIORITY = [
-    # ROUND-7 ROTATION.  Census over CORRECTNESS_r01..r06 (see
-    # COVERAGE.md): 144 of 197 registered queries hold a driver row.
-    # (1) the r6 ERR row, output reshaped this round — stays until it
-    #     records green:
-    "hll_distinct_sketch",
-    # (2a) the 44 exact-oracled queries with NO driver row in any
-    #      round, in registration order (incl. the two other reshaped
-    #      array-output queries, matryoshka_truncate +
-    #      hll_distinct_by_source):
-    "matryoshka_truncate",
-    "two_stage_ann",
-    "hll_distinct_by_source",
-    "ngram_containment_dedup",
-    "tfidf_cosine_join",
-    "tfidf_cosine_join_capped",
-    "langid_confusion",
-    "distinct_ngram_ratio",
-    "zipf_fit",
-    "js_divergence_sources",
-    "sorted_neighborhood_multipass",
-    "readability_stats",
-    "doc_length_quantiles",
-    "ann_topk_pq",
-    "weighted_stratified_sample",
-    "referential_integrity_audit",
-    "table_column_profile",
-    "corpus_snapshot_diff",
-    "bfs_reach",
-    "order_pareto_frontier",
-    "user_event_reservoir",
-    "skipgram_pairs",
-    "event_value_winsorized",
-    "order_priority_target_encoding",
-    "multimodal_frame_sample",
-    "classifier_pr_curve",
-    "user_activity_islands",
-    "events_asof_join_forward",
-    "event_type_hourly_pivot",
-    "order_status_metrics_unpivot",
-    "orders_upsert_merge",
-    "cumulative_unique_users",
-    "user_value_rolling_7d",
-    "jl_projection_sketch",
-    "fellegi_sunter_linkage",
-    "hits_hubs_authorities",
-    "customer_rfm_segments",
-    "event_hour_chi2",
-    "bloom_semijoin_pushdown",
-    "funnel_conversion_windowed",
-    "personalized_pagerank",
-    "ann_recall_audit",
-    "global_pareto_frontier",
-    "time_decayed_user_value",
-    # (2b) never-recorded rows-only twins (weaker check BY DESIGN —
-    #      float-nondeterministic siblings of in-gate md5 exacts; they
-    #      get their rows-only record instead of being curated out).
-    #      5 of 9 fit this round; the other four
-    #      (attribute_clustering_blocking, sif_pc_removal,
-    #      quality_classifier, neardup_ingest_gate_fast) are first in
-    #      line for r8 — ledger in COVERAGE.md:
-    "gcn_embedding_blocking",
-    "deepblocker_knn_blocking",
-    "ann_topk_ivfpq",
-    "hdbscan_labels",
-    "lightea_embedding_blocking",
+    # ROUND-8 ROTATION.  Census over CORRECTNESS_r01..r07 (see
+    # COVERAGE.md): 193 of 208 registered queries hold a driver row;
+    # nothing is red.
+    # (2a) the 11 round-7 exact-oracled additions with NO driver row
+    #      (registered after the r7 gate froze), registration order:
+    "ngram_lm_perplexity",
+    "bitext_margin_mining",
+    "kcenter_coreset",
+    "event_value_twap",
+    "event_value_ohlc_hourly",
+    "perplexity_bucket_mix",
+    "cross_source_dup_matrix",
+    "leakage_safe_split",
+    "kmv_source_overlap",
+    "golden_records",
+    "sliding_window_counts",
+    # (2b) the last 4 never-recorded rows-only twins (weaker check BY
+    #      DESIGN — float-nondeterministic siblings of recorded md5
+    #      exacts); after these record, every registered query holds
+    #      at least one driver row:
+    "attribute_clustering_blocking",
+    "sif_pc_removal",
+    "quality_classifier",
+    "neardup_ingest_gate_fast",
+    # (3) oldest-recorded greens, re-record rotation: the 29 queries
+    #     whose latest driver row is round 2, then the first 6 of the
+    #     round-3 cohort (record order):
+    "standard_blocking_stats",
+    "qgram_blocking_stats",
+    "concat_values",
+    "rdf_clean",
+    "sample_dataset",
+    "filter_with_unique",
+    "count_entities",
+    "relation_importance",
+    "name_importance",
+    "neighbor_concat",
+    "blocks_combine",
+    "compare_blockings",
+    "find_blocks",
+    "minhash_lsh_blocking",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash_dedup",
+    "token_count",
+    "quality_score",
+    "token_frequencies",
+    "tfidf_top_tokens",
+    "doc_fingerprint",
+    "langid",
+    "ann_topk_ivf",
+    "ann_topk_ivf_indexed",
+    "ann_topk_lsh",
+    "running_user_stats",
+    "events_json_extract",
+    "embedding_knn_blocking",
+    "standard_blocking",
+    "token_blocking",
+    "unique_name_blocking",
+    "top_n_filter",
+    "all_pairs_multiplicity",
+    "purge_blocks",
 ]
 
 

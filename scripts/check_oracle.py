@@ -102,11 +102,14 @@ def main():
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
-        # free the previous query's checkpoint/broadcast blocks:
-        # py4j refs on the Python side keep them alive until a Python
-        # GC runs (see bench.py::_reset)
+        # free the previous query's checkpoint/broadcast blocks
+        # EXPLICITLY (see bench.py::_reset — gc.collect alone leaves
+        # closure-pinned blocks behind)
         import gc
 
+        from klinker_spark.ckpt import release_all
+
+        release_all(spark)
         gc.collect()
         t0 = time.time()
         try:
