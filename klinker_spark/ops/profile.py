@@ -26,6 +26,7 @@ __all__ = [
     "global_rank",
     "sorted_neighborhood_pairs",
     "zscore_outliers",
+    "psi_drift",
 ]
 
 
@@ -341,4 +342,63 @@ def zscore_outliers(
         .where(pred)
         .drop("_n", "_s", "_q")
         .withColumnRenamed("_x", "value_scaled")
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Population Stability Index between two cohorts' distributions of
+    an integer bucket column — the standard drift monitor a continuously
+    ingested corpus runs between snapshots / sources (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate).
+
+    ``bucket_col`` must be a deterministic integer bucketing the caller
+    computed (power-of-2 length buckets, score deciles from
+    :func:`ntile_global`, …) — bucketing is where engines diverge, so it
+    stays in caller-controlled exact-integer land.
+
+    Laplace add-one smoothing over the UNION bucket set keeps every
+    log-ratio finite (a bucket present on one side only is exactly the
+    drift signal PSI must not discard): ``p = (c + 1) / (n + B)`` with
+    ``B`` = number of distinct buckets observed.  Each bucket's term
+    ``(pa - pb) * ln(pa / pb)`` nano-rounds to a bigint BEFORE the sum,
+    so the total is shuffle-order-free and engine-exact (the
+    ``js_divergence`` lane).
+
+    One shuffle (the bucket group-by; map-side partials over ≤ B cells
+    per task) + a one-row broadcast — at 100 TB this is a counting scan.
+    Output one row: ``(n_a, n_b, n_buckets, psi_nano, psi)``.
+    """
+    src = df.where(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(group_col).alias("_g"), F.col(bucket_col).cast("bigint").alias("_bk")
+    )
+    counts = src.groupBy("_bk").agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).alias("nbk"),
+    )
+    pa = (F.col("ca") + F.lit(1.0)) / (F.col("na") + F.col("nbk"))
+    pb = (F.col("cb") + F.lit(1.0)) / (F.col("nb") + F.col("nbk"))
+    term = F.round((pa - pb) * F.log(pa / pb) * 1e9).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select("na", "nb", "nbk", term.alias("t"))
+        .groupBy("na", "nb", "nbk")
+        .agg(F.sum("t").cast("bigint").alias("psi_nano"))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("nbk").cast("bigint").alias("n_buckets"),
+            "psi_nano",
+            F.round(F.col("psi_nano") / 1e9, 6).alias("psi"),
+        )
     )

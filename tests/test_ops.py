@@ -1873,3 +1873,81 @@ def test_kmv_set_ops_semantics(spark):
     r3 = kmv_set_ops(a, d, "tok").collect()[0]
     assert r3["union_estimate"] == 150.0
     assert r3["n_shared"] == 50
+
+
+def test_psi_drift(spark):
+    """Identical bucket distributions give PSI exactly 0; a hand-built
+    shifted case matches the Laplace-smoothed Python model."""
+    import math
+
+    from klinker_spark.ops.profile import psi_drift
+
+    mk = lambda rows: spark.createDataFrame(rows, ["g", "bk"])  # noqa: E731
+    same = mk([("a", 1), ("a", 2), ("b", 1), ("b", 2)])
+    r = psi_drift(same, "g", "a", "b", "bk").first()
+    assert r["psi_nano"] == 0 and r["n_buckets"] == 2
+
+    # a: {1:3, 2:1}, b: {2:2, 3:2} over union buckets {1,2,3}
+    rows = [("a", 1)] * 3 + [("a", 2)] + [("b", 2)] * 2 + [("b", 3)] * 2
+    r2 = psi_drift(mk(rows), "g", "a", "b", "bk").first()
+    ca, cb = {1: 3, 2: 1, 3: 0}, {1: 0, 2: 2, 3: 2}
+    na, nb, B = 4, 4, 3
+    want = sum(
+        round(
+            ((ca[k] + 1) / (na + B) - (cb[k] + 1) / (nb + B))
+            * math.log(((ca[k] + 1) / (na + B)) / ((cb[k] + 1) / (nb + B)))
+            * 1e9
+        )
+        for k in (1, 2, 3)
+    )
+    assert r2["psi_nano"] == want
+    assert r2["n_a"] == 4 and r2["n_b"] == 4 and r2["n_buckets"] == 3
+
+
+def test_classifier_agreement_kappa_query(spark):
+    """The registered kappa query's contingency partitions the corpus
+    and its nano value matches an independent pandas model."""
+    import math
+
+    from klinker_spark.queries import QUERIES
+
+    r = QUERIES["classifier_agreement_kappa"](spark, SF_DIR).first()
+    n, a, b, c, d = (
+        r["n_docs"], r["both_pos"], r["a_only"], r["b_only"], r["both_neg"]
+    )
+    assert a + b + c + d == n and -1e9 <= r["kappa_nano"] <= 1e9
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    la = pdf["text"].str.len() >= 300
+    lb = pdf["text"].apply(lambda t: len([x for x in t.split(" ") if x]) >= 60)
+    aa = int((la & lb).sum()); bb = int((la & ~lb).sum())
+    cc = int((~la & lb).sum()); dd = int((~la & ~lb).sum())
+    assert (aa, bb, cc, dd) == (a, b, c, d)
+    nn = aa + bb + cc + dd
+    pe = (aa + bb) * (aa + cc) + (cc + dd) * (bb + dd)
+    den = nn * nn - pe
+    want = 0 if den == 0 else round(1e9 * (nn * (aa + dd) - pe) / den)
+    assert r["kappa_nano"] == want
+
+
+def test_benford_audit_query(spark):
+    """Digit rows partition the positive orders; Benford expectations
+    match log10(1 + 1/d); deviation column is the exact difference."""
+    import math
+
+    from klinker_spark.queries import QUERIES
+
+    rows = QUERIES["benford_audit"](spark, SF_DIR).collect()
+    assert [r["digit"] for r in rows] == sorted(r["digit"] for r in rows)
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    n_orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .where(F.col("o_totalprice") > 0)
+        .count()
+    )
+    assert sum(r["cnt"] for r in rows) == n_orders
+    for r in rows:
+        assert r["benford_ppm"] == round(1e6 * math.log10(1 + 1 / r["digit"]))
+        assert r["dev_ppm"] == r["share_ppm"] - r["benford_ppm"]

@@ -268,9 +268,11 @@ def test_gate_prefix_oracle_policy():
     unknown = [n for n in _GATE_PRIORITY if n not in QUERIES]
     assert not unknown, f"_GATE_PRIORITY names not registered: {unknown}"
     assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) == 50
-    # the r6 ERR row (array output reshaped in r7) must stay in the
-    # gate until it records green
-    assert "hll_distinct_sketch" in _GATE_PRIORITY[:5]
+    # the r8 rotation leads with the 15 never-driver-recorded queries
+    # (11 round-7 exacts + the last 4 rows-only twins); after they
+    # record, every registered query holds >=1 driver row
+    for name in ("ngram_lm_perplexity", "golden_records", "neardup_ingest_gate_fast"):
+        assert name in _GATE_PRIORITY[:15], name
 
 
 def test_curation_plan_shapes(spark, sf_dir):
