@@ -242,6 +242,30 @@ def main() -> None:
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        if os.environ.get("SPARK_GRAFT_BENCH_DIAG") == "1":
+            # session-aging diagnostics: JVM heap after GC, leftover
+            # shuffle bytes on local disk, persistent-RDD count
+            rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            heap_mb = (rt.totalMemory() - rt.freeMemory()) >> 20
+            import glob
+
+            def _sz(p):
+                try:
+                    return os.path.getsize(p)
+                except OSError:  # deleted concurrently by the shuffle cleaner
+                    return 0
+
+            shuffle_mb = sum(
+                _sz(os.path.join(r, f))
+                for d in glob.glob("/tmp/blockmgr-*")
+                for r, _, fs in os.walk(d)
+                for f in fs
+            ) >> 20
+            n_rdds = spark.sparkContext._jsc.getPersistentRDDs().size()
+            print(
+                f"## diag heap={heap_mb}MB shuffle={shuffle_mb}MB rdds={n_rdds}",
+                file=sys.stderr,
+            )
 
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -333,9 +357,14 @@ def main() -> None:
 
         ev_path = f"{sf1_dir}/events.parquet"
         raw_schema = spark.read.parquet(ev_path).schema
+        # the file-stream source needs a DIRECTORY basePath; the
+        # testdata table is a single parquet file — stage it behind a
+        # symlink dir (no copy)
+        stage_dir = tempfile.mkdtemp(prefix="bench_stream_src_")
+        os.symlink(os.path.abspath(ev_path), os.path.join(stage_dir, "events.parquet"))
 
         def _stream_events():
-            st = spark.readStream.schema(raw_schema).parquet(ev_path)
+            st = spark.readStream.schema(raw_schema).parquet(stage_dir)
             dt = dict(st.dtypes)["ts"]
             if dt == "bigint":  # data/io.py::load_events normalization
                 st = st.withColumn("ts", SF.timestamp_micros(SF.expr("ts DIV 1000")))
@@ -368,6 +397,8 @@ def main() -> None:
             _run_stream("streaming_dedup_gate", lambda: streaming_dedup(_stream_events()))
         except Exception as ex:  # pragma: no cover - bench resilience
             print(f"# streaming bench failed: {ex}", file=sys.stderr)
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
     import math
 

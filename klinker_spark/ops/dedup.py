@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
 
+from ..ckpt import release as _free
 from ..functions.text import minhash_signatures, simhash, tokenize, word_shingles
 from ..functions.vectors import cosine, topk_cosine_join
 
@@ -790,9 +791,18 @@ def semdedup(
         F.lit(True).alias("keep"),
     )
 
-    assigned = _probe_centroids(
-        ix.select(F.col("id").alias("query_id"), F.col("vector").alias("qv")), centroids, 1
-    ).select(F.col("centroid_id").alias("cluster_id"), F.col("query_id").alias("id"), "qv")
+    # materialize the assignment ONCE: the giant-cluster guard, the
+    # pairwise kernel, AND (expr path) the three-way self-join all
+    # consume it — without this the probe re-evaluates per consumer
+    # (measured 2× ~10 s per extra evaluation at sf1 before the exact
+    # Arrow probe kernel; still the single biggest subplan after it)
+    assigned = (
+        _probe_centroids(
+            ix.select(F.col("id").alias("query_id"), F.col("vector").alias("qv")), centroids, 1
+        )
+        .select(F.col("centroid_id").alias("cluster_id"), F.col("query_id").alias("id"), "qv")
+        .localCheckpoint(eager=True)
+    )
 
     def _expr_rounded(src):
         a = src.alias("a")
@@ -868,16 +878,10 @@ def semdedup(
         if big:
             # Oversized clusters never land in one applyInPandas task:
             # they run through the AQE-splittable expr join, bit-
-            # identical at the 6dp rounding.  `assigned` feeds three
-            # branches here, so persist it for the duration and release
-            # after the (scalar-row) result is checkpointed.
-            assigned = assigned.persist()
-            rounded = (
-                _matmul_rounded(assigned.where(~F.col("cluster_id").isin(big)))
-                .unionByName(_expr_rounded(assigned.where(F.col("cluster_id").isin(big))))
-                .localCheckpoint(eager=True)
-            )
-            assigned.unpersist()
+            # identical at the 6dp rounding.
+            rounded = _matmul_rounded(
+                assigned.where(~F.col("cluster_id").isin(big))
+            ).unionByName(_expr_rounded(assigned.where(F.col("cluster_id").isin(big))))
         else:
             rounded = _matmul_rounded(assigned)
     elif impl == "expr":
@@ -885,14 +889,23 @@ def semdedup(
     else:
         raise ValueError(f"impl must be matmul|expr, got {impl!r}")
 
-    return rounded.select(
-        F.col("id").alias(id_col),
-        "cluster_id",
-        "max_sim_lower",
-        (F.col("max_sim_lower").isNull() | (F.col("max_sim_lower") < threshold)).alias(
-            "keep"
-        ),
-    ).unionByName(malformed)
+    out = (
+        rounded.select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "max_sim_lower",
+            (
+                F.col("max_sim_lower").isNull() | (F.col("max_sim_lower") < threshold)
+            ).alias("keep"),
+        )
+        .unionByName(malformed)
+        # scalar-row result materializes, then the assignment cache
+        # frees — the module's cache contract (nothing persists past
+        # return)
+        .localCheckpoint(eager=True)
+    )
+    _free(assigned)
+    return out
 
 
 def edit_distance_dedup(

@@ -1951,3 +1951,37 @@ def test_benford_audit_query(spark):
     for r in rows:
         assert r["benford_ppm"] == round(1e6 * math.log10(1 + 1 / r["digit"]))
         assert r["dev_ppm"] == r["share_ppm"] - r["benford_ppm"]
+
+
+def test_probe_centroids_exact_parity(spark):
+    """The Arrow fold-exact probe kernel must pick EXACTLY the
+    centroids the Catalyst higher-order-function projection picks —
+    across random vectors, exact ties (duplicate centroids),
+    zero-norm queries (NaN sims), and disjoint-support rows (the
+    ±0.0 fold corner)."""
+    import random
+
+    from klinker_spark.ops.similarity import (
+        _probe_centroids_exact,
+        _probe_centroids_expr,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]) for i in range(40)]
+    rows.append((100, [0.0] * dim))                      # zero-norm -> NaN sims
+    rows.append((101, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # disjoint support
+    q = spark.createDataFrame(rows, "query_id bigint, qv array<double>")
+    cents = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]) for i in range(6)]
+    cents.append((6, list(cents[0][1])))                 # exact tie with cid 0
+    cents.append((7, [0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]))  # disjoint vs 101
+    for n_probe in (1, 3):
+        got = sorted(
+            (r["query_id"], r["centroid_id"])
+            for r in _probe_centroids_exact(q, cents, n_probe).collect()
+        )
+        want = sorted(
+            (r["query_id"], r["centroid_id"])
+            for r in _probe_centroids_expr(q, cents, n_probe).collect()
+        )
+        assert got == want, f"n_probe={n_probe}"
