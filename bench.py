@@ -333,6 +333,12 @@ def main() -> None:
             spec.loader.exec_module(gen)
             gen.generate(1.0, sf1_dir, seed=42)
         _prebuild_indexes(sf1_dir)
+        # same warmup contract as the headline section: footer cache +
+        # committer init for the new directory happen once, untimed,
+        # instead of inflating the section's first query
+        spark.read.parquet(f"{sf1_dir}/nation.parquet").write.format("noop").mode(
+            "overwrite"
+        ).save()
         for name in sf1_queries:
             _reset()
             t0 = time.time()
