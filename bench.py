@@ -179,6 +179,10 @@ EXTRA_QUERIES = [
     "source_drift_psi",
     "classifier_agreement_kappa",
     "benford_audit",
+    "ivf_append_audit",
+    "curation_funnel",
+    "lsh_parameter_plan",
+    "embedding_health_audit",
 ]
 
 
