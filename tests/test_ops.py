@@ -1985,3 +1985,63 @@ def test_probe_centroids_exact_parity(spark):
             for r in _probe_centroids_expr(q, cents, n_probe).collect()
         )
         assert got == want, f"n_probe={n_probe}"
+
+
+def test_curation_funnel_monotone(spark):
+    """Funnel stages are nested: raw >= quality_pass >= dedup survivor,
+    for both docs and tokens, and raw matches the table count."""
+    from klinker_spark.queries import QUERIES
+
+    rows = {r["stage"]: r for r in QUERIES["curation_funnel"](spark, SF_DIR).collect()}
+    raw, q, s = rows["raw"], rows["quality_pass"], rows["exact_dedup_survivor"]
+    assert raw["n_docs"] >= q["n_docs"] >= s["n_docs"] > 0
+    assert raw["total_tokens"] >= q["total_tokens"] >= s["total_tokens"] > 0
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert raw["n_docs"] == n
+
+
+def test_lsh_parameter_plan_shape(spark):
+    """63-cell grid; collision probability is monotone in jaccard per
+    banding and matches the closed form."""
+    from klinker_spark.queries import QUERIES
+
+    rows = QUERIES["lsh_parameter_plan"](spark, SF_DIR).collect()
+    assert len(rows) == 63
+    for r in rows:
+        b, rp, j = r["bands"], r["rows_per_band"], r["jaccard_pct"] / 100.0
+        assert b * rp == 64
+        want = round((1.0 - (1.0 - j ** rp) ** b) * 1e6)
+        assert r["collision_prob_micro"] == want
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["bands"], []).append(
+            (r["jaccard_pct"], r["collision_prob_micro"])
+        )
+    for cells in by_band.values():
+        probs = [p for _, p in sorted(cells)]
+        assert probs == sorted(probs)
+
+
+def test_ivf_append_audit_partitions(spark):
+    """Every vector lands in exactly one list: base + appended counts
+    across centroids equal the 80/20 split sizes."""
+    from klinker_spark.queries import QUERIES
+
+    rows = QUERIES["ivf_append_audit"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_base = emb.where(F.col("vec_id") % 5 != 0).count()
+    n_new = emb.where(F.col("vec_id") % 5 == 0).count()
+    assert sum(r["n_base"] for r in rows) == n_base
+    assert sum(r["n_appended"] for r in rows) == n_new
+
+
+def test_embedding_health_audit(spark):
+    """Counts cover the table; the synthetic embeddings are healthy
+    (no nulls / dim outliers / NaNs)."""
+    from klinker_spark.queries import QUERIES
+
+    r = QUERIES["embedding_health_audit"](spark, SF_DIR).first()
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert r["n_vecs"] == n
+    assert r["n_null_or_empty"] == 0 and r["n_wrong_dim"] == 0
+    assert r["n_nan_norm"] == 0 and r["norm_micro_sum"] > 0
