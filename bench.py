@@ -183,6 +183,7 @@ EXTRA_QUERIES = [
     "curation_funnel",
     "lsh_parameter_plan",
     "embedding_health_audit",
+    "bucketed_join_revenue",
 ]
 
 

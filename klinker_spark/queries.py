@@ -9049,6 +9049,93 @@ def ivf_append_audit_q(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _ensure_bucketed_table(spark, sf_dir: str, table: str, key: str, n_buckets: int = 16):
+    """Idempotently materialize ``{table}`` from ``sf_dir`` as a
+    BUCKETED parquet table (bucketBy + sortBy on ``key``) registered in
+    the session catalog, and return its catalog name.
+
+    Bucketing survives on disk but the default session catalog does
+    not; a fresh session re-attaches the existing files with a
+    ``CREATE TABLE … CLUSTERED BY … LOCATION`` DDL instead of
+    rewriting (the manifest marks build completion, the staleness
+    fingerprint a source regen).  This is the at-scale pattern for
+    repeated fact-fact joins: pay the layout shuffle ONCE at write
+    time, then every co-located join on ``key`` plans with zero
+    exchanges on either side."""
+    import os
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    name = f"{table}_bkt_{sf_tag}"
+    if spark.catalog.tableExists(name):
+        return name
+    src_path = os.path.join(sf_dir, f"{table}.parquet")
+    warehouse = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "spark-warehouse"
+    )
+    path = os.path.abspath(os.path.join(warehouse, f"bkt_{table}_{sf_tag}"))
+    src = spark.read.parquet(src_path)
+    if _index_current(path, src_path):
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema)
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET"
+            f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS"
+            f" LOCATION '{path}'"
+        )
+        return name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        src.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    _write_index_manifest(path, src_path, kind="bucketed", key=key, n_buckets=n_buckets)
+    return name
+
+
+@register(
+    "bucketed_join_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue_q(spark, sf_dir):
+    """Co-located fact-fact join via BUCKETED tables: orders and
+    lineitem are materialized once as 16-bucket parquet (bucketBy +
+    sortBy on the order key), after which the join reads both sides
+    pre-partitioned — the physical plan carries NO exchange under the
+    SortMergeJoin (asserted in tests/test_plans.py); only the tiny
+    5-row priority rollup shuffles.  At 100 TB this converts every
+    repeated orders⋈lineitem from a full two-sided shuffle into a
+    map-side merge — the bucketing pattern the engine's layout ops
+    exist to serve.  Revenue in exact integer cents (round half-up in
+    both engines)."""
+    o = _ensure_bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = _ensure_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    ot, lt = spark.table(o), spark.table(li)
+    j = ot.join(lt, ot["o_orderkey"] == lt["l_orderkey"])
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @register(
     "curation_funnel",
     """
@@ -9314,6 +9401,7 @@ _GATE_PRIORITY = [
     "curation_funnel",
     "lsh_parameter_plan",
     "embedding_health_audit",
+    "bucketed_join_revenue",
     # (3) oldest-recorded greens, re-record rotation: the EXACT-oracled
     #     members of the round-2 cohort (its 7 rows-only members keep
     #     their r2 records — re-recording a rows-only check adds no
@@ -9346,7 +9434,6 @@ _GATE_PRIORITY = [
     "unique_name_blocking",
     "top_n_filter",
     "all_pairs_multiplicity",
-    "purge_blocks",
 ]
 
 

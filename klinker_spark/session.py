@@ -78,7 +78,15 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local[32] puts 32 concurrent task slots + all checkpoint
+        # storage in ONE unified memory pool; at 16g the sf1 graph
+        # queries sat right at the storage-eviction threshold and went
+        # BIMODAL (pagerank sf1 measured 17.7-47.8 s across identical
+        # full-suite runs: checkpoint blocks evicted to disk under
+        # execution pressure, or not, depending on task timing).  48g
+        # on the 128 GiB box keeps storage resident; on a real cluster
+        # this is simply executor sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

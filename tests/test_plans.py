@@ -727,3 +727,19 @@ def test_round7_operator_plan_shapes(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = kcenter_sample(emb, k=3)
     assert out.count() == 3
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """The bucketed orders x lineitem join must read both sides
+    pre-partitioned: both scans plan as bucketed, and NO shuffle on
+    the join key may appear anywhere (at tiny SF Catalyst may still
+    pick a broadcast join — also shuffle-free — so the invariant is
+    'no hashpartitioning exchange on the order key', not a specific
+    join operator)."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["bucketed_join_revenue"](spark, sf_dir))
+    assert plan.count("Bucketed: true") == 2, plan[:2000]
+    assert plan.count("SelectedBucketsCount: 16 out of 16") == 2
+    for key in ("o_orderkey", "l_orderkey"):
+        assert f"Exchange hashpartitioning({key}" not in plan, key
