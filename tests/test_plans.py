@@ -743,3 +743,26 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     assert plan.count("SelectedBucketsCount: 16 out of 16") == 2
     for key in ("o_orderkey", "l_orderkey"):
         assert f"Exchange hashpartitioning({key}" not in plan, key
+
+
+def test_round8_layout_and_olap_plans(spark, sf_dir):
+    """Round-8 additions keep the kernel clean: the grouping-sets
+    rollup expands ONCE inside a single aggregate (one fact scan for
+    all four granularities), the compaction planner is a bare
+    scan+aggregate (no join/window over the payload), and the shard
+    audit's grand total comes back as a broadcast one-row join, never
+    a single-partition window."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["revenue_grouping_sets"](spark, sf_dir))
+    assert plan.count("+- Expand") == 1, plan[:2000]  # ONE Expand node in the tree
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    plan = plan_of(QUERIES["compaction_plan"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+
+    plan = plan_of(QUERIES["shard_balance_audit"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row total, broadcast
+    assert "CartesianProduct" not in plan
