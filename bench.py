@@ -184,6 +184,10 @@ EXTRA_QUERIES = [
     "lsh_parameter_plan",
     "embedding_health_audit",
     "bucketed_join_revenue",
+    "revenue_grouping_sets",
+    "compaction_plan",
+    "shard_balance_audit",
+    "lsh_precision_recall_audit",
 ]
 
 

@@ -9507,6 +9507,158 @@ def shard_balance_audit_q(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------ dedup: measured LSH quality
+@register(
+    "lsh_precision_recall_audit",
+    "WITH pairs AS ("
+    + ORACLES["minhash_dedup_md5"]
+    + "),"
+    + _shingle_cte()
+    + """,
+    sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY doc_id),
+    pinter AS (
+      SELECT p.doc_a, p.doc_b, count(*) i
+      FROM pairs p
+      JOIN ds a ON a.doc_id = p.doc_a
+      JOIN ds b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b),
+    cand AS (
+      SELECT p.doc_a, p.doc_b, coalesce(pi.i, 0) i,
+             sa.n + sb.n - coalesce(pi.i, 0) u
+      FROM pairs p
+      LEFT JOIN pinter pi ON pi.doc_a = p.doc_a AND pi.doc_b = p.doc_b
+      JOIN sz sa ON sa.doc_id = p.doc_a
+      JOIN sz sb ON sb.doc_id = p.doc_b),
+    prec AS (
+      SELECT CAST(count(*) AS BIGINT) n_candidates,
+             CAST(sum(CASE WHEN i * 2 >= u THEN 1 ELSE 0 END) AS BIGINT)
+               n_cand_true
+      FROM cand),
+    samp AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 3),
+    sdocs AS (SELECT CAST(count(*) AS BIGINT) n_sample_docs FROM samp),
+    spairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b
+               FROM samp a JOIN samp b ON a.doc_id < b.doc_id),
+    sinter AS (
+      SELECT sp.doc_a, sp.doc_b, count(*) i
+      FROM spairs sp
+      JOIN ds a ON a.doc_id = sp.doc_a
+      JOIN ds b ON b.doc_id = sp.doc_b AND b.shingle = a.shingle
+      GROUP BY sp.doc_a, sp.doc_b),
+    strue AS (
+      SELECT sp.doc_a, sp.doc_b
+      FROM spairs sp
+      LEFT JOIN sinter si ON si.doc_a = sp.doc_a AND si.doc_b = sp.doc_b
+      JOIN sz sa ON sa.doc_id = sp.doc_a
+      JOIN sz sb ON sb.doc_id = sp.doc_b
+      WHERE coalesce(si.i, 0) * 2 >= sa.n + sb.n - coalesce(si.i, 0)),
+    rec AS (
+      SELECT CAST(count(*) AS BIGINT) n_sample_true,
+             CAST(coalesce(sum(CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END), 0)
+                  AS BIGINT) n_caught
+      FROM strue st
+      LEFT JOIN pairs p ON p.doc_a = st.doc_a AND p.doc_b = st.doc_b)
+    SELECT CAST(8 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows_per_band,
+           n_candidates, n_cand_true,
+           CAST(CASE WHEN n_candidates = 0 THEN 1000000
+                     ELSE (n_cand_true * 1000000) // n_candidates END
+                AS BIGINT) AS precision_ppm,
+           n_sample_docs, n_sample_true, n_caught,
+           CAST(CASE WHEN n_sample_true = 0 THEN 1000000
+                     ELSE (n_caught * 1000000) // n_sample_true END
+                AS BIGINT) AS recall_ppm
+    FROM prec, sdocs, rec
+    """,
+)
+def lsh_precision_recall_audit_q(spark, sf_dir):
+    """MEASURED banding quality on the actual corpus — the empirical
+    companion to ``lsh_parameter_plan``'s closed-form curve: every
+    (32-perm, 8-band) LSH candidate pair is verified with exact
+    shingle-set Jaccard (precision at J ≥ 0.5), and recall is
+    estimated on a deterministic hash-sampled doc subset whose
+    all-pairs ground truth is computed exactly.  The precision lane
+    scales with the CANDIDATE count (the thing LSH already bounds);
+    the recall lane is quadratic only in the sample — at 100 TB the
+    sample modulus is the knob that keeps sample-pairs bounded while
+    the estimate stays unbiased.  Truth test in exact integers
+    (2·|∩| ≥ |∪| ⇔ J ≥ 0.5); ppm via exact bigint division; degenerate
+    zero denominators report 1 000 000 (nothing to catch ⇒ nothing
+    missed)."""
+    from .functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, num_perm=32, bands=8, hash_fn="md5")
+    sh = (
+        docs.select("doc_id", tokenize("text", 1, []).alias("tk"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("tk"), 3)).alias("sh"),
+        )
+        .persist()
+    )
+
+    def _jaccard_flags(pair_df):
+        """(doc_a, doc_b) → + is_true (exact 2·|∩| ≥ |∪|)."""
+        j = (
+            pair_df.join(
+                sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+                "doc_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+                "doc_b",
+            )
+            .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("u", F.size("sh_a") + F.size("sh_b") - F.col("i"))
+        )
+        return j.select(
+            "doc_a", "doc_b", (F.col("i") * 2 >= F.col("u")).alias("is_true")
+        )
+
+    prec = _jaccard_flags(pairs).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cand_true"),
+    )
+    samp = docs.where(F.col("doc_id") % 20 == 3).select("doc_id")
+    sdocs = samp.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample_docs"))
+    a = samp.select(F.col("doc_id").alias("doc_a"))
+    b = samp.select(F.col("doc_id").alias("doc_b"))
+    spairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    strue = _jaccard_flags(spairs).where("is_true").select("doc_a", "doc_b")
+    rec = (
+        strue.join(pairs.withColumn("_hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sample_true"),
+            F.coalesce(F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0))
+            .cast("bigint")
+            .alias("n_caught"),
+        )
+    )
+    ppm = lambda num, den: F.expr(
+        f"CAST(CASE WHEN {den} = 0 THEN 1000000"
+        f" ELSE {num} * 1000000 DIV {den} END AS BIGINT)"
+    )
+    out = (
+        prec.crossJoin(F.broadcast(sdocs))
+        .crossJoin(F.broadcast(rec))
+        .select(
+            F.lit(8).cast("bigint").alias("bands"),
+            F.lit(4).cast("bigint").alias("rows_per_band"),
+            "n_candidates",
+            "n_cand_true",
+            ppm("n_cand_true", "n_candidates").alias("precision_ppm"),
+            "n_sample_docs",
+            "n_sample_true",
+            "n_caught",
+            ppm("n_caught", "n_sample_true").alias("recall_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return out
+
+
 # ------------------------------------------------------------------ gate ordering
 # The driver's CORRECTNESS gate evaluates a fixed-size prefix of the
 # registry (observed: exactly the first 50 registrations each round).

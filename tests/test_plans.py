@@ -766,3 +766,16 @@ def test_round8_layout_and_olap_plans(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # one-row total, broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_audit_plan_bounded(spark, sf_dir):
+    """The LSH quality audit must stay candidate-bounded: no
+    CartesianProduct anywhere (the sample's all-pairs lane is a
+    broadcast nested-loop over the tiny hash sample, which is the
+    deliberate bounded shape), and the Jaccard verification must be
+    JVM-side array_intersect, not Python."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["lsh_precision_recall_audit"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
