@@ -2045,3 +2045,49 @@ def test_embedding_health_audit(spark):
     assert r["n_vecs"] == n
     assert r["n_null_or_empty"] == 0 and r["n_wrong_dim"] == 0
     assert r["n_nan_norm"] == 0 and r["norm_micro_sum"] > 0
+
+
+def test_simhash_packed_lane_parity(dup_docs, spark):
+    """The packed-lane fingerprint (round-8 rewrite: 3 bit-counters
+    per bigint, ONE aggregate) must equal an independent driver-side
+    recomputation of the textbook definition — per bit b, set iff
+    2*ones_b > n_total — from the very same JVM token hashes."""
+    from collections import defaultdict
+
+    from klinker_spark.functions.text import simhash, tokenize
+
+    toks = dup_docs.select("doc_id", F.explode(tokenize("text", 1, [])).alias("t"))
+    rows = toks.select("doc_id", "t", F.xxhash64("t").alias("h")).collect()
+    ones = defaultdict(lambda: [0] * 64)
+    tot = defaultdict(int)
+    for r in rows:
+        tot[r["doc_id"]] += 1
+        for b in range(64):
+            if (r["h"] >> b) & 1:
+                ones[r["doc_id"]][b] += 1
+    expected = {}
+    for d in tot:
+        fp = 0
+        for b in range(64):
+            if 2 * ones[d][b] > tot[d]:
+                fp += (1 << b) - ((1 << 64) if b == 63 else 0)
+        expected[d] = fp
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in simhash(dup_docs, tokenize("text", 1, []), id_col="doc_id").collect()
+    }
+    assert got == expected
+
+
+def test_simhash_lane_overflow_guard(spark):
+    """A row with more token occurrences than a 20-bit lane can count
+    must raise loudly, never silently wrap."""
+    import pyspark.errors
+
+    from klinker_spark.functions.text import simhash, tokenize
+
+    long_doc = spark.createDataFrame(
+        [(1, "x " * (1 << 20))], "doc_id bigint, text string"
+    )
+    with pytest.raises(Exception, match="lane overflow"):
+        simhash(long_doc, tokenize("text", 1, []), id_col="doc_id").collect()
