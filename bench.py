@@ -188,6 +188,7 @@ EXTRA_QUERIES = [
     "compaction_plan",
     "shard_balance_audit",
     "lsh_precision_recall_audit",
+    "hll_accuracy_audit",
 ]
 
 

@@ -9507,6 +9507,68 @@ def shard_balance_audit_q(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------ sketches: measured HLL accuracy
+@register(
+    "hll_accuracy_audit",
+    "WITH hll AS ("
+    + ORACLES["hll_distinct_by_source"]
+    + """),
+    el AS (SELECT source, unnest(string_split(lower(text), ' ')) tok
+           FROM documents),
+    ex AS (SELECT source, count(DISTINCT tok) exact_distinct FROM el
+           GROUP BY source),
+    j AS (SELECT h.source, CAST(ex.exact_distinct AS BIGINT) exact_distinct,
+                 h.estimate,
+                 CAST(round(abs(h.estimate - ex.exact_distinct) * 1000000.0
+                            / ex.exact_distinct) AS BIGINT) abs_err_ppm
+          FROM hll h JOIN ex ON h.source = ex.source)
+    SELECT source, exact_distinct, estimate, abs_err_ppm,
+           CAST(CASE WHEN abs_err_ppm <= 195000 THEN 1 ELSE 0 END AS INT)
+             AS within_3sigma
+    FROM j ORDER BY source
+    """,
+)
+def hll_accuracy_audit_q(spark, sf_dir):
+    """Sketch-trust audit: per-source HLL distinct-token estimate vs
+    the exact distinct count, error in ppm, flagged against the 3σ
+    envelope for m=256 registers (1.04/√256 ≈ 6.5% ⇒ 3σ = 19.5%).
+    This is the table that justifies replacing exact countDistinct
+    with the mergeable sketch at 100 TB: the exact lane is the one
+    full shuffle you run ONCE to calibrate, the sketch lane is what
+    production then runs per-slice.  Both lanes share one token scan;
+    error math is a single rounded division (identical IEEE doubles
+    in both engines)."""
+    from .ops.sketches import hll_distinct_by
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    sk = hll_distinct_by(toks, "tok", ["source"]).select("source", "estimate")
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    err = F.round(
+        F.abs(F.col("estimate") - F.col("exact_distinct"))
+        * 1000000.0
+        / F.col("exact_distinct")
+    ).cast("bigint")
+    return (
+        sk.join(exact, "source")
+        .withColumn("abs_err_ppm", err)
+        .select(
+            "source",
+            "exact_distinct",
+            "estimate",
+            "abs_err_ppm",
+            F.when(F.col("abs_err_ppm") <= 195000, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("within_3sigma"),
+        )
+        .orderBy("source")
+    )
+
+
 # ------------------------------------------------------------------ dedup: measured LSH quality
 @register(
     "lsh_precision_recall_audit",

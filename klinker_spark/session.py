@@ -78,15 +78,19 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.ui.enabled", "false")
-        # local[32] puts 32 concurrent task slots + all checkpoint
-        # storage in ONE unified memory pool; at 16g the sf1 graph
-        # queries sat right at the storage-eviction threshold and went
-        # BIMODAL (pagerank sf1 measured 17.7-47.8 s across identical
-        # full-suite runs: checkpoint blocks evicted to disk under
-        # execution pressure, or not, depending on task timing).  48g
-        # on the 128 GiB box keeps storage resident; on a real cluster
-        # this is simply executor sizing.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Driver heap MUST stay under ~32 GiB: above that the JVM
+        # disables compressed ordinary object pointers (CompressedOops)
+        # and every reference doubles to 8 bytes — measured here as
+        # pagerank sf1 going 19 s (16g) → 70-97 s (48g) in otherwise
+        # identical fresh sessions.  The earlier bimodal 17.7-47.8 s
+        # readings at 16g were machine-contamination (measurements in
+        # the page-cache churn window right after another Spark JVM
+        # exits — see NOTES.md round-8 forensics), not storage
+        # eviction; 16g with the explicit checkpoint lifecycle
+        # (ckpt.release) is stable at 8-19 s.  On a real cluster this
+        # is executor sizing: prefer more ≤31 GiB executors over fewer
+        # giant heaps, for the same CompressedOops reason.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
