@@ -154,9 +154,21 @@ def mutual_reachability_edges(
     """
     pts = emb.select(F.col(id_col).cast("string").alias("id"), F.col(vec_col).alias("v"))
     other = pts.select(F.col("id").alias("nid"), F.col("v").alias("nv"))
+    # per-term math in DOUBLE: the embeddings are float32, and a
+    # float-precision (x-y)² loses ~1e-7 relative per term — enough to
+    # shift MST edge weights ~1e-9 vs the double-exact oracle (caught
+    # by the sf0.1 sweep once mst_stats went integer-exact).  Each
+    # float is exact in double, the fold is left-to-right with a
+    # leading 0.0 — the same IEEE sequence as DuckDB's list_sum, so
+    # the distance is bit-identical across engines.
     dist = F.sqrt(
         F.aggregate(
-            F.zip_with("v", "nv", lambda x, y: (x - y) * (x - y)),
+            F.zip_with(
+                "v",
+                "nv",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -5908,8 +5908,10 @@ def ann_topk_ivfpq_indexed_md5_q(spark, sf_dir):
       FROM ccnt)
     SELECT CAST((SELECT count(*) FROM pts) - (SELECT min(c) FROM ccnt) AS BIGINT)
              AS n_edges,
-           round(sum(t * (pc - c)), 6) AS total_weight,
-           round((SELECT min(t) FROM ccnt WHERE c = 1), 6) AS max_weight
+           CAST(sum(CAST(round(t * 1000000000) AS BIGINT) * (pc - c)) AS BIGINT)
+             AS total_weight_nanos,
+           CAST(round((SELECT min(t) FROM ccnt WHERE c = 1) * 1000000000)
+                AS BIGINT) AS max_weight_nanos
     FROM steps
     """,
 )
@@ -5937,10 +5939,18 @@ def hdbscan_mst_stats_q(spark, sf_dir):
     )
     edges = mutual_reachability_edges(emb, min_samples=3, id_col="id", vec_col="vector")
     mst = boruvka_mst(edges, edges.select("a").unionByName(edges.select(F.col("b").alias("a"))).distinct())
+    # per-edge NANO-rounding before an order-free bigint sum: the raw
+    # double sum groups additions differently here (per MST edge) and
+    # in the oracle (Kruskal integral per threshold), and at sf0.1 the
+    # 1-ulp difference flipped the 6th decimal.  Each edge weight is a
+    # bit-identical double in both engines; its nano integer is
+    # therefore exact, and integer sums are grouping-free.
     return mst.agg(
         F.count("*").cast("bigint").alias("n_edges"),
-        F.round(F.sum("w"), 6).alias("total_weight"),
-        F.round(F.max("w"), 6).alias("max_weight"),
+        F.sum(F.round(F.col("w") * 1e9).cast("bigint"))
+        .cast("bigint")
+        .alias("total_weight_nanos"),
+        F.round(F.max("w") * 1e9).cast("bigint").alias("max_weight_nanos"),
     )
 
 
