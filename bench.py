@@ -189,6 +189,7 @@ EXTRA_QUERIES = [
     "shard_balance_audit",
     "lsh_precision_recall_audit",
     "hll_accuracy_audit",
+    "per_source_score_ecdf",
 ]
 
 

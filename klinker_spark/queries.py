@@ -9517,6 +9517,65 @@ def shard_balance_audit_q(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------ curation: per-source ECDF calibration
+@register(
+    "per_source_score_ecdf",
+    "WITH q AS ("
+    + ORACLES["quality_score"]
+    + """),
+    j AS (SELECT q.doc_id, d.source, q.score
+          FROM q JOIN documents d ON q.doc_id = d.doc_id),
+    r AS (SELECT doc_id, source, score,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score, doc_id) rk,
+                 count(*) OVER (PARTITION BY source) n
+          FROM j)
+    SELECT doc_id, source, score,
+           CAST(CASE WHEN n = 1 THEN 0
+                     ELSE ((rk - 1) * 1000000) // (n - 1) END AS BIGINT)
+             AS ecdf_ppm,
+           CAST(CASE WHEN n > 1 AND ((rk - 1) * 1000000) // (n - 1) >= 800000
+                     THEN 1 ELSE 0 END AS INT) AS top_quintile
+    FROM r
+    """,
+)
+def per_source_score_ecdf_q(spark, sf_dir):
+    """Per-source ECDF normalization of the quality score — the
+    FineWeb-style calibration step: raw quality scores are not
+    comparable ACROSS sources (dumps differ in length/boilerplate
+    mix), so each doc gets its quantile position WITHIN its source
+    (exact rational ppm: (rank−1)·10⁶ div (n−1)) and a top-quintile
+    flag the mixing stage thresholds on.  Windows are partitioned by
+    source — per-source sorts, never a global one; a corpus-sized
+    single source would route through the distributed
+    ``ntile_global`` recipe instead (same module).  Ties broken by
+    doc_id for a total order; single-doc sources pin ecdf to 0."""
+    from .ops.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "score")
+    j = q.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    wn = Window.partitionBy("source")
+    r = j.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    ecdf = F.expr(
+        "CASE WHEN n = 1 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST((rk - 1) * 1000000 DIV (n - 1) AS BIGINT) END"
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "score",
+        ecdf.alias("ecdf_ppm"),
+        F.when((F.col("n") > 1) & (ecdf >= 800000), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("top_quintile"),
+    )
+
+
 # ------------------------------------------------------------------ sketches: measured HLL accuracy
 @register(
     "hll_accuracy_audit",

@@ -779,3 +779,13 @@ def test_lsh_audit_plan_bounded(spark, sf_dir):
     plan = plan_of(QUERIES["lsh_precision_recall_audit"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ecdf_windows_source_partitioned(spark, sf_dir):
+    """per_source_score_ecdf must never plan a corpus-wide window:
+    both its rank and count windows partition by source."""
+    from klinker_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["per_source_score_ecdf"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
