@@ -280,6 +280,15 @@ def simhash(
       packing wider lanes for the one outlier would double the
       aggregate width every row pays for.
     """
+    if bits > 64:
+        # The fingerprint is ONE signed bigint: 64 bits is the hard cap in
+        # both hash lanes.  Wider requests used to be "allowed" in the md5
+        # lane (the digest has 128 bits) but the weight literals for
+        # b >= 64 exceed bigint range and would overflow/NULL silently
+        # under non-ANSI configs — reject loudly instead.
+        raise ValueError(
+            f"simhash: bits={bits} exceeds the 64-bit bigint fingerprint"
+        )
     counted = df.select(F.col(id_col), F.explode(tokens_col).alias("_t")).groupBy(
         id_col, "_t"
     ).agg(F.count("*").alias("_n"))
@@ -287,9 +296,7 @@ def simhash(
         # Cross-engine-deterministic mode (see minhash_signatures): bit b
         # of the token hash is bit (b % 4) of hex digit (b div 4) of the
         # md5 digest — any engine with md5 + substr + shifts reproduces
-        # the exact fingerprint.  bits ≤ 128 (md5 width).
-        if bits > 128:
-            raise ValueError("md5 simhash supports at most 128 bits")
+        # the exact fingerprint.
         counted = counted.select(F.col(id_col), F.md5(F.col("_t")).alias("_h"), F.col("_n"))
 
         def bit_sql(b: int) -> str:

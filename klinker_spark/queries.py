@@ -9724,6 +9724,11 @@ def lsh_precision_recall_audit_q(spark, sf_dir):
             "doc_id",
             F.array_distinct(word_shingles(F.col("tk"), 3)).alias("sh"),
         )
+        # Zero-shingle (empty/short) docs carry no Jaccard evidence; the
+        # oracle drops them via its inner join on the exploded-shingle
+        # size CTE, so drop them here too — otherwise a sampled pair of
+        # two empty docs would satisfy 2·0 ≥ 0 and count as a true dup.
+        .where(F.size("sh") > 0)
         .persist()
     )
 
@@ -9804,71 +9809,69 @@ def lsh_precision_recall_audit_q(spark, sf_dir):
 # pushed past the window on purpose.  The round-by-round ledger of who
 # has recorded what lives in COVERAGE.md.
 _GATE_PRIORITY = [
-    # ROUND-8 ROTATION.  Census over CORRECTNESS_r01..r07 (see
-    # COVERAGE.md): 193 of 208 registered queries hold a driver row;
+    # ROUND-9 ROTATION.  Census over CORRECTNESS_r01..r08 (see
+    # COVERAGE.md): 216 of 222 registered queries hold a driver row;
     # nothing is red.
-    # (2a) the 11 round-7 exact-oracled additions with NO driver row
-    #      (registered after the r7 gate froze), registration order:
-    "ngram_lm_perplexity",
-    "bitext_margin_mining",
-    "kcenter_coreset",
-    "event_value_twap",
-    "event_value_ohlc_hourly",
-    "perplexity_bucket_mix",
-    "cross_source_dup_matrix",
-    "leakage_safe_split",
-    "kmv_source_overlap",
-    "golden_records",
-    "sliding_window_counts",
-    # (2b) the last 4 never-recorded rows-only twins (weaker check BY
-    #      DESIGN — float-nondeterministic siblings of recorded md5
-    #      exacts); after these record, every registered query holds
-    #      at least one driver row:
-    "attribute_clustering_blocking",
-    "sif_pc_removal",
-    "quality_classifier",
-    "neardup_ingest_gate_fast",
-    # (2c) the round-8 exact-oracled additions (never recorded):
-    "source_drift_psi",
-    "classifier_agreement_kappa",
-    "benford_audit",
-    "ivf_append_audit",
-    "curation_funnel",
-    "lsh_parameter_plan",
-    "embedding_health_audit",
-    "bucketed_join_revenue",
-    # (3) oldest-recorded greens, re-record rotation: the EXACT-oracled
-    #     members of the round-2 cohort (its 7 rows-only members keep
-    #     their r2 records — re-recording a rows-only check adds no
-    #     information and the policy keeps non-twin gate slots exact),
-    #     then the round-3 cohort in record order:
-    "standard_blocking_stats",
-    "qgram_blocking_stats",
-    "concat_values",
-    "rdf_clean",
-    "sample_dataset",
-    "filter_with_unique",
-    "count_entities",
-    "relation_importance",
-    "name_importance",
-    "neighbor_concat",
-    "blocks_combine",
-    "compare_blockings",
-    "find_blocks",
-    "exact_dedup",
-    "token_count",
-    "quality_score",
-    "token_frequencies",
-    "tfidf_top_tokens",
-    "doc_fingerprint",
-    "langid",
-    "running_user_stats",
-    "events_json_extract",
-    "standard_blocking",
-    "token_blocking",
-    "unique_name_blocking",
-    "top_n_filter",
-    "all_pairs_multiplicity",
+    # (2) the 6 round-8 session-2 additions with NO driver row
+    #     (registered after the r8 gate froze; all judge-swept green
+    #     in the r8 verdict), registration order.  After these record,
+    #     EVERY registered query holds >=1 driver row:
+    "revenue_grouping_sets",
+    "compaction_plan",
+    "shard_balance_audit",
+    "per_source_score_ecdf",
+    "hll_accuracy_audit",
+    "lsh_precision_recall_audit",
+    # (3) oldest-latest-record re-records, exact-oracled only (the
+    #     rows-only twins keep their existing records — re-recording a
+    #     rows-only check adds no information and non-twin gate slots
+    #     stay exact per the test policy).  Sorted by last driver-row
+    #     round, then record order: first the r3-recorded tail the r8
+    #     rotation did not reach, then the r4 cohort:
+    "purge_blocks",
+    "eval_metrics",
+    "minhash_lsh_blocking_md5",
+    "tfidf_token_blocking",
+    "relational_token_blocking",
+    "minhash_dedup_md5",
+    "embedding_signlsh_dedup",
+    "simhash_dedup_md5",
+    "ngram_jaccard_dedup",
+    "embedding_cosine_dedup",
+    "knn_topk",
+    "knn_topk_sharded",
+    "embedding_knn_blocking_md5",
+    "ann_topk_signlsh",
+    "windowed_event_counts",
+    "events_dedup_earliest",
+    "edit_distance_dedup",
+    "semdedup",
+    "line_dedup",
+    "gopher_rules",
+    "bigram_logprob",
+    "ann_topk_ivf_md5",
+    "csls_topk",
+    "mutual_rank_topk",
+    "dbscan_labels",
+    "multimodal_features",
+    "bloom_ingest_gate",
+    "neardup_ingest_gate",
+    "events_asof_join",
+    "events_range_join",
+    "events_hypertable_rollup",
+    "kmv_distinct_sketch",
+    "graph_statistics",
+    "sessionize_events",
+    "composite_unique_name_blocking",
+    "composite_relational_blocking",
+    "sif_embedding_md5",
+    "gcn_propagation_md5",
+    "lightea_propagation_md5",
+    "sinkhorn_rerank",
+    "repetition_stats",
+    "dedup_components",
+    "contamination_check",
+    "unigram_logprob",
 ]
 
 

@@ -2091,3 +2091,17 @@ def test_simhash_lane_overflow_guard(spark):
     )
     with pytest.raises(Exception, match="lane overflow"):
         simhash(long_doc, tokenize("text", 1, []), id_col="doc_id").collect()
+
+
+def test_simhash_rejects_bits_over_64(dup_docs):
+    """The fingerprint is one signed bigint: bits > 64 must be rejected
+    loudly in BOTH hash lanes (the md5 lane used to 'allow' up to 128
+    but the >=2^63 weight literals would overflow/NULL silently)."""
+    from klinker_spark.functions.text import simhash, tokenize
+
+    for fn in ("xxhash64", "md5"):
+        with pytest.raises(ValueError, match="64-bit bigint"):
+            simhash(
+                dup_docs, tokenize("text", 1, []), id_col="doc_id",
+                bits=65, hash_fn=fn,
+            )

@@ -268,11 +268,18 @@ def test_gate_prefix_oracle_policy():
     unknown = [n for n in _GATE_PRIORITY if n not in QUERIES]
     assert not unknown, f"_GATE_PRIORITY names not registered: {unknown}"
     assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) == 50
-    # the r8 rotation leads with the 15 never-driver-recorded queries
-    # (11 round-7 exacts + the last 4 rows-only twins); after they
-    # record, every registered query holds >=1 driver row
-    for name in ("ngram_lm_perplexity", "golden_records", "neardup_ingest_gate_fast"):
-        assert name in _GATE_PRIORITY[:15], name
+    # the r9 rotation leads with the 6 round-8 session-2 additions that
+    # have never held a driver row; after they record, every registered
+    # query holds >=1 driver row
+    for name in (
+        "revenue_grouping_sets",
+        "compaction_plan",
+        "shard_balance_audit",
+        "per_source_score_ecdf",
+        "hll_accuracy_audit",
+        "lsh_precision_recall_audit",
+    ):
+        assert name in _GATE_PRIORITY[:6], name
 
 
 def test_curation_plan_shapes(spark, sf_dir):
