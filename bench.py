@@ -374,11 +374,23 @@ def main() -> None:
 
         ev_path = f"{sf1_dir}/events.parquet"
         raw_schema = spark.read.parquet(ev_path).schema
-        # the file-stream source needs a DIRECTORY basePath; the
-        # testdata table is a single parquet file — stage it behind a
-        # symlink dir (no copy)
+        # the file-stream source needs a DIRECTORY of leaf files; the
+        # testdata table is a single parquet file OR a directory of
+        # part files — stage the leaves behind symlinks (no copy)
         stage_dir = tempfile.mkdtemp(prefix="bench_stream_src_")
-        os.symlink(os.path.abspath(ev_path), os.path.join(stage_dir, "events.parquet"))
+        leaves = (
+            sorted(
+                os.path.join(ev_path, f)
+                for f in os.listdir(ev_path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(ev_path)
+            else [ev_path]
+        )
+        for i, leaf in enumerate(leaves):
+            os.symlink(
+                os.path.abspath(leaf), os.path.join(stage_dir, f"ev-{i:05d}.parquet")
+            )
 
         def _stream_events():
             st = spark.readStream.schema(raw_schema).parquet(stage_dir)

@@ -114,17 +114,37 @@ class BlockManager:
         return cls(local_df(spark, rows, schema), left_name, right_name)
 
     # ---------------------------------------------------------------- views
-    def block_pairs(self) -> DataFrame:
+    def block_pairs(self, expand_partitions: int | None = None) -> DataFrame:
         """Per-block candidate pairs ``(block_key, left_id, right_id)``.
 
         Key-frame path: a plain equi-join of the two assignment tables —
-        one shuffle, no array cells ever built.  Array path (df given
-        directly): the double-``explode`` UDTF shape (``blocks.py:
-        131-139``; the reference's own ``spark_eval.py:31-35``).
+        no array cells ever built.  Array path (df given directly): the
+        double-``explode`` UDTF shape (``blocks.py:131-139``; the
+        reference's own ``spark_eval.py:31-35``).
+
+        The key join is EXPANDING — Σ|L_k|·|R_k| output rows from
+        linear inputs — and AQE sizes the probe side's shuffle reader
+        by INPUT bytes, so on a low-cardinality key (25 nations) the
+        whole quadratic output lands in ONE coalesced task (measured
+        sf1: 10.4 s single-task vs 1.0 s at 32).  An explicit
+        round-robin repartition of the left side pins the expansion's
+        parallelism at ``expand_partitions`` (default: the session's
+        defaultParallelism); round-robin cannot be collapsed into the
+        dedup's ENSURE_REQUIREMENTS exchange the way a hash repartition
+        is.  Cost: one linear pass over the left assignment table,
+        amortized by the super-linear output.  Pass 0 to skip (caller
+        manages partitioning, or the key is high-cardinality enough
+        that the join shuffle alone already spreads — at 100 TB the
+        assignment tables are big enough that AQE keeps full
+        parallelism and the extra pass is the only effect).
         """
         if self.left_keys is not None:
+            lk = self.left_keys
+            if expand_partitions != 0:
+                n = expand_partitions or lk.sparkSession.sparkContext.defaultParallelism
+                lk = lk.repartition(n)
             return (
-                self.left_keys.withColumnRenamed("id", "left_id")
+                lk.withColumnRenamed("id", "left_id")
                 .join(self.right_keys.withColumnRenamed("id", "right_id"), "block_key")
             )
         return self.df.select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import time
 
@@ -93,9 +94,11 @@ def main():
     spark = get_spark("correctness")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        # driver scales ship single files; repo-generated sf1/sf3 tables
+        # are multi-file directories (real-lake layout) — glob those
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs, oracles = e.queries(), e.oracle_sql()
     results, n_fail = {}, 0

@@ -51,9 +51,33 @@ DAY_US = 86_400_000_000
 
 
 def _write(df: pd.DataFrame, out: str, name: str) -> None:
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
-                   os.path.join(out, f"{name}.parquet"))
-    print(f"  {name}: {len(df)} rows")
+    """Write ``name.parquet`` as a single file (small tables) or a
+    directory of part files (large ones).
+
+    A real lake table is MANY files; a single-file table caps the scan
+    at one Spark task no matter how many cores the executor fleet has
+    (parquet splits are byte ranges, and these files sit under the
+    128 MB ``maxPartitionBytes`` default — the SCALE.md "single-core
+    scan" caveat).  Splitting every ≥12.5k-row table into ≤32 parts
+    makes local bench numbers reflect the parallel plans a cluster
+    would actually run.  Deterministic: contiguous row slices, fixed
+    part count from the row count alone."""
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    parts = max(1, min(32, len(df) // 12_500))
+    path = os.path.join(out, f"{name}.parquet")
+    if parts == 1:
+        pq.write_table(table, path)
+    else:
+        if os.path.isfile(path):
+            os.remove(path)
+        os.makedirs(path, exist_ok=True)
+        step = -(-len(df) // parts)
+        for i in range(parts):
+            pq.write_table(
+                table.slice(i * step, step),
+                os.path.join(path, f"part-{i:05d}.parquet"),
+            )
+    print(f"  {name}: {len(df)} rows ({parts} file{'s' if parts > 1 else ''})")
 
 
 def _days(rng, n, start: str, end: str) -> pd.Series:
