@@ -357,6 +357,36 @@ def main() -> None:
             sf1_timings[name] = round(time.time() - t0, 3)
             print(f"# {name}: {sf1_timings[name]}s (sf1)", file=sys.stderr)
 
+    # isolated-warm lane (r8 verdict #1): any query whose full-suite sf1
+    # number has exceeded 1.3x its best prior-round artifact gets a
+    # best-of-3 re-measurement at the END of the section, after its
+    # first-touch costs (scan footer cache, codegen) are paid — so
+    # "environment vs code" is decided by data IN the artifact, not by
+    # prose.  Best prior-round full-suite numbers for reference:
+    # knn_topk_sharded 2.37 (r6), pmi_bigrams 2.95 (r6),
+    # join_size_estimate 1.18 (r6), standard_blocking 7.74 (r7).
+    sf1_isolated_warm: dict[str, float] = {}
+    if sf1_timings:
+        for name in (
+            "knn_topk_sharded",
+            "pmi_bigrams",
+            "join_size_estimate",
+            "standard_blocking",
+        ):
+            best = float("inf")
+            for _ in range(3):
+                _reset()
+                t0 = time.time()
+                QUERIES[name](spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            sf1_isolated_warm[name] = round(best, 3)
+            print(
+                f"# {name}: {sf1_isolated_warm[name]}s (sf1 isolated-warm)",
+                file=sys.stderr,
+            )
+
     # ---- streaming throughput section (r7 verdict #8) ----
     # The streaming twins were correctness-only until now; record their
     # sf1 throughput so the temporal family has a baseline before anyone
@@ -453,6 +483,7 @@ def main() -> None:
         "sf1": {
             "dir": sf1_dir,
             "queries": sf1_timings,
+            "isolated_warm": sf1_isolated_warm,
             "total": round(sum(sf1_timings.values()), 3),
             # log10(t_sf1 / t_sf0.1): 1.0 = linear in data size,
             # < 1 sublinear, 2.0 quadratic

@@ -221,6 +221,7 @@ def cm_build(
     width: int = 8192,
     depth: int = 4,
     hash_fn: str = "xxhash64",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan 2005) of the
     multiplicities of ``df[key_col]``: ``depth`` hash rows of
@@ -240,16 +241,26 @@ def cm_build(
     MERGEABLE by cell-wise addition: union two builds and re-aggregate
     with ``sum``.  ``hash_fn="md5"`` is the cross-engine-deterministic
     twin (exact SQL oracle); NULL keys are ignored.
+
+    ``weight_col``: build from PRE-AGGREGATED ``(key, weight)`` rows —
+    each cell sums weights instead of counting rows (count-then-sketch:
+    when the caller already holds per-key counts, the ``depth`` hash
+    evaluations run once per DISTINCT key instead of once per
+    occurrence; identical cells, since Σ_occurrences 1 = Σ_keys count).
     """
     from .bloom import _positions
 
     key = F.col(key_col)
-    pos = df.where(key.isNotNull()).select(
+    cols = [
         F.posexplode(F.array(*_positions(key, depth, width, hash_fn))).alias("row", "col")
-    )
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("_w"))
+    pos = df.where(key.isNotNull()).select(*cols)
+    agg = F.sum("_w") if weight_col is not None else F.count("*")
     return (
         pos.groupBy("row", "col")
-        .agg(F.count("*").alias("cnt"))
+        .agg(agg.cast("long").alias("cnt"))
         .select("row", F.col("col").cast("int"), "cnt")
     )
 

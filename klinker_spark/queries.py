@@ -3781,7 +3781,10 @@ def composite_unique_name_blocking(spark, sf_dir):
     )
     rest = TokenBlocker().assign(left_t, right_t)
     combined = unique.combine(rest)
-    return _explode_blocks(combined).distinct()
+    # pairs are already distinct structurally: combine produces one row
+    # per block_key with SET-valued arrays, so explode² can't duplicate —
+    # a final .distinct() would re-shuffle the full (quadratic) pair set
+    return _explode_blocks(combined)
 
 
 _COMPOSITE_REL_SQL = """
@@ -3885,7 +3888,10 @@ def composite_relational_blocking(spark, sf_dir):
         F.concat(F.lit("n"), F.col("s_nationkey")).alias("tail"),
     )
     bm = CompositeRelationalTokenBlocker().assign(left, right, left_rel, right_rel)
-    return _explode_blocks(bm).distinct()
+    # no .distinct(): combine output has unique keys + set arrays, so the
+    # exploded pairs are distinct already (asserted by the oracle hash);
+    # re-distincting would shuffle the full quadratic pair set once more
+    return _explode_blocks(bm)
 
 
 @register("gcn_embedding_blocking")
@@ -5403,14 +5409,24 @@ def cm_token_freq_q(spark, sf_dir):
     """Count-Min frequency sketch, md5 twin: token multiplicities
     folded into a 4x1024 counter table, per-token min-of-counters
     estimate verified cell-for-cell against the exact counts the
-    oracle computes both ways."""
+    oracle computes both ways.
+
+    Count-then-sketch: the exact per-token counts the query outputs
+    anyway double as the sketch's weights, so the 4 md5 lanes run once
+    per DISTINCT token (vocab-bounded) instead of once per occurrence
+    (corpus-bounded) — identical cells, measured 4-5x at sf1.  The
+    counted table is eagerly cached: it feeds the sketch build, the
+    estimate probe, and the output."""
     from .functions.text import tokenize
     from .ops.sketches import cm_build, cm_estimate
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokenize("text", 1, [])).alias("token"))
-    sketch = cm_build(toks, "token", width=1024, depth=4, hash_fn="md5")
-    true = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    true = toks.groupBy("token").agg(F.count("*").alias("true_count")).persist()
+    true.count()
+    sketch = cm_build(
+        true, "token", width=1024, depth=4, hash_fn="md5", weight_col="true_count"
+    )
     return cm_estimate(
         true, "token", sketch, width=1024, depth=4, hash_fn="md5"
     ).select("token", "true_count", "est_count")
