@@ -11,7 +11,22 @@ gate.  (This caught: DuckDB ``array_to_string([])`` = NULL vs Spark
 "near-duplicates" on the Spark side only — and an MLlib HashingTF
 crash on NULL token arrays.)
 
-Usage: python scripts/make_adversarial_testdata.py [out_dir]
+Usage: python scripts/make_adversarial_testdata.py [out_dir] [--skew]
+
+``--skew`` additionally appends a SKEWED block (r8-verdict stretch
+task: the measurement audits are only trustworthy if they stay
+calibrated under skew, not just under pathology):
+
+- 150 near-identical docs (one shared 24-token template, one token
+  mutated per doc) in source ``skewdup`` — a giant LSH shingle bucket
+  + a dense true-duplicate cluster, the worst case for both the
+  precision lane's candidate volume and the recall lane's sampled
+  truth set;
+- 120 docs of ONE repeated token in source ``skewlow`` — per-source
+  distinct-token count of exactly 1 (HLL small-range correction's
+  hardest case);
+- 120 docs of all-globally-unique tokens in source ``skewhigh`` —
+  per-source distinct cardinality far above every organic source.
 """
 
 from __future__ import annotations
@@ -34,9 +49,36 @@ ADVERSARIAL_ROWS = [
     (100008, "x@y.com 12345 call 9999", "en", "src1", 23),
 ]
 
+_TEMPLATE = (
+    "spark window merge table column vector stream value data small "
+    "join filter big group hash customer sort order slow line part "
+    "fast row agg"
+).split()
+
+
+def skew_rows() -> list[tuple]:
+    rows = []
+    # dense near-duplicate cluster: template with token i%24 replaced
+    for i in range(150):
+        toks = list(_TEMPLATE)
+        toks[i % len(toks)] = f"mut{i}"
+        t = " ".join(toks)
+        rows.append((200000 + i, t, "en", "skewdup", len(t)))
+    # single-distinct-token source
+    for i in range(120):
+        t = " ".join(["zzz"] * 12)
+        rows.append((210000 + i, t, "en", "skewlow", len(t)))
+    # all-unique-token source
+    for i in range(120):
+        t = " ".join(f"uniq{i}x{j}" for j in range(12))
+        rows.append((220000 + i, t, "en", "skewhigh", len(t)))
+    return rows
+
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/advdata"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    out = args[0] if args else "/tmp/advdata"
     os.makedirs(out, exist_ok=True)
     for f in os.listdir(SRC):
         if f.endswith(".parquet") and f != "documents.parquet":
@@ -45,9 +87,11 @@ def main() -> None:
                 os.symlink(os.path.join(SRC, f), dst)
     con = duckdb.connect()
     con.execute(f"CREATE TABLE adv AS SELECT * FROM '{SRC}/documents.parquet'")
-    con.executemany("INSERT INTO adv VALUES (?, ?, ?, ?, ?)", ADVERSARIAL_ROWS)
+    rows = ADVERSARIAL_ROWS + (skew_rows() if skew else [])
+    con.executemany("INSERT INTO adv VALUES (?, ?, ?, ?, ?)", rows)
     con.execute(f"COPY adv TO '{out}/documents.parquet' (FORMAT PARQUET)")
-    print(f"{out}: documents with {len(ADVERSARIAL_ROWS)} adversarial rows; "
+    print(f"{out}: documents with {len(rows)} adversarial rows"
+          f"{' (incl. skew block)' if skew else ''}; "
           f"run: python scripts/check_oracle.py {out}")
 
 
