@@ -26,12 +26,12 @@ __all__ = ["filter_with_unique", "CompositeUniqueNameBlocker", "CompositeRelatio
 def filter_with_unique(conc: DataFrame, unique_blocks: BlockManager, side: str) -> DataFrame:
     """Drop entities already covered by unique-name blocks (P10).
 
-    ``conc``: ``(id, ...)`` frame; covered ids are the exploded array of
-    the given side's block column — the anti-join Spark has built in
-    (``composite.py:35-51``).
+    ``conc``: ``(id, ...)`` frame; covered ids come straight from the
+    side's assignment table when the manager is key-framed (no array
+    cell ever built), else from exploding the block column — either
+    way the anti-join Spark has built in (``composite.py:35-51``).
     """
-    covered = unique_blocks.df.select(F.explode(F.col(side)).alias("id")).distinct()
-    return conc.join(covered, "id", "left_anti")
+    return conc.join(unique_blocks.covered_ids(side), "id", "left_anti")
 
 
 class CompositeUniqueNameBlocker(_ConcatRelationalInfo, Blocker):
@@ -74,29 +74,30 @@ class CompositeUniqueNameBlocker(_ConcatRelationalInfo, Blocker):
             )
             return attr_blocks.combine(rel_blocks)
 
-        unique = UniqueNameBlocker().assign(left, right)
-        unique = BlockManager(unique.df.persist(), unique.left_name, unique.right_name)
-        # Materialize NOW, not at the terminal action: the unique table
-        # is embedded six times downstream (two covered-id anti-joins
-        # per branch + two combines).  Left lazy, each copy re-enters
-        # analysis/optimization as a full aggregate subtree and the
-        # final plan blows up (measured 29 s analysis + 48 s execution
-        # vs ~6 s total with the eager cache at sf0.01); once cached,
-        # downstream plans substitute InMemoryRelation at analysis
-        # time.  The table is tiny (one row per unique value pair).
-        unique.df.count()
+        # Cache the unique table's KEY FRAMES eagerly (rationale in
+        # BlockManager.persisted); the array layout is never built —
+        # covered-id anti-joins read the assignment tables directly and
+        # the combines below stay key-level.
+        unique = UniqueNameBlocker().assign(left, right).persisted()
 
         left_rest = left.with_attrs(filter_with_unique(left.attrs, unique, left.name))
         right_rest = right.with_attrs(filter_with_unique(right.attrs, unique, right.name))
+        # Each branch is persisted before the key-level combine:
+        # effective_keys references both of a branch's assignment frames
+        # per side, so left lazy the tokenize/neighbor-concat spine is
+        # re-entered 4× per branch and nested combines compound it
+        # (measured 3.4 s → 28-58 s at sf0.1 without the caches).  The
+        # cached frames are exactly what a shuffle would have
+        # materialized anyway; persist spills to disk at scale.
         attr_blocks = unique.combine(
-            self._attribute_blocker.assign(left_rest, right_rest)
+            self._attribute_blocker.assign(left_rest, right_rest).persisted()
         )
 
         left_conc = filter_with_unique(self._conc(left, left_rel, True), unique, left.name)
         right_conc = filter_with_unique(self._conc(right, right_rel, True), unique, right.name)
         rel_blocks = self._relation_blocker._assign(
             left_conc, right_conc, left.name, right.name
-        )
+        ).persisted()
         return attr_blocks.combine(rel_blocks)
 
 

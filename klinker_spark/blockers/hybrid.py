@@ -168,10 +168,7 @@ class CompositeLightEABlocker(CompositeUniqueNameBlocker):
         def side_emb(frame: EntityFrame, rels: DataFrame) -> DataFrame:
             emb = self._encoder.encode(frame.concat_values(), rels)
             if unique is not None:
-                covered = unique.df.select(
-                    F.explode(F.col(frame.name)).alias("id")
-                ).distinct()
-                emb = emb.join(covered, "id", "left_anti")
+                emb = emb.join(unique.covered_ids(frame.name), "id", "left_anti")
             return emb
 
         return self._builder.build_blocks(
@@ -194,9 +191,8 @@ class CompositeLightEABlocker(CompositeUniqueNameBlocker):
             return attr_blocks.combine(
                 self._rel_blocks(left, right, left_rel, right_rel, None)
             )
-        unique = UniqueNameBlocker().assign(left, right)
-        unique = BlockManager(unique.df.persist(), unique.left_name, unique.right_name)
-        unique.df.count()  # eager cache — see CompositeUniqueNameBlocker
+        # eager key-frame cache — see BlockManager.persisted
+        unique = UniqueNameBlocker().assign(left, right).persisted()
 
         from .composite import filter_with_unique
 
@@ -204,9 +200,10 @@ class CompositeLightEABlocker(CompositeUniqueNameBlocker):
         right_rest = right.with_attrs(
             filter_with_unique(right.attrs, unique, right.name)
         )
+        # branch persists — see CompositeUniqueNameBlocker.assign
         attr_blocks = unique.combine(
-            self._attribute_blocker.assign(left_rest, right_rest)
+            self._attribute_blocker.assign(left_rest, right_rest).persisted()
         )
         return attr_blocks.combine(
-            self._rel_blocks(left, right, left_rel, right_rel, unique)
+            self._rel_blocks(left, right, left_rel, right_rel, unique).persisted()
         )

@@ -52,6 +52,11 @@ class BlockManager:
     right_name: str = "B"
     left_keys: DataFrame | None = None  # (block_key, id), distinct
     right_keys: DataFrame | None = None
+    # True when every key in the key frames is known to appear on BOTH
+    # sides (i.e. the frames already equal the block table's exploded
+    # form).  Raw single-blocker assignments are NOT effective: a value
+    # seen only on one side is an assignment but never a block.
+    keys_effective: bool = False
 
     @property
     def df(self) -> DataFrame:
@@ -81,16 +86,25 @@ class BlockManager:
         left_name: str = "A",
         right_name: str = "B",
         assume_distinct: bool = False,
+        keys_effective: bool = False,
     ) -> "BlockManager":
         """Build from per-side ``(block_key, id)`` assignments — the
         at-scale constructor: nothing aggregates until a consumer picks
         a layout.  ``assume_distinct`` skips the dedup when the caller
         already guarantees distinct (key, id) rows (e.g. an upstream
-        ``collect_set`` or ``distinct()``)."""
+        ``collect_set`` or ``distinct()``); ``keys_effective`` asserts
+        every key appears on both sides (see the field doc)."""
         if not assume_distinct:
             left = left.dropDuplicates(["block_key", "id"])
             right = right.dropDuplicates(["block_key", "id"])
-        return cls(None, left_name, right_name, left_keys=left, right_keys=right)
+        return cls(
+            None,
+            left_name,
+            right_name,
+            left_keys=left,
+            right_keys=right,
+            keys_effective=keys_effective,
+        )
 
     @classmethod
     def from_dict(
@@ -207,6 +221,59 @@ class BlockManager:
             F.max("comparisons").alias("max_block_comparisons"),
         )
 
+    def effective_keys(self) -> tuple[DataFrame, DataFrame]:
+        """Key frames restricted to keys that form actual BLOCKS — keys
+        present on both sides.  A block manager's semantics is the inner
+        key join; single-consumer paths (``block_pairs``, ``with_sizes``)
+        realize that filter implicitly through their own inner join, but
+        set-level operations (``combine``, ``covered_ids``) must apply it
+        explicitly or one-sided assignments leak in as phantom members.
+        """
+        lk, rk = self.left_keys, self.right_keys
+        if self.keys_effective:
+            return lk, rk
+        return (
+            lk.join(rk.select("block_key").distinct(), "block_key", "left_semi"),
+            rk.join(lk.select("block_key").distinct(), "block_key", "left_semi"),
+        )
+
+    def covered_ids(self, side: str) -> DataFrame:
+        """Distinct ids appearing in any block on the given side — the
+        anti-join input of composite flows (P10).  Key-frame path reads
+        the (block-filtered) assignment table; array path explodes the
+        cells."""
+        if self.left_keys is not None:
+            lk, rk = self.effective_keys()
+            kf = lk if side == self.left_name else rk
+            return kf.select("id").distinct()
+        return self.df.select(F.explode(F.col(side)).alias("id")).distinct()
+
+    def persisted(self) -> "BlockManager":
+        """Cache + materialize the manager's backing frames NOW.
+
+        Composite flows embed the unique-name table ~6× downstream (two
+        covered-id anti-joins per branch + the combines); left lazy,
+        each copy re-enters analysis as a full aggregate subtree and the
+        terminal plan blows up (measured 29 s analysis + 48 s execution
+        vs ~6 s total at sf0.01).  Once cached, downstream plans
+        substitute InMemoryRelation at analysis time.  Key-frame
+        managers persist the two assignment tables (never building the
+        array cells at all); df-layout managers persist the block table.
+        """
+        if self.left_keys is not None:
+            # persist the EFFECTIVE frames: every downstream set-level
+            # consumer (covered_ids ×2 per branch, the combines) wants
+            # the block-filtered form, so filter once, cache that.
+            lk, rk = self.effective_keys()
+            lk, rk = lk.persist(), rk.persist()
+            lk.count(), rk.count()
+            return BlockManager(
+                None, self.left_name, self.right_name, lk, rk, keys_effective=True
+            )
+        df = self.df.persist()
+        df.count()
+        return BlockManager(df, self.left_name, self.right_name)
+
     # ---------------------------------------------------------------- combine
     def combine(self, other: "BlockManager") -> "BlockManager":
         """Outer-join two block tables on key; union id-lists per side
@@ -214,7 +281,34 @@ class BlockManager:
 
         ``full_outer`` join + ``array_union(coalesce(...))`` replaces the
         reference's 70-line cell-wise merge.  One shuffle on block_key.
+
+        Key-frame fast path: when BOTH managers carry assignment tables
+        the combine is a per-side ``union + dropDuplicates`` of the
+        EFFECTIVE (block-filtered) frames — no array cell is ever built,
+        and the result stays key-framed so terminal ``block_pairs``
+        consumers skip array materialization entirely.  Equivalent to
+        the array semantics: each input's block table is the inner key
+        join of its assignments, so unioning the block-filtered
+        assignments and inner-joining the unions reproduces exactly the
+        full-outer array_union (a key blocked in either input keeps both
+        of that input's sides; a key one-sided in both inputs is in
+        neither block table and stays excluded).  The union is itself
+        effective — every surviving key has both sides from whichever
+        input blocked it.  Only a hand-built df-layout manager
+        (``from_dict`` / ``read_parquet``) can hold an empty-array cell,
+        and those take the array path below.
         """
+        if self.left_keys is not None and other.left_keys is not None:
+            slk, srk = self.effective_keys()
+            olk, ork = other.effective_keys()
+            return BlockManager(
+                None,
+                self.left_name,
+                self.right_name,
+                slk.unionByName(olk).dropDuplicates(["block_key", "id"]),
+                srk.unionByName(ork).dropDuplicates(["block_key", "id"]),
+                keys_effective=True,
+            )
         a, b = self.df, other.df
         l, r = self.left_name, self.right_name
         joined = a.alias("a").join(b.alias("b"), "block_key", "full_outer")
@@ -318,6 +412,9 @@ class BlockManager:
                 self.right_name,
                 left_keys=self.left_keys.join(keep_keys, "block_key", "left_semi"),
                 right_keys=self.right_keys.join(keep_keys, "block_key", "left_semi"),
+                # keep_keys came from with_sizes' inner join, so every
+                # kept key has survivors on both sides
+                keys_effective=True,
             )
         kept = self.df.join(keep_keys, "block_key", "left_semi")
         return BlockManager(kept, self.left_name, self.right_name)

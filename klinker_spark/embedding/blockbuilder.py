@@ -40,7 +40,9 @@ def _nn_to_blocks(nn: DataFrame, left_name: str, right_name: str) -> BlockManage
     ).dropDuplicates(["block_key"])
     rk = nn.select(F.col("query_id").alias("block_key"), F.col("neighbor_id").alias("id"))
     return BlockManager.from_key_assignments(
-        lk, rk, left_name, right_name, assume_distinct=True
+        # every key carries its query id on the left and its neighbors
+        # on the right — effective by construction
+        lk, rk, left_name, right_name, assume_distinct=True, keys_effective=True
     )
 
 

@@ -3752,8 +3752,7 @@ def composite_unique_name_blocking(spark, sf_dir):
         ),
         "customer",
     )
-    unique = UniqueNameBlocker().assign(left_u, right_u)
-    unique = unique.__class__(unique.df.persist(), unique.left_name, unique.right_name)
+    unique = UniqueNameBlocker().assign(left_u, right_u).persisted()
 
     from .blockers.composite import filter_with_unique as fwu
     from .blockers.token import TokenBlocker
