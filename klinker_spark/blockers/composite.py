@@ -78,7 +78,7 @@ class CompositeUniqueNameBlocker(_ConcatRelationalInfo, Blocker):
         # BlockManager.persisted); the array layout is never built —
         # covered-id anti-joins read the assignment tables directly and
         # the combines below stay key-level.
-        unique = UniqueNameBlocker().assign(left, right).persisted()
+        unique = UniqueNameBlocker().assign(left, right).persisted(effective=True)
 
         left_rest = left.with_attrs(filter_with_unique(left.attrs, unique, left.name))
         right_rest = right.with_attrs(filter_with_unique(right.attrs, unique, right.name))

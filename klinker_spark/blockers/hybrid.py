@@ -192,7 +192,7 @@ class CompositeLightEABlocker(CompositeUniqueNameBlocker):
                 self._rel_blocks(left, right, left_rel, right_rel, None)
             )
         # eager key-frame cache — see BlockManager.persisted
-        unique = UniqueNameBlocker().assign(left, right).persisted()
+        unique = UniqueNameBlocker().assign(left, right).persisted(effective=True)
 
         from .composite import filter_with_unique
 

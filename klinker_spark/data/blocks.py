@@ -248,7 +248,7 @@ class BlockManager:
             return kf.select("id").distinct()
         return self.df.select(F.explode(F.col(side)).alias("id")).distinct()
 
-    def persisted(self) -> "BlockManager":
+    def persisted(self, effective: bool = False) -> "BlockManager":
         """Cache + materialize the manager's backing frames NOW.
 
         Composite flows embed the unique-name table ~6× downstream (two
@@ -259,16 +259,27 @@ class BlockManager:
         substitute InMemoryRelation at analysis time.  Key-frame
         managers persist the two assignment tables (never building the
         array cells at all); df-layout managers persist the block table.
+
+        ``effective=True`` persists the block-filtered frames instead of
+        the raw assignments — right when downstream reads the EFFECTIVE
+        form repeatedly (the unique table: 4 covered-id anti-joins + 2
+        combines).  Branch managers consumed by ONE combine keep
+        ``effective=False``: the raw cache already collapses the
+        semi-join's double subtree reference, and skipping the eager
+        filter saves a materialization pass.  Both frames materialize in
+        a single job (union-count) rather than two serial actions.
         """
         if self.left_keys is not None:
-            # persist the EFFECTIVE frames: every downstream set-level
-            # consumer (covered_ids ×2 per branch, the combines) wants
-            # the block-filtered form, so filter once, cache that.
-            lk, rk = self.effective_keys()
+            lk, rk = self.effective_keys() if effective else (self.left_keys, self.right_keys)
             lk, rk = lk.persist(), rk.persist()
-            lk.count(), rk.count()
+            lk.unionByName(rk).count()
             return BlockManager(
-                None, self.left_name, self.right_name, lk, rk, keys_effective=True
+                None,
+                self.left_name,
+                self.right_name,
+                lk,
+                rk,
+                keys_effective=effective or self.keys_effective,
             )
         df = self.df.persist()
         df.count()

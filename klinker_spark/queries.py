@@ -3752,7 +3752,7 @@ def composite_unique_name_blocking(spark, sf_dir):
         ),
         "customer",
     )
-    unique = UniqueNameBlocker().assign(left_u, right_u).persisted()
+    unique = UniqueNameBlocker().assign(left_u, right_u).persisted(effective=True)
 
     from .blockers.composite import filter_with_unique as fwu
     from .blockers.token import TokenBlocker
@@ -3778,7 +3778,7 @@ def composite_unique_name_blocking(spark, sf_dir):
         ),
         "customer",
     )
-    rest = TokenBlocker().assign(left_t, right_t)
+    rest = TokenBlocker().assign(left_t, right_t).persisted()
     combined = unique.combine(rest)
     # pairs are already distinct structurally: combine produces one row
     # per block_key with SET-valued arrays, so explode² can't duplicate —

@@ -138,3 +138,71 @@ def test_composite_parquet_roundtrip(spark, tmp_path, blocks):
     base_pairs = {tuple(r) for r in blocks.pairs().collect()}
     got = {tuple(r) for r in back.pairs().collect()}
     assert got == base_pairs | {("a9", "b8")}
+
+
+def _km(spark, left_rows, right_rows):
+    from klinker_spark.session import local_df
+
+    return BlockManager.from_key_assignments(
+        local_df(spark, left_rows, "block_key string, id string"),
+        local_df(spark, right_rows, "block_key string, id string"),
+        "A",
+        "B",
+        assume_distinct=True,
+    )
+
+
+def test_key_combine_matches_array_combine_with_one_sided_keys(spark):
+    """Regression: raw (block_key, id) assignments are one SIDE of an
+    inner join — a key held on only one side of a manager is an
+    assignment but never a block.  The key-level combine must filter
+    those out before unioning, or they pair up with the OTHER manager's
+    one-sided assignments as phantom blocks (lesson 14)."""
+    # key "x" is left-only in bm1 and right-only in bm2 — a phantom
+    # block if raw frames were unioned; "k" is a real block in both.
+    bm1 = _km(spark, [("k", "a1"), ("x", "a9")], [("k", "b1")])
+    bm2 = _km(spark, [("k", "a2")], [("k", "b2"), ("x", "b9")])
+    key_pairs = {tuple(r) for r in bm1.combine(bm2).block_pairs().collect()}
+    arr_pairs = {
+        tuple(r)
+        for r in BlockManager(bm1.df, "A", "B")
+        .combine(BlockManager(bm2.df, "A", "B"))
+        .block_pairs()
+        .collect()
+    }
+    assert key_pairs == arr_pairs
+    assert ("x", "a9", "b9") not in key_pairs
+    assert key_pairs == {
+        ("k", "a1", "b1"),
+        ("k", "a1", "b2"),
+        ("k", "a2", "b1"),
+        ("k", "a2", "b2"),
+    }
+    # the combined manager's array view matches the array path too
+    assert blocks_as_dict(bm1.combine(bm2)) == blocks_as_dict(
+        BlockManager(bm1.df, "A", "B").combine(BlockManager(bm2.df, "A", "B"))
+    )
+
+
+def test_covered_ids_excludes_one_sided_assignments(spark):
+    """covered_ids must report only entities in actual blocks: a9/b9
+    hold one-sided values and stay uncovered for the composite
+    anti-join."""
+    bm = _km(spark, [("k", "a1"), ("x", "a9")], [("k", "b1"), ("y", "b9")])
+    assert {r["id"] for r in bm.covered_ids("A").collect()} == {"a1"}
+    assert {r["id"] for r in bm.covered_ids("B").collect()} == {"b1"}
+    # array-layout path agrees
+    arr = BlockManager(bm.df, "A", "B")
+    assert {r["id"] for r in arr.covered_ids("A").collect()} == {"a1"}
+
+
+def test_persisted_key_manager_keeps_semantics(spark):
+    raw = _km(spark, [("k", "a1"), ("x", "a9")], [("k", "b1")])
+    bm = raw.persisted()  # raw cache: one-sided keys stay in the frames
+    assert not bm.keys_effective
+    assert {tuple(r) for r in bm.block_pairs().collect()} == {("k", "a1", "b1")}
+    assert blocks_as_dict(bm) == {"k": ({"a1"}, {"b1"})}
+    eff = raw.persisted(effective=True)  # block-filtered cache
+    assert eff.keys_effective
+    assert {r["id"] for r in eff.left_keys.collect()} == {"a1"}
+    assert {tuple(r) for r in eff.block_pairs().collect()} == {("k", "a1", "b1")}
