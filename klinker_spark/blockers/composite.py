@@ -82,23 +82,16 @@ class CompositeUniqueNameBlocker(_ConcatRelationalInfo, Blocker):
 
         left_rest = left.with_attrs(filter_with_unique(left.attrs, unique, left.name))
         right_rest = right.with_attrs(filter_with_unique(right.attrs, unique, right.name))
-        # Each branch is persisted before the key-level combine:
-        # effective_keys references both of a branch's assignment frames
-        # per side, so left lazy the tokenize/neighbor-concat spine is
-        # re-entered 4× per branch and nested combines compound it
-        # (measured 3.4 s → 28-58 s at sf0.1 without the caches).  The
-        # cached frames are exactly what a shuffle would have
-        # materialized anyway; persist spills to disk at scale.
-        attr_blocks = unique.combine(
-            self._attribute_blocker.assign(left_rest, right_rest).persisted()
-        )
+        attr_blocks = self._attribute_blocker.assign(left_rest, right_rest)
 
         left_conc = filter_with_unique(self._conc(left, left_rel, True), unique, left.name)
         right_conc = filter_with_unique(self._conc(right, right_rel, True), unique, right.name)
         rel_blocks = self._relation_blocker._assign(
             left_conc, right_conc, left.name, right.name
-        ).persisted()
-        return attr_blocks.combine(rel_blocks)
+        )
+        # single stacked-frame combine: each branch spine computes
+        # exactly once, one exchange total (see combine_all)
+        return BlockManager.combine_all([unique, attr_blocks, rel_blocks])
 
 
 class CompositeRelationalTokenBlocker(CompositeUniqueNameBlocker):

@@ -200,10 +200,7 @@ class CompositeLightEABlocker(CompositeUniqueNameBlocker):
         right_rest = right.with_attrs(
             filter_with_unique(right.attrs, unique, right.name)
         )
-        # branch persists — see CompositeUniqueNameBlocker.assign
-        attr_blocks = unique.combine(
-            self._attribute_blocker.assign(left_rest, right_rest).persisted()
-        )
-        return attr_blocks.combine(
-            self._rel_blocks(left, right, left_rel, right_rel, unique).persisted()
-        )
+        # single stacked-frame combine — see CompositeUniqueNameBlocker
+        attr_blocks = self._attribute_blocker.assign(left_rest, right_rest)
+        rel_blocks = self._rel_blocks(left, right, left_rel, right_rel, unique)
+        return BlockManager.combine_all([unique, attr_blocks, rel_blocks])

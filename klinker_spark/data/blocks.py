@@ -57,6 +57,14 @@ class BlockManager:
     # form).  Raw single-blocker assignments are NOT effective: a value
     # seen only on one side is an assignment but never a block.
     keys_effective: bool = False
+    # True when both key frames are already hash-partitioned on
+    # block_key (combine_all's dedup exchange): block_pairs then skips
+    # its round-robin expansion repartition — the join reuses the
+    # co-partitioning with zero additional exchange, and the key space
+    # of a combined manager is high-cardinality (token-sized), so the
+    # low-cardinality single-task hazard the round-robin guards against
+    # does not apply.
+    keys_partitioned: bool = False
 
     @property
     def df(self) -> DataFrame:
@@ -154,7 +162,7 @@ class BlockManager:
         """
         if self.left_keys is not None:
             lk = self.left_keys
-            if expand_partitions != 0:
+            if expand_partitions != 0 and not self.keys_partitioned:
                 n = expand_partitions or lk.sparkSession.sparkContext.defaultParallelism
                 lk = lk.repartition(n)
             return (
@@ -248,7 +256,7 @@ class BlockManager:
             return kf.select("id").distinct()
         return self.df.select(F.explode(F.col(side)).alias("id")).distinct()
 
-    def persisted(self, effective: bool = False) -> "BlockManager":
+    def persisted(self, effective: bool = False, materialize: bool = True) -> "BlockManager":
         """Cache + materialize the manager's backing frames NOW.
 
         Composite flows embed the unique-name table ~6× downstream (two
@@ -268,11 +276,23 @@ class BlockManager:
         semi-join's double subtree reference, and skipping the eager
         filter saves a materialization pass.  Both frames materialize in
         a single job (union-count) rather than two serial actions.
+
+        ``materialize=False`` only MARKS the frames for caching: the
+        plan-level dedup (CacheManager substitutes the same
+        InMemoryRelation for every reference at analysis time, and the
+        scheduler computes one RDD once per job) happens at persist()
+        time, so downstream references already collapse; the compute is
+        deferred into the terminal action's job instead of paying a
+        serial job barrier here.  Use it when the manager is consumed by
+        exactly one downstream action; keep the eager default when
+        several separate actions will read it (each would otherwise race
+        to compute the first fill).
         """
         if self.left_keys is not None:
             lk, rk = self.effective_keys() if effective else (self.left_keys, self.right_keys)
             lk, rk = lk.persist(), rk.persist()
-            lk.unionByName(rk).count()
+            if materialize:
+                lk.unionByName(rk).count()
             return BlockManager(
                 None,
                 self.left_name,
@@ -286,6 +306,75 @@ class BlockManager:
         return BlockManager(df, self.left_name, self.right_name)
 
     # ---------------------------------------------------------------- combine
+    @classmethod
+    def combine_all(cls, managers: list["BlockManager"]) -> "BlockManager":
+        """N-way key-level combine, ONE exchange total (eager).
+
+        Stacks every manager's raw assignment frames into a single
+        tagged frame ``(block_key, id, _b=branch, _s=side)``, hash-
+        repartitions it on ``block_key`` ONCE and caches it (the single
+        job that computes each branch spine exactly once — per-branch
+        semi-join filters would instead spawn broadcast-build jobs that
+        each recompute a spine before the caches fill: measured 68 jobs
+        / 25 s executor time for one composite at sf0.1).  Everything
+        downstream rides that partitioning with zero further exchanges:
+        two-sidedness per (key, branch) is a window max (hash(key)
+        satisfies the (key, branch) clustering), the per-side dedup is a
+        group-by whose keys start with block_key, and the terminal pair
+        join sees two co-partitioned sides.  At scale the cache is one
+        shuffle-sized spill; the window sorts within partitions only.
+
+        Semantics == chained array combines: a key's members are the
+        union of its members from every branch where it is two-sided,
+        and keys two-sided in no branch vanish.  All managers must carry
+        key frames (use :meth:`combine` for array-layout inputs)."""
+        first = managers[0]
+        legs = []
+        for b, m in enumerate(managers):
+            for s, kf in ((0, m.left_keys), (1, m.right_keys)):
+                legs.append(
+                    kf.select(
+                        "block_key",
+                        "id",
+                        F.lit(b).alias("_b"),
+                        F.lit(s).alias("_s"),
+                    )
+                )
+        import functools
+
+        stacked = (
+            functools.reduce(lambda a, c: a.unionByName(c), legs)
+            .repartition(F.col("block_key"))
+            .persist()
+        )
+        stacked.count()
+        w = Window.partitionBy("block_key", "_b")
+        both = (
+            stacked.withColumn(
+                "_two",
+                (F.max(1 - F.col("_s")).over(w) == 1) & (F.max("_s").over(w) == 1),
+            )
+            .where("_two")
+        )
+
+        def side(s: int) -> DataFrame:
+            return (
+                both.where(F.col("_s") == s)
+                .groupBy("block_key", "id")
+                .agg(F.lit(1).alias("_one"))
+                .select("block_key", "id")
+            )
+
+        return cls(
+            None,
+            first.left_name,
+            first.right_name,
+            side(0),
+            side(1),
+            keys_effective=True,
+            keys_partitioned=True,
+        )
+
     def combine(self, other: "BlockManager") -> "BlockManager":
         """Outer-join two block tables on key; union id-lists per side
         (J5, reference ``blocks.py:246-317``).
@@ -310,16 +399,7 @@ class BlockManager:
         and those take the array path below.
         """
         if self.left_keys is not None and other.left_keys is not None:
-            slk, srk = self.effective_keys()
-            olk, ork = other.effective_keys()
-            return BlockManager(
-                None,
-                self.left_name,
-                self.right_name,
-                slk.unionByName(olk).dropDuplicates(["block_key", "id"]),
-                srk.unionByName(ork).dropDuplicates(["block_key", "id"]),
-                keys_effective=True,
-            )
+            return BlockManager.combine_all([self, other])
         a, b = self.df, other.df
         l, r = self.left_name, self.right_name
         joined = a.alias("a").join(b.alias("b"), "block_key", "full_outer")

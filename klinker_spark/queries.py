@@ -3778,8 +3778,8 @@ def composite_unique_name_blocking(spark, sf_dir):
         ),
         "customer",
     )
-    rest = TokenBlocker().assign(left_t, right_t).persisted()
-    combined = unique.combine(rest)
+    rest = TokenBlocker().assign(left_t, right_t)
+    combined = BlockManager.combine_all([unique, rest])
     # pairs are already distinct structurally: combine produces one row
     # per block_key with SET-valued arrays, so explode² can't duplicate —
     # a final .distinct() would re-shuffle the full (quadratic) pair set

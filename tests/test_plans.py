@@ -796,3 +796,22 @@ def test_ecdf_windows_source_partitioned(spark, sf_dir):
     plan = plan_of(QUERIES["per_source_score_ecdf"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_composite_blocking_stays_key_level(spark, sf_dir):
+    """The composite flow's terminal pairs plan must never build an
+    array cell: no collect_set aggregate and no explode — key-level
+    combine unions the assignment tables and joins them directly
+    (SCALE.md 'pairs, not arrays')."""
+    from klinker_spark.queries import QUERIES
+
+    out = QUERIES["composite_relational_blocking"](spark, sf_dir)
+    plan = plan_of(out)
+    low = plan.lower()
+    # no array-cell merge (array_union = the array-layout combine) and
+    # no collect_set over the assignment tables (collect_set(id...));
+    # concat_values' per-entity collect_set(value) and tokenize's
+    # explode are legitimate and stay
+    assert "array_union" not in low
+    assert "collect_set(id" not in low and "collect_set(left_id" not in low
+    assert "cartesianproduct" not in low
