@@ -37,7 +37,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["checkpoint", "release", "release_all"]
+__all__ = ["checkpoint", "release", "release_all", "track"]
+
+#: persist()-ed frames registered by library code whose cache must
+#: outlive the registering call (e.g. combine_all's stacked frame,
+#: alive until the manager's terminal action) — released at the next
+#: harness-level :func:`release_all`.  DataFrame-level unpersist (not
+#: just the backing RDD) so the CacheManager entry goes too and later
+#: plans stop substituting the dropped InMemoryRelation.
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register a persisted frame for the next :func:`release_all`.
+
+    Returns the frame for call-site chaining.  Use for caches created
+    inside operator graph construction, where the creator cannot know
+    when the terminal action has consumed them."""
+    _TRACKED.append(df)
+    return df
 
 
 def checkpoint(df: DataFrame, replacing: DataFrame | None = None) -> DataFrame:
@@ -69,6 +87,12 @@ def release_all(spark: SparkSession) -> None:
     blocks and leaked ``persist()``s alike.  Only safe between
     independent units of work (bench queries, gate rows): afterwards,
     any still-held checkpointed frame is unusable."""
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for jrdd in list(jmap.values()):

@@ -162,7 +162,14 @@ class BlockManager:
         """
         if self.left_keys is not None:
             lk = self.left_keys
-            if expand_partitions != 0 and not self.keys_partitioned:
+            # an EXPLICIT expand_partitions always wins: keys_partitioned
+            # only suppresses the DEFAULT repartition (combine_all's key
+            # space is token-wide for the composite flows, but a caller
+            # combining two low-cardinality managers knows better and
+            # must be able to re-pin the expansion parallelism)
+            if expand_partitions != 0 and (
+                expand_partitions is not None or not self.keys_partitioned
+            ):
                 n = expand_partitions or lk.sparkSession.sparkContext.defaultParallelism
                 lk = lk.repartition(n)
             return (
@@ -250,6 +257,11 @@ class BlockManager:
         anti-join input of composite flows (P10).  Key-frame path reads
         the (block-filtered) assignment table; array path explodes the
         cells."""
+        if side not in (self.left_name, self.right_name):
+            raise ValueError(
+                f"unknown side {side!r}: this manager's sides are "
+                f"({self.left_name!r}, {self.right_name!r})"
+            )
         if self.left_keys is not None:
             lk, rk = self.effective_keys()
             kf = lk if side == self.left_name else rk
@@ -326,8 +338,28 @@ class BlockManager:
 
         Semantics == chained array combines: a key's members are the
         union of its members from every branch where it is two-sided,
-        and keys two-sided in no branch vanish.  All managers must carry
-        key frames (use :meth:`combine` for array-layout inputs)."""
+        and keys two-sided in no branch vanish.  Array-layout inputs
+        (``from_dict`` / ``read_parquet`` managers without key frames)
+        fall back to the chained array-path combine below.
+
+        The stacked cache is registered with :func:`klinker_spark.ckpt.
+        release_all`: a long session composing many combines frees the
+        orphaned entries at its next harness-level release instead of
+        accumulating them (the cache must outlive THIS manager's
+        terminal action, so combine_all cannot unpersist it itself).
+        NOTE this makes ``combine``/``combine_all`` on key-framed
+        inputs EAGER — the stack job runs at graph-construction time."""
+        names = {(m.left_name, m.right_name) for m in managers}
+        if len(names) > 1:
+            raise ValueError(
+                "combine_all: managers disagree on (left_name, right_name): "
+                f"{sorted(names)} — sides are merged by name, rename the "
+                "inputs to a common orientation first"
+            )
+        if any(m.left_keys is None for m in managers):
+            import functools
+
+            return functools.reduce(lambda a, b: a._combine_arrays(b), managers)
         first = managers[0]
         legs = []
         for b, m in enumerate(managers):
@@ -342,7 +374,9 @@ class BlockManager:
                 )
         import functools
 
-        stacked = (
+        from ..ckpt import track
+
+        stacked = track(
             functools.reduce(lambda a, c: a.unionByName(c), legs)
             .repartition(F.col("block_key"))
             .persist()
@@ -397,9 +431,25 @@ class BlockManager:
         input blocked it.  Only a hand-built df-layout manager
         (``from_dict`` / ``read_parquet``) can hold an empty-array cell,
         and those take the array path below.
+
+        NOTE: the key-frame fast path delegates to :meth:`combine_all`,
+        which is EAGER (it runs the stack job and registers a cache at
+        call time — see its docstring); the array path stays lazy.
         """
         if self.left_keys is not None and other.left_keys is not None:
             return BlockManager.combine_all([self, other])
+        return self._combine_arrays(other)
+
+    def _combine_arrays(self, other: "BlockManager") -> "BlockManager":
+        """Array-layout combine: full-outer join on block_key +
+        per-side ``array_union`` (works for any manager — ``.df``
+        assembles the arrays from key frames on demand)."""
+        if (self.left_name, self.right_name) != (other.left_name, other.right_name):
+            raise ValueError(
+                "combine: managers disagree on (left_name, right_name): "
+                f"{(self.left_name, self.right_name)} vs "
+                f"{(other.left_name, other.right_name)}"
+            )
         a, b = self.df, other.df
         l, r = self.left_name, self.right_name
         joined = a.alias("a").join(b.alias("b"), "block_key", "full_outer")

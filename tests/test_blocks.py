@@ -206,3 +206,82 @@ def test_persisted_key_manager_keeps_semantics(spark):
     assert eff.keys_effective
     assert {r["id"] for r in eff.left_keys.collect()} == {"a1"}
     assert {tuple(r) for r in eff.block_pairs().collect()} == {("k", "a1", "b1")}
+
+
+def test_combine_all_falls_back_to_array_path_for_df_layout(spark):
+    """ADVICE r9: combine_all on a mix of key-framed and array-layout
+    managers (from_dict / read_parquet) must not assume key frames —
+    it falls back to the chained array combine."""
+    km = _km(spark, [("k", "a1")], [("k", "b1")])
+    arr = BlockManager.from_dict(spark, {"k": (["a2"], ["b2"]), "m": (["a3"], ["b3"])})
+    out = BlockManager.combine_all([km, arr])
+    assert blocks_as_dict(out) == {
+        "k": ({"a1", "a2"}, {"b1", "b2"}),
+        "m": ({"a3"}, {"b3"}),
+    }
+    # pure array-layout input works too
+    out2 = BlockManager.combine_all([arr, BlockManager.from_dict(spark, {"m": (["a4"], [])})])
+    assert blocks_as_dict(out2)["m"] == ({"a3", "a4"}, {"b3"})
+
+
+def test_combine_name_mismatch_raises(spark):
+    """ADVICE r9: combine_all merges sides by name, not position — a
+    swapped-orientation manager must raise, not silently cross sides."""
+    bm1 = _km(spark, [("k", "a1")], [("k", "b1")])
+    bm2 = BlockManager.from_key_assignments(
+        bm1.right_keys, bm1.left_keys, "B", "A", assume_distinct=True
+    )
+    with pytest.raises(ValueError, match="left_name"):
+        BlockManager.combine_all([bm1, bm2])
+    with pytest.raises(ValueError, match="left_name"):
+        bm1.combine(bm2)
+    with pytest.raises(ValueError, match="left_name"):
+        BlockManager(bm1.df, "A", "B").combine(BlockManager(bm2.df, "B", "A"))
+
+
+def test_covered_ids_unknown_side_raises(spark):
+    """ADVICE r9: a typo'd side must error, not silently return the
+    right frame (wrong anti-join results)."""
+    bm = _km(spark, [("k", "a1")], [("k", "b1")])
+    with pytest.raises(ValueError, match="unknown side"):
+        bm.covered_ids("nope")
+    with pytest.raises(ValueError, match="unknown side"):
+        BlockManager(bm.df, "A", "B").covered_ids("nope")
+
+
+def test_block_pairs_explicit_expand_partitions_wins(spark):
+    """ADVICE r9: an explicitly passed expand_partitions must be
+    honored even on a combine()-produced (keys_partitioned) manager —
+    combining two low-cardinality managers reintroduces the single-task
+    expansion hazard the repartition guards against."""
+    bm = _km(spark, [("k", "a1"), ("k", "a2")], [("k", "b1")]).combine(
+        _km(spark, [("k", "a3")], [("k", "b2")])
+    )
+    assert bm.keys_partitioned
+    explicit = bm.block_pairs(expand_partitions=7)._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning(7)" in explicit
+    default = bm.block_pairs()._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning" not in default
+
+
+def test_combine_all_cache_registered_for_release(spark):
+    """ADVICE r9: combine_all's eager stacked cache is tracked and
+    freed by the next harness-level release_all — no orphan cache
+    accumulation across a long session of combines."""
+    from klinker_spark import ckpt
+
+    ckpt.release_all(spark)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    bm = _km(spark, [("k", "a1")], [("k", "b1")]).combine(
+        _km(spark, [("k", "a2")], [("k", "b2")])
+    )
+    assert len(ckpt._TRACKED) >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    # the cache is alive for the manager's terminal action …
+    assert {tuple(r) for r in bm.pairs().collect()} == {
+        ("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"),
+    }
+    # … and released wholesale at the next harness boundary
+    ckpt.release_all(spark)
+    assert ckpt._TRACKED == []
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
