@@ -74,11 +74,19 @@ class CompositeUniqueNameBlocker(_ConcatRelationalInfo, Blocker):
             )
             return attr_blocks.combine(rel_blocks)
 
-        # Cache the unique table's KEY FRAMES eagerly (rationale in
+        # Mark the unique table's KEY FRAMES for caching (rationale in
         # BlockManager.persisted); the array layout is never built —
         # covered-id anti-joins read the assignment tables directly and
-        # the combines below stay key-level.
-        unique = UniqueNameBlocker().assign(left, right).persisted(effective=True)
+        # the combines below stay key-level.  materialize=False: the
+        # covered-id anti-joins and the combine legs are all consumed
+        # inside combine_all's single stack job, which fills the cache
+        # on first touch — an eager fill here would add a serial job
+        # barrier for no reuse (A/B at sf0.1: −0.1..−0.8 s per query).
+        unique = (
+            UniqueNameBlocker()
+            .assign(left, right)
+            .persisted(effective=True, materialize=False)
+        )
 
         left_rest = left.with_attrs(filter_with_unique(left.attrs, unique, left.name))
         right_rest = right.with_attrs(filter_with_unique(right.attrs, unique, right.name))

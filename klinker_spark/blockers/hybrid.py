@@ -191,8 +191,15 @@ class CompositeLightEABlocker(CompositeUniqueNameBlocker):
             return attr_blocks.combine(
                 self._rel_blocks(left, right, left_rel, right_rel, None)
             )
-        # eager key-frame cache — see BlockManager.persisted
-        unique = UniqueNameBlocker().assign(left, right).persisted(effective=True)
+        # lazily-marked key-frame cache — the first consuming action
+        # (the NN builder's index job or combine_all's stack job) fills
+        # it; later actions read the filled cache.  See the rationale
+        # in CompositeUniqueNameBlocker.assign.
+        unique = (
+            UniqueNameBlocker()
+            .assign(left, right)
+            .persisted(effective=True, materialize=False)
+        )
 
         from .composite import filter_with_unique
 

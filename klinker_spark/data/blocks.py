@@ -319,7 +319,9 @@ class BlockManager:
 
     # ---------------------------------------------------------------- combine
     @classmethod
-    def combine_all(cls, managers: list["BlockManager"]) -> "BlockManager":
+    def combine_all(
+        cls, managers: list["BlockManager"], materialize: bool = True
+    ) -> "BlockManager":
         """N-way key-level combine, ONE exchange total (eager).
 
         Stacks every manager's raw assignment frames into a single
@@ -381,7 +383,8 @@ class BlockManager:
             .repartition(F.col("block_key"))
             .persist()
         )
-        stacked.count()
+        if materialize:
+            stacked.count()
         w = Window.partitionBy("block_key", "_b")
         both = (
             stacked.withColumn(
