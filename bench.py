@@ -193,6 +193,27 @@ EXTRA_QUERIES = [
 ]
 
 
+#: Section-level host-throughput probes (r9 verdict #1).  The box this
+#: bench runs on flaps 2-4x in per-core throughput within a session
+#: (five same-code r9 runs: headline 60-127 s; external busy-loop
+#: evidence in NOTES.md).  A fixed single-core python busy-loop timed
+#: at the START of each section puts the box's state IN the artifact,
+#: so "code regression vs host flap" is decided by data: a section
+#: whose queries doubled alongside a doubled probe is the box, not the
+#: code.  Nominal on this class of box: ~1.4 s idle, 2.5-3 s degraded.
+_PROBES: dict[str, float] = {}
+
+
+def _host_probe(section: str) -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x ^= i * i
+    _PROBES[section] = round(time.time() - t0, 3)
+    print(f"# host probe [{section}]: {_PROBES[section]}s", file=sys.stderr)
+    return _PROBES[section]
+
+
 def main() -> None:
     from klinker_spark.queries import QUERIES
     from klinker_spark.session import get_spark
@@ -278,6 +299,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    _host_probe("headline")
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         for out in (timings, warm):
@@ -290,6 +312,7 @@ def main() -> None:
     # curation family: measured and reported separately — NOT part of
     # the headline value, which stays the fixed r01-comparable suite
     curation = {}
+    _host_probe("curation")
     for name in CURATION_QUERIES:
         _reset()
         t0 = time.time()
@@ -298,6 +321,7 @@ def main() -> None:
         print(f"# {name}: {curation[name]}s (curation)", file=sys.stderr)
 
     extras = {}
+    _host_probe("extras")
     for name in EXTRA_QUERIES:
         _reset()
         t0 = time.time()
@@ -312,6 +336,12 @@ def main() -> None:
     # dedup pair are excluded with written waivers (SCALE.md §sf1) —
     # their full-suite sf1 numbers are recorded there.
     sf1_queries = [
+        # pagerank runs FIRST for r10 (r9 verdict #1): its in-suite
+        # number flapped 4-8x above its isolated-warm lane across r9
+        # runs; heading the section separates box state from suite
+        # state (if first-in-section still exceeds 1.5x isolated with
+        # a clean probe, the cause is suite context, not the host)
+        "pagerank_importance",
         "standard_blocking", "token_blocking", "exact_dedup",
         "minhash_dedup", "simhash_dedup", "knn_topk", "knn_topk_sharded",
         "ann_topk_ivf_indexed", "ann_topk_ivfpq_indexed_md5",
@@ -319,7 +349,7 @@ def main() -> None:
         "windowed_event_counts", "sessionize_events", "eval_metrics",
         "semdedup", "line_dedup", "cm_token_freq", "corpus_clean_pipeline",
         "bm25_search", "weighted_sample", "zorder_layout_stats",
-        "hll_distinct_sketch", "key_skew_profile", "pagerank_importance",
+        "hll_distinct_sketch", "key_skew_profile",
         "pmi_bigrams", "join_size_estimate", "salted_join_rollup",
         "temperature_mix",
     ]
@@ -350,6 +380,7 @@ def main() -> None:
         spark.read.parquet(f"{sf1_dir}/nation.parquet").write.format("noop").mode(
             "overwrite"
         ).save()
+        _host_probe("sf1")
         for name in sf1_queries:
             _reset()
             t0 = time.time()
@@ -367,6 +398,7 @@ def main() -> None:
     # join_size_estimate 1.18 (r6), standard_blocking 7.74 (r7).
     sf1_isolated_warm: dict[str, float] = {}
     if sf1_timings:
+        _host_probe("sf1_isolated")
         for name in (
             "knn_topk_sharded",
             "pmi_bigrams",
@@ -400,6 +432,7 @@ def main() -> None:
     # per-run resets vs 8-10.6 s mid-suite).  Post-reset best-of-3 at
     # the very end records the code's cost next to the in-suite number.
     sf01_isolated_warm: dict[str, float] = {}
+    _host_probe("sf01_isolated")
     for name in (
         "composite_relational_blocking",
         "composite_unique_name_blocking",
@@ -427,6 +460,7 @@ def main() -> None:
     # end-to-end micro-batch processing incl. state-store writes.
     streaming_timings: dict[str, float] = {}
     if sf1_timings:
+        _host_probe("streaming")
         import shutil
         import tempfile
 
@@ -513,6 +547,11 @@ def main() -> None:
         "queries_extra": extras,
         "isolated_warm_sf": sf01_isolated_warm,
         "queries_streaming_sf1": streaming_timings,
+        # single-core busy-loop seconds at the start of each section —
+        # the host-state record that adjudicates flapping (see
+        # _host_probe).  Compare sections WITHIN a run and the same
+        # section ACROSS runs before reading any timing delta as code.
+        "host_probe": dict(_PROBES),
         "sf1": {
             "dir": sf1_dir,
             "queries": sf1_timings,
@@ -546,6 +585,7 @@ def main() -> None:
         "warm_total": full["warm_total"],
         "curation_total": full["curation_total"],
         "sf1_total": full["sf1"]["total"],
+        "host_probe": dict(_PROBES),
     }
     line = json.dumps(compact)
     if len(line) > 1900:  # still too big for the tail: totals only
