@@ -208,6 +208,7 @@ def connected_components(
     max_iter: int = 30,
     vertices: DataFrame | None = None,
     algorithm: str = "propagation",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge
     list.  Output: ``(id, label)`` for every vertex incident to an
@@ -235,6 +236,19 @@ def connected_components(
 
     Both raise if ``max_iter`` rounds don't converge rather than
     silently splitting a component.
+
+    ``local_threshold``: when the edge list holds at most this many
+    rows it is collected and solved with driver-side union-find in one
+    pass — the same documented bounded-collect contract as the MST
+    condensation (``ops/clustering.py``; the reference itself clusters
+    driver-side, ``blockers/attribute_clustering.py:18-21``).  100 k
+    edges is a few MB on the driver; the iterative rounds each cost a
+    full distributed job, so below the threshold the loop is pure
+    scheduling overhead (measured: 8 rounds x ~0.6 s for a 90-edge
+    ε-graph).  The edge count is read off the caller-persisted (or
+    just-checkpointed) frame.  Pass ``0`` to force the distributed
+    path — the convergence guard only applies there, since union-find
+    has no rounds to bound.
     """
     pairs = edges.select(F.col(src).alias("id"), F.col(dst).alias("nid"))
     if vertices is None:
@@ -250,6 +264,14 @@ def connected_components(
         ids = pairs.select("id").unionByName(pairs.select(F.col("nid").alias("id"))).distinct()
     else:
         ids = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+    if local_threshold:
+        # one bounded action: a limit-probe collects at most
+        # threshold+1 rows (LocalLimit stops scanning once filled), so
+        # deciding "small enough?" never pays a full count of a huge
+        # edge frame
+        probe = pairs.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            return _local_components(probe, ids)
     if algorithm == "star":
         return _star_components(pairs, ids, max_iter)
     if algorithm != "propagation":
@@ -290,6 +312,41 @@ def connected_components(
             f"diameter exceeds the bound)"
         )
     return labels
+
+
+def _local_components(rows, ids: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected ``(id, nid)`` edge list
+    (the sub-``local_threshold`` fast path).  Union-by-min keeps each
+    tree's root at the smallest member id, so ``find`` yields exactly
+    the distributed algorithms' label; vertices with no edge keep
+    their own id via the outer join against ``ids``."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    spark = ids.sparkSession
+    id_type = ids.schema[0].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type), StructField("label", id_type)]
+    )
+    lab = spark.createDataFrame(
+        [(x, find(x)) for x in parent], schema
+    )
+    return ids.join(F.broadcast(lab), "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
 
 
 def _star_components(pairs: DataFrame, ids: DataFrame, max_iter: int) -> DataFrame:

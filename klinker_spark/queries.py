@@ -4267,40 +4267,40 @@ def attribute_clustering_blocking(spark, sf_dir):
 _ATTR_CLUSTER_MD5_SQL = """
     WITH RECURSIVE vals AS (
       SELECT DISTINCT p_name AS value FROM part),
-    vt AS (SELECT DISTINCT value, tok FROM (
+    vt AS MATERIALIZED (SELECT DISTINCT value, tok FROM (
              SELECT value, unnest(regexp_split_to_array(lower(value), '[^a-z0-9]+')) tok
              FROM vals)
            WHERE length(tok) >= 3 AND tok NOT IN ({stop})),
     dims AS (SELECT unnest(generate_series(0, 7)) d),
     vv AS (SELECT value, d, avg(CASE d {lcase} END) v
            FROM vt CROSS JOIN dims GROUP BY value, d),
-    vec AS (SELECT value, list(v ORDER BY d) vec FROM vv GROUP BY value),
-    edges AS (
+    vec AS MATERIALIZED (SELECT value, list(v ORDER BY d) vec FROM vv GROUP BY value),
+    edges AS MATERIALIZED (
       SELECT a.value id, b.value nid FROM vec a JOIN vec b ON a.value <> b.value
       WHERE {cos} >= 0.8),
     deg AS (SELECT id, count(*) + 1 deg FROM edges GROUP BY id),
-    core AS (SELECT p.value AS id FROM vec p LEFT JOIN deg ON deg.id = p.value
+    core AS MATERIALIZED (SELECT p.value AS id FROM vec p LEFT JOIN deg ON deg.id = p.value
              WHERE coalesce(deg, 1) >= 2),
-    core_edges AS (SELECT e.id, e.nid FROM edges e
+    core_edges AS MATERIALIZED (SELECT e.id, e.nid FROM edges e
                    JOIN core c1 ON e.id = c1.id JOIN core c2 ON e.nid = c2.id),
     reach AS (
       SELECT id, id AS label FROM core
       UNION
       SELECT ce.id, r.label FROM core_edges ce JOIN reach r ON r.id = ce.nid),
-    core_label AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
-    border AS (
+    core_label AS MATERIALIZED (SELECT id, min(label) AS label FROM reach GROUP BY id),
+    border AS MATERIALIZED (
       SELECT e.id, min(cl.label) AS label
       FROM edges e JOIN core_label cl ON cl.id = e.nid
       WHERE e.id NOT IN (SELECT id FROM core)
       GROUP BY e.id),
-    labels AS (
+    labels AS MATERIALIZED (
       SELECT id, label FROM core_label
       UNION ALL SELECT id, label FROM border
       UNION ALL
       SELECT p.value, '-1' FROM vec p
       WHERE p.value NOT IN (SELECT id FROM core_label)
         AND p.value NOT IN (SELECT id FROM border)),
-    keys AS (
+    keys AS MATERIALIZED (
       -- noise_handling='token': each noise value becomes its own block
       SELECT id AS value,
              'clustering_label_' ||

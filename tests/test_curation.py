@@ -87,15 +87,24 @@ def test_connected_components_random_graph(spark, seed):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
     assert got == _model_components(edges)
+    # the sub-threshold union-find fast path agrees exactly
+    local = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    assert local == got
 
 
 def test_connected_components_chain_transitivity(spark):
     # a path graph is the worst diameter case: 0-1-2-...-9 is ONE component
     edges = [(i, i + 1) for i in range(9)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
     assert got == {i: 0 for i in range(10)}
 
 
@@ -104,8 +113,12 @@ def test_connected_components_self_loop_vertex_kept(spark):
     # must appear in the output as its own singleton component
     edges = [(5, 5), (1, 2)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
-    assert got == {1: 1, 2: 1, 5: 5}
+    for thresh in (0, 100_000):  # distributed and local paths agree
+        got = {
+            r["id"]: r["label"]
+            for r in connected_components(df, local_threshold=thresh).collect()
+        }
+        assert got == {1: 1, 2: 1, 5: 5}
 
 
 def test_repetition_stats_null_text_keep_is_zero(spark):
@@ -130,7 +143,7 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = [(i, i + 1) for i in range(9)]
     df = spark.createDataFrame(edges, ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, local_threshold=0)
 
 
 def test_canonical_dedup_full_corpus(spark):
@@ -378,7 +391,7 @@ def test_star_components_random_graph(spark, seed):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {
         r["id"]: r["label"]
-        for r in connected_components(df, algorithm="star").collect()
+        for r in connected_components(df, algorithm="star", local_threshold=0).collect()
     }
     assert got == _model_components(edges)
 
@@ -390,7 +403,9 @@ def test_star_components_long_chain_logarithmic_rounds(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {
         r["id"]: r["label"]
-        for r in connected_components(df, algorithm="star", max_iter=12).collect()
+        for r in connected_components(
+            df, algorithm="star", max_iter=12, local_threshold=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(60)}
 
