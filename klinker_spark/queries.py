@@ -9824,69 +9824,64 @@ def lsh_precision_recall_audit_q(spark, sf_dir):
 # pushed past the window on purpose.  The round-by-round ledger of who
 # has recorded what lives in COVERAGE.md.
 _GATE_PRIORITY = [
-    # ROUND-9 ROTATION.  Census over CORRECTNESS_r01..r08 (see
-    # COVERAGE.md): 216 of 222 registered queries hold a driver row;
-    # nothing is red.
-    # (2) the 6 round-8 session-2 additions with NO driver row
-    #     (registered after the r8 gate froze; all judge-swept green
-    #     in the r8 verdict), registration order.  After these record,
-    #     EVERY registered query holds >=1 driver row:
-    "revenue_grouping_sets",
-    "compaction_plan",
-    "shard_balance_audit",
-    "per_source_score_ecdf",
-    "hll_accuracy_audit",
-    "lsh_precision_recall_audit",
-    # (3) oldest-latest-record re-records, exact-oracled only (the
-    #     rows-only twins keep their existing records — re-recording a
-    #     rows-only check adds no information and non-twin gate slots
-    #     stay exact per the test policy).  Sorted by last driver-row
-    #     round, then record order: first the r3-recorded tail the r8
-    #     rotation did not reach, then the r4 cohort:
-    "purge_blocks",
-    "eval_metrics",
-    "minhash_lsh_blocking_md5",
-    "tfidf_token_blocking",
-    "relational_token_blocking",
-    "minhash_dedup_md5",
-    "embedding_signlsh_dedup",
-    "simhash_dedup_md5",
-    "ngram_jaccard_dedup",
-    "embedding_cosine_dedup",
-    "knn_topk",
-    "knn_topk_sharded",
-    "embedding_knn_blocking_md5",
-    "ann_topk_signlsh",
-    "windowed_event_counts",
-    "events_dedup_earliest",
-    "edit_distance_dedup",
-    "semdedup",
-    "line_dedup",
-    "gopher_rules",
-    "bigram_logprob",
-    "ann_topk_ivf_md5",
-    "csls_topk",
-    "mutual_rank_topk",
-    "dbscan_labels",
-    "multimodal_features",
-    "bloom_ingest_gate",
-    "neardup_ingest_gate",
-    "events_asof_join",
-    "events_range_join",
-    "events_hypertable_rollup",
-    "kmv_distinct_sketch",
-    "graph_statistics",
-    "sessionize_events",
-    "composite_unique_name_blocking",
-    "composite_relational_blocking",
-    "sif_embedding_md5",
-    "gcn_propagation_md5",
-    "lightea_propagation_md5",
-    "sinkhorn_rerank",
-    "repetition_stats",
-    "dedup_components",
-    "contamination_check",
-    "unigram_logprob",
+    # ROUND-10 ROTATION.  Census over CORRECTNESS_r01..r09 (programmatic:
+    # latest driver-record round per query; see COVERAGE.md r10 ledger):
+    # every one of the 222 registered queries holds >=1 driver row and
+    # nothing is red, so the 50 slots are pure refresh — the 50
+    # exact-oracled queries whose LATEST record is oldest, sorted by
+    # last driver-row round then record order.
+    # (a) the r4-recorded cohort (16):
+    "nicdm_topk",
+    "ann_topk_ivf_indexed_md5",
+    "multimodal_resize_features",
+    "windowed_token_blocks",
+    "sif_pc_removal_md5",
+    "token_blocking_capped",
+    "dedup_components_star",
+    "stratified_sample",
+    "pii_scrub",
+    "dsir_importance",
+    "embedding_quantize",
+    "incremental_ingest",
+    "normalize_text",
+    "value_histogram",
+    "cm_token_freq",
+    "heavy_shingles",
+    # (b) the r6-recorded cohort head, record order (34):
+    "corpus_clean_pipeline",
+    "pack_sequences",
+    "vocab_coverage",
+    "corpus_rollup",
+    "duplicated_span_stats",
+    "token_budget_mix",
+    "ann_topk_ivfpq_indexed_md5",
+    "hdbscan_mst_stats",
+    "dedup_components_priority",
+    "quality_classifier_md5",
+    "deepblocker_knn_blocking_md5",
+    "attribute_clustering_blocking_md5",
+    "chunk_documents",
+    "attribution_interval_join",
+    "deepblocker_ctt_knn_md5",
+    "deepblocker_hybrid_knn_md5",
+    "ann_topk_pq_md5",
+    "ann_topk_ivfpq_md5",
+    "key_skew_profile",
+    "pagerank_importance",
+    "pmi_bigrams",
+    "join_size_estimate",
+    "salted_join_rollup",
+    "remove_duplicated_spans",
+    "temperature_mix",
+    "retrieval_metrics_two_stage",
+    "rbo_rankers",
+    "sorted_neighborhood_blocking",
+    "bpe_train_merges",
+    "bpe_token_count",
+    "token_cooccurrence_triangles",
+    "neighbor_jaccard_blocking",
+    "token_community_labels",
+    "customer_part_kcore",
 ]
 
 
