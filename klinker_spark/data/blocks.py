@@ -299,10 +299,16 @@ class BlockManager:
         exactly one downstream action; keep the eager default when
         several separate actions will read it (each would otherwise race
         to compute the first fill).
+
+        Like combine_all's stacked cache, the persisted frames register
+        with :func:`klinker_spark.ckpt.release_all` — long sessions
+        free them wholesale at the next harness boundary.
         """
+        from ..ckpt import track
+
         if self.left_keys is not None:
             lk, rk = self.effective_keys() if effective else (self.left_keys, self.right_keys)
-            lk, rk = lk.persist(), rk.persist()
+            lk, rk = track(lk.persist()), track(rk.persist())
             if materialize:
                 lk.unionByName(rk).count()
             return BlockManager(
@@ -313,7 +319,7 @@ class BlockManager:
                 rk,
                 keys_effective=effective or self.keys_effective,
             )
-        df = self.df.persist()
+        df = track(self.df.persist())
         df.count()
         return BlockManager(df, self.left_name, self.right_name)
 
