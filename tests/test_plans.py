@@ -268,18 +268,18 @@ def test_gate_prefix_oracle_policy():
     unknown = [n for n in _GATE_PRIORITY if n not in QUERIES]
     assert not unknown, f"_GATE_PRIORITY names not registered: {unknown}"
     assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) == 50
-    # the r9 rotation leads with the 6 round-8 session-2 additions that
-    # have never held a driver row; after they record, every registered
-    # query holds >=1 driver row
+    # the r10 rotation is pure refresh (every registered query holds a
+    # driver row since r9): it leads with the r4-recorded cohort — the
+    # oldest surviving records in the ledger — and every slot is
+    # exact-oracled (no rows-only twins burn a refresh slot)
     for name in (
-        "revenue_grouping_sets",
-        "compaction_plan",
-        "shard_balance_audit",
-        "per_source_score_ecdf",
-        "hll_accuracy_audit",
-        "lsh_precision_recall_audit",
+        "nicdm_topk",
+        "ann_topk_ivf_indexed_md5",
+        "cm_token_freq",
+        "heavy_shingles",
     ):
-        assert name in _GATE_PRIORITY[:6], name
+        assert name in _GATE_PRIORITY[:16], name
+    assert all(n in ORACLES for n in _GATE_PRIORITY)
 
 
 def test_curation_plan_shapes(spark, sf_dir):
