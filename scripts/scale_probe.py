@@ -55,13 +55,39 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
+    def host_probe() -> float:
+        # same busy-loop as bench.py's section probes: an exponent is
+        # only a code property if the host's per-core throughput was
+        # the SAME for the lo and hi measurements — a probe delta
+        # within a row flags the row as flap-corrupted (this box has
+        # produced NEGATIVE exponents mid-flap: sf3 "faster" than sf1)
+        t0 = time.time()
+        x = 0
+        for i in range(20_000_000):
+            x ^= i * i
+        return round(time.time() - t0, 2)
+
     out = {}
     for name in names:
+        p_lo = host_probe()
         t_lo = warm_time(name, lo_dir)
+        p_hi = host_probe()
         t_hi = warm_time(name, hi_dir)
         exp = round(math.log(t_hi / t_lo) / math.log(ratio), 2) if t_lo > 0 else None
-        out[name] = {"t_lo": round(t_lo, 2), "t_hi": round(t_hi, 2), "exponent": exp}
-        print(f"# {name}: {t_lo:.2f}s -> {t_hi:.2f}s exp={exp}", file=sys.stderr)
+        flagged = max(p_lo, p_hi) / min(p_lo, p_hi) > 1.3
+        out[name] = {
+            "t_lo": round(t_lo, 2),
+            "t_hi": round(t_hi, 2),
+            "exponent": exp,
+            "probe_lo": p_lo,
+            "probe_hi": p_hi,
+            "host_flap": flagged,
+        }
+        print(
+            f"# {name}: {t_lo:.2f}s -> {t_hi:.2f}s exp={exp} "
+            f"(probes {p_lo}/{p_hi}{' FLAP' if flagged else ''})",
+            file=sys.stderr,
+        )
     print(json.dumps({"ratio": ratio, "lo": lo_dir, "hi": hi_dir, "queries": out}))
     spark.stop()
 
