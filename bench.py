@@ -204,13 +204,39 @@ EXTRA_QUERIES = [
 _PROBES: dict[str, float] = {}
 
 
+#: Disk-path probes (r10): pagerank's absolute sf1 cost flapped
+#: 11.5→30 s across same-code sessions whose busy-loop probes were
+#: ALL clean — the CPU probe certifies core throughput but not the
+#: shuffle/checkpoint write path an iterative query leans on.  A
+#: 64 MB fsync'd write+read against the same /tmp the Spark local
+#: dirs live on records that second dimension.
+_PROBES_IO: dict[str, float] = {}
+
+
 def _host_probe(section: str) -> float:
     t0 = time.time()
     x = 0
     for i in range(20_000_000):
         x ^= i * i
     _PROBES[section] = round(time.time() - t0, 3)
-    print(f"# host probe [{section}]: {_PROBES[section]}s", file=sys.stderr)
+    import tempfile
+
+    blob = b"\xa5" * (8 << 20)
+    t0 = time.time()
+    with tempfile.NamedTemporaryFile(dir="/tmp", delete=True) as fh:
+        for _ in range(8):
+            fh.write(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
+        fh.seek(0)
+        while fh.read(8 << 20):
+            pass
+    _PROBES_IO[section] = round(time.time() - t0, 3)
+    print(
+        f"# host probe [{section}]: cpu {_PROBES[section]}s"
+        f" io64MB {_PROBES_IO[section]}s",
+        file=sys.stderr,
+    )
     return _PROBES[section]
 
 
@@ -586,6 +612,7 @@ def main() -> None:
         "curation_total": full["curation_total"],
         "sf1_total": full["sf1"]["total"],
         "host_probe": dict(_PROBES),
+        "host_probe_io": dict(_PROBES_IO),
     }
     line = json.dumps(compact)
     if len(line) > 1900:  # still too big for the tail: totals only
