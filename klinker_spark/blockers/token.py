@@ -43,10 +43,21 @@ class TokenBlocker(SchemaAgnosticBlocker):
 
         ``tokenize``'s stopword ``array_except`` already dedups tokens
         per row and the input is one row per id, so the assignments are
-        naturally distinct unless the stopword filter is disabled.  The
-        ``max_block_size`` skew cap counts over a window partitioned by
-        the same key the downstream join shuffles on — one shuffle per
-        side total.
+        naturally distinct unless the stopword filter is disabled.
+
+        The ``max_block_size`` skew cap is a ``groupBy`` count + a
+        broadcast anti-join against the oversized keys — the same
+        shape as ``minhash_lsh_dedup``'s ``max_bucket`` and for the
+        same reason: a window ``count(*) over (partition by token)``
+        funnels each hot token's ENTIRE assignment set through one
+        task before dropping it, which is the very skew being capped.
+        The groupBy's partial aggregation absorbs the hot key map-side
+        (count rows, not id lists), the oversized-key table is tiny by
+        construction, and the capped assignments reach the downstream
+        block join having never been shuffled on the hot key.  Cost:
+        the token explode runs twice (count pass + probe pass) — a
+        narrow codegen re-scan, cheaper at scale than shuffling the
+        full assignment table with a funnel task in it.
         """
         toks = frame.select(
             "id",
@@ -57,14 +68,13 @@ class TokenBlocker(SchemaAgnosticBlocker):
         if self.stopwords is not None and len(self.stopwords) == 0:
             toks = toks.dropDuplicates(["block_key", "id"])
         if self.max_block_size is not None:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("block_key")
-            toks = (
-                toks.withColumn("_n", F.count("*").over(w))
-                .where(F.col("_n") <= self.max_block_size)
-                .drop("_n")
+            oversized = (
+                toks.groupBy("block_key")
+                .agg(F.count("*").alias("_n"))
+                .where(F.col("_n") > self.max_block_size)
+                .select("block_key")
             )
+            toks = toks.join(F.broadcast(oversized), "block_key", "left_anti")
         return toks
 
     def _assign(

@@ -104,3 +104,21 @@ def test_pairs(frame_a, frame_b, distinct):
     bm = StandardBlocker("BirthCountry").assign(frame_a, frame_b)
     pairs = {tuple(r) for r in bm.pairs(distinct=distinct).collect()}
     assert pairs == {("a1", "b2"), ("a2", "b2"), ("a3", "b3")}
+
+
+def test_token_cap_plan_has_no_hot_key_window(spark):
+    """r10: the max_block_size cap must be groupBy + broadcast
+    anti-join (hot key absorbed map-side), never a window partitioned
+    by the token — a window funnels the entire hot block through one
+    task before dropping it."""
+    from klinker_spark.blockers.token import TokenBlocker
+    from klinker_spark.session import local_df
+
+    left = local_df(
+        spark, [("a1", "hot common rare"), ("a2", "hot common")], "id string, text string"
+    )
+    right = local_df(spark, [("b1", "hot common")], "id string, text string")
+    bm = TokenBlocker(max_block_size=2)._assign(left, right, "A", "B")
+    plan = bm.block_pairs()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "LeftAnti" in plan

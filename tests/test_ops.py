@@ -2105,3 +2105,22 @@ def test_simhash_rejects_bits_over_64(dup_docs):
                 dup_docs, tokenize("text", 1, []), id_col="doc_id",
                 bits=65, hash_fn=fn,
             )
+
+
+def test_probe_centroids_widens_narrow_inputs(spark):
+    """r10 scale lesson: the CPU-bound probe kernels must not inherit
+    a narrow input's partitioning (a 2-part table once ran the whole
+    kernel in 2 tasks on 32 cores — negative scaling exponent).  A
+    coalesced-narrow input comes out at session parallelism; results
+    are unchanged."""
+    from klinker_spark.ops.similarity import _probe_centroids
+
+    rows = [(i, [float(i % 7), 1.0, 0.5, 0.25]) for i in range(200)]
+    q = spark.createDataFrame(rows, "query_id bigint, qv array<double>").coalesce(1)
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    out = _probe_centroids(q, cents, 1)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    got = {r["query_id"]: r["centroid_id"] for r in out.collect()}
+    assert len(got) == 200
+    # id 0 has qv [0,1,.5,.25] -> closer to centroid 1
+    assert got[0] == 1
