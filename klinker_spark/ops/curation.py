@@ -985,14 +985,15 @@ def duplicated_span_stats(
 
     Output: ``(doc_id, n_spans, n_dup_spans, dup_span_frac)``.
 
-    Plan: one shingle explode → span-partitioned count window (the
-    document frequency; spans are distinct per doc, so ``count(*)``
-    over the span partition IS the df) → per-doc aggregate.  The
-    window formulation shuffles the corpus-scale span table exactly
-    ONCE (on the span hash — the same banding shuffle the MinHash
-    pipeline pays) where an aggregate-then-join-back would shuffle it
-    twice; with a single consumer the whole plan stays lazy (no
-    persist, no checkpoint).  No driver state, no broadcast of
+    Plan: one shingle explode → span df via ``groupBy`` count +
+    join-back (spans are distinct per doc, so ``count(*)`` per span IS
+    the df).  r10 shape change: this was a span-partitioned count
+    WINDOW — one shuffle, but a corpus-wide boilerplate span funnels
+    its ENTIRE occurrence set through one un-splittable window task
+    (AQE skew handling applies to JOINS only, never windows).  The
+    groupBy's partial aggregation absorbs the hot span map-side, the
+    count table is one row per distinct span, and the join-back is
+    AQE-skew-splittable.  No driver state, no broadcast of
     corpus-scale data.
     """
     sh = docs.select(
@@ -1005,9 +1006,9 @@ def duplicated_span_stats(
     spans = sh.select("doc_id", F.explode("sh").alias("span")).where(
         F.col("span") != ""
     )
-    df_w = F.count("*").over(Window.partitionBy("span"))
+    span_df = spans.groupBy("span").agg(F.count("*").alias("df"))
     return (
-        spans.withColumn("df", df_w)
+        spans.join(span_df, "span")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
@@ -1046,14 +1047,16 @@ def remove_duplicated_spans(
 
     Output: ``(doc_id, n_before, n_after, clean_text)``.
 
-    Plan: positional spans → span-partitioned count window (ONE
-    corpus-scale shuffle on the span — the same single-shuffle trick as
-    the stats op) → covered-index explode (``k`` rows per duplicated
-    span only) → anti-join → ordered reassembly via
+    Plan: positional spans → duplicated-span set via ``groupBy`` count
+    + semi-join (r10 shape change from a count window: AQE skew-split
+    applies to JOINS only, so the corpus-wide boilerplate span that
+    used to funnel through one window task now rides a splittable
+    semi-join, with the hot span absorbed map-side by the count's
+    partial aggregation) → covered-index explode (``k`` rows per
+    duplicated span only) → anti-join → ordered reassembly via
     ``sort_array(collect_list(struct(pos, tok)))`` (shuffle-order-free).
-    No driver state; the hot all-corpus boilerplate span makes a hot
-    window partition — AQE skew-split covers it, and the downstream
-    explode is proportional to duplicated positions only.
+    No driver state; the downstream explode is proportional to
+    duplicated positions only.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tk")
@@ -1071,13 +1074,17 @@ def remove_duplicated_spans(
             )
         ).alias("i0", "span"),
     ).select("doc_id", (F.col("i0") + 1).alias("i"), "span")
-    cnt = F.count("*").over(Window.partitionBy("span"))
+    dup_spans = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_df)
+        .select("span")
+    )
     # covered carries RENAMED keys: both sides descend from the same
     # base lineage, and same-name equality predicates on a self-join
     # resolve ambiguously (Spark warns "trivially true equals")
     covered = (
-        spans.withColumn("cnt", cnt)
-        .where(F.col("cnt") >= min_df)
+        spans.join(dup_spans, "span", "left_semi")
         .select(
             F.col("doc_id").alias("cov_doc"),
             F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(span_k - 1))).alias("j"),

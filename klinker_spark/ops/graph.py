@@ -84,7 +84,13 @@ def pagerank(
     # outdeg via a head-partitioned count window: ONE shuffle of the
     # edge table (an aggregate-then-join-back would shuffle it twice
     # and re-derive the input once per side — measured 4.5 s → 1.6 s
-    # at sf0.1)
+    # at sf0.1).  Skew boundary (r10 audit): a celebrity head funnels
+    # its out-edges through one window task, and AQE skew-split never
+    # applies to windows — but this runs ONCE outside the iteration
+    # loop, and the same hot head hits every per-iteration
+    # contribution join anyway (where AQE DOES split it); at a known
+    # power-law 10^8-out-degree graph, switch this one-time step to
+    # groupBy+join and eat the second shuffle.
     edges_w = (
         edges.select("head", "tail")
         .withColumn("outdeg", F.count("*").over(Window.partitionBy("head")))
