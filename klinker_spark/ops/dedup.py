@@ -1166,8 +1166,10 @@ def cdc_chunk_stats(
                     chs.append(hashlib.md5(txt[a:e].encode("utf-8")).hexdigest())
             yield pd.DataFrame({"id": ids, "ch": chs})
 
-    chunked = docs.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    from ..session import widen_for_kernel
+
+    chunked = widen_for_kernel(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     ).mapInPandas(gen, "id bigint, ch string")
     dfreq = chunked.groupBy("ch").agg(F.countDistinct("id").alias("df"))
     per_doc = (

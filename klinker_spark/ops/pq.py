@@ -163,9 +163,11 @@ def pq_encode(
                 codes[:, s] = d.argmin(axis=1)  # argmin: first (lowest) on ties
             yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
 
-    return ix.mapInPandas(encode, schema=f"id {id_type}, codes array<int>").withColumnRenamed(
-        "id", id_col
-    )
+    from ..session import widen_for_kernel
+
+    return widen_for_kernel(ix).mapInPandas(
+        encode, schema=f"id {id_type}, codes array<int>"
+    ).withColumnRenamed("id", id_col)
 
 
 def ann_topk_pq(
@@ -270,7 +272,9 @@ def ann_topk_pq(
                     }
                 )
 
-    cand = codes.mapInPandas(
+    from ..session import widen_for_kernel
+
+    cand = widen_for_kernel(codes).mapInPandas(
         search, schema=f"query_id {q_type}, neighbor_id {id_type}, dist double"
     )
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

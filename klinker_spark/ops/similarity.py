@@ -477,13 +477,10 @@ def _probe_centroids(q: DataFrame, centroids: list, n_probe: int) -> DataFrame:
     # would run the whole probe in 2 tasks on a 32-core box (measured:
     # sf1's 2-part embeddings probed SLOWER in wall time than sf3's
     # 8-part table — a negative scaling exponent that was pure
-    # parallelism).  Widen narrow inputs to the session parallelism;
-    # the round-robin shuffle of (id, vector) rows is trivial next to
-    # the per-row arithmetic.  Wide inputs (a real lake scan) pass
-    # through untouched.
-    target = q.sparkSession.sparkContext.defaultParallelism
-    if q.rdd.getNumPartitions() < target:
-        q = q.repartition(target)
+    # parallelism).
+    from ..session import widen_for_kernel
+
+    q = widen_for_kernel(q)
     if len(centroids) > PROBE_LITERAL_MAX_CENTROIDS:
         return _probe_centroids_matmul(q, centroids, n_probe)
     return _probe_centroids_exact(q, centroids, n_probe)

@@ -348,7 +348,9 @@ def normalize_text(
                 out[out_col] = pdf[text_col].str.normalize(form)
                 yield out
 
-        base = docs.mapInPandas(norm, schema=schema)
+        from ..session import widen_for_kernel
+
+        base = widen_for_kernel(docs).mapInPandas(norm, schema=schema)
         c = F.col(out_col)
     else:
         base = docs

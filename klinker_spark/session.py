@@ -16,7 +16,26 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "local_df"]
+__all__ = ["get_spark", "local_df", "widen_for_kernel"]
+
+
+def widen_for_kernel(df):
+    """Round-robin repartition a frame narrower than the session's
+    ``defaultParallelism`` before a CPU-bound ``mapInPandas`` /
+    ``applyInPandas`` kernel.
+
+    Python kernels inherit the INPUT's partitioning, and Spark sizes
+    scan splits by BYTES — a small table written as 2 part files runs
+    the whole kernel in 2 tasks on a 32-core box (r10 scale lesson:
+    the sf1 embeddings table produced a NEGATIVE scaling exponent for
+    semdedup this way; SCALE.md round-10 section).  The round-robin
+    shuffle of the narrow input is trivial next to per-row kernel
+    arithmetic; wide inputs (a real lake scan) pass through untouched.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def local_df(spark: "SparkSession", rows, schema: str):
