@@ -378,7 +378,9 @@ def _project_matmul(df: DataFrame, components, offsets=None) -> DataFrame:
                 {"id": pdf["id"], "vector": [v.tolist() for v in out]}
             )
 
-    return df.select("id", "vector").mapInPandas(
+    from ..session import widen_for_kernel
+
+    return widen_for_kernel(df.select("id", "vector")).mapInPandas(
         run, schema=f"id {id_type}, vector array<double>"
     )
 

@@ -258,6 +258,8 @@ class TransformerFrameEncoder:
                     vecs.extend(v.tolist() for v in out)
                 yield pd.DataFrame({"id": pdf["id"], "vector": vecs})
 
-        return conc.select("id", "text").mapInPandas(
+        from ..session import widen_for_kernel
+
+        return widen_for_kernel(conc.select("id", "text")).mapInPandas(
             run, schema=f"id {id_type}, vector array<double>"
         )

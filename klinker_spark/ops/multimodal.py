@@ -104,7 +104,9 @@ def extract_features(
                 }
             )
 
-    cols = media.select("media_id", "media_type", "payload")
+    from ..session import widen_for_kernel
+
+    cols = widen_for_kernel(media.select("media_id", "media_type", "payload"))
     return cols.mapInPandas(run, schema=out_schema)
 
 
@@ -136,8 +138,10 @@ def sample_frames(
                     rows.append((mid, i, b[i * every_n_bytes : (i + 1) * every_n_bytes]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
-    return media.where(F.col("media_type") == "video").select(
-        "media_id", "payload"
+    from ..session import widen_for_kernel
+
+    return widen_for_kernel(
+        media.where(F.col("media_type") == "video").select("media_id", "payload")
     ).mapInPandas(run, schema=out_schema)
 
 
@@ -176,6 +180,8 @@ def resize_media(
                 }
             )
 
-    return media.select(
-        "media_id", "media_type", "payload", "n_bytes", "meta"
+    from ..session import widen_for_kernel
+
+    return widen_for_kernel(
+        media.select("media_id", "media_type", "payload", "n_bytes", "meta")
     ).mapInPandas(run, schema=out_schema)
