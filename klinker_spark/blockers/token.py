@@ -45,15 +45,19 @@ class TokenBlocker(SchemaAgnosticBlocker):
         per row and the input is one row per id, so the assignments are
         naturally distinct unless the stopword filter is disabled.
 
-        The ``max_block_size`` skew cap is a ``groupBy`` count + a
-        broadcast anti-join against the oversized keys — the same
-        shape as ``minhash_lsh_dedup``'s ``max_bucket`` and for the
-        same reason: a window ``count(*) over (partition by token)``
+        The ``max_block_size`` skew cap is a ``groupBy`` count + an
+        anti-join against the oversized keys — the same shape as
+        ``minhash_lsh_dedup``'s ``max_bucket`` and for the same
+        reason: a window ``count(*) over (partition by token)``
         funnels each hot token's ENTIRE assignment set through one
         task before dropping it, which is the very skew being capped.
         The groupBy's partial aggregation absorbs the hot key map-side
-        (count rows, not id lists), the oversized-key table is tiny by
-        construction, and the capped assignments reach the downstream
+        (count rows, not id lists); the oversized-key table is usually
+        tiny (≤ n_assignments / max_block_size rows) and AQE converts
+        the anti-join to a broadcast when its runtime size confirms
+        that — no static hint, so an aggressive cap on a huge corpus
+        degrades to a shuffled anti-join instead of blowing the
+        broadcast limit.  The capped assignments reach the downstream
         block join having never been shuffled on the hot key.  Cost:
         the token explode runs twice (count pass + probe pass) — a
         narrow codegen re-scan, cheaper at scale than shuffling the
@@ -74,7 +78,15 @@ class TokenBlocker(SchemaAgnosticBlocker):
                 .where(F.col("_n") > self.max_block_size)
                 .select("block_key")
             )
-            toks = toks.join(F.broadcast(oversized), "block_key", "left_anti")
+            # no broadcast HINT: the oversized-key set is bounded by
+            # n_assignments / max_block_size, which an aggressive cap
+            # on a large corpus can push past the driver/broadcast
+            # limit (r10 ADVICE).  AQE sees the aggregated table's
+            # RUNTIME size and converts to broadcast exactly when it
+            # is actually tiny; otherwise the anti-join shuffles —
+            # correct at any cap, and the hot key is still absorbed
+            # map-side by the groupBy's partial aggregation.
+            toks = toks.join(oversized, "block_key", "left_anti")
         return toks
 
     def _assign(

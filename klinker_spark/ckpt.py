@@ -35,9 +35,11 @@ the (eagerly materialized) round *t+1* checkpoint.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["checkpoint", "release", "release_all", "track"]
+__all__ = ["checkpoint", "release", "release_all", "release_owned", "track"]
 
 #: persist()-ed frames registered by library code whose cache must
 #: outlive the registering call (e.g. combine_all's stacked frame,
@@ -47,15 +49,48 @@ __all__ = ["checkpoint", "release", "release_all", "track"]
 #: plans stop substituting the dropped InMemoryRelation.
 _TRACKED: list[DataFrame] = []
 
+#: per-owner view of ``_TRACKED`` (``id(owner)`` → frames), enabling
+#: :func:`release_owned` — the lighter per-manager lever (r10 ADVICE:
+#: a long-lived library consumer composing many managers must not
+#: depend on the harness-level release_all for cleanup).  Keyed by id
+#: with a ``weakref.finalize`` dropping the entry when the owner is
+#: collected, so the map itself never grows unboundedly; the frames of
+#: a collected-but-unreleased owner stay in ``_TRACKED`` for the next
+#: harness boundary, exactly as before.
+_OWNED: dict[int, list[DataFrame]] = {}
 
-def track(df: DataFrame) -> DataFrame:
+
+def track(df: DataFrame, owner: object | None = None) -> DataFrame:
     """Register a persisted frame for the next :func:`release_all`.
 
     Returns the frame for call-site chaining.  Use for caches created
     inside operator graph construction, where the creator cannot know
-    when the terminal action has consumed them."""
+    when the terminal action has consumed them.  Pass ``owner`` (the
+    object whose lifetime bounds the cache, e.g. the BlockManager the
+    frame backs) to additionally enable :func:`release_owned`."""
     _TRACKED.append(df)
+    if owner is not None:
+        key = id(owner)
+        if key not in _OWNED:
+            _OWNED[key] = []
+            weakref.finalize(owner, _OWNED.pop, key, None)
+        _OWNED[key].append(df)
     return df
+
+
+def release_owned(owner: object) -> None:
+    """Unpersist every frame :func:`track`-ed with this ``owner`` and
+    drop it from the harness registry.  Safe once the owner is dead
+    (its terminal action consumed); idempotent."""
+    for df in _OWNED.pop(id(owner), []) or []:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        try:
+            _TRACKED.remove(df)
+        except ValueError:
+            pass
 
 
 def checkpoint(df: DataFrame, replacing: DataFrame | None = None) -> DataFrame:

@@ -308,10 +308,8 @@ class BlockManager:
 
         if self.left_keys is not None:
             lk, rk = self.effective_keys() if effective else (self.left_keys, self.right_keys)
-            lk, rk = track(lk.persist()), track(rk.persist())
-            if materialize:
-                lk.unionByName(rk).count()
-            return BlockManager(
+            lk, rk = lk.persist(), rk.persist()
+            out = BlockManager(
                 None,
                 self.left_name,
                 self.right_name,
@@ -319,9 +317,28 @@ class BlockManager:
                 rk,
                 keys_effective=effective or self.keys_effective,
             )
-        df = track(self.df.persist())
+            track(lk, owner=out)
+            track(rk, owner=out)
+            if materialize:
+                lk.unionByName(rk).count()
+            return out
+        df = self.df.persist()
+        out = BlockManager(df, self.left_name, self.right_name)
+        track(df, owner=out)
         df.count()
-        return BlockManager(df, self.left_name, self.right_name)
+        return out
+
+    def release_caches(self) -> None:
+        """Unpersist the cached frames THIS manager registered
+        (``persisted()`` / ``combine_all``'s stacked spine) and drop
+        them from the harness registry — the per-manager cleanup lever
+        (r10 ADVICE): a long-lived library consumer composing many
+        managers calls this when a manager is dead instead of relying
+        on the harness-level :func:`klinker_spark.ckpt.release_all`.
+        Safe only after the manager's terminal action; idempotent."""
+        from ..ckpt import release_owned
+
+        release_owned(self)
 
     # ---------------------------------------------------------------- combine
     @classmethod
@@ -384,7 +401,7 @@ class BlockManager:
 
         from ..ckpt import track
 
-        stacked = track(
+        stacked = (
             functools.reduce(lambda a, c: a.unionByName(c), legs)
             .repartition(F.col("block_key"))
             .persist()
@@ -408,7 +425,7 @@ class BlockManager:
                 .select("block_key", "id")
             )
 
-        return cls(
+        out = cls(
             None,
             first.left_name,
             first.right_name,
@@ -417,6 +434,8 @@ class BlockManager:
             keys_effective=True,
             keys_partitioned=True,
         )
+        track(stacked, owner=out)
+        return out
 
     def combine(self, other: "BlockManager") -> "BlockManager":
         """Outer-join two block tables on key; union id-lists per side

@@ -174,6 +174,8 @@ class KeyedVectorsEncoder:
             emb = np.mean(np.vstack(embedded), axis=0)
             return pd.DataFrame({"id": [pdf["id"].iloc[0]], "vector": [emb.tolist()]})
 
+        # narrow-ok: grouped kernel — one output row per entity id;
+        # the groupBy shuffle distributes ids across all reducers
         return self._weighted_tokens(conc).groupBy("id").applyInPandas(
             pool, schema=f"id {id_type}, vector array<double>"
         )

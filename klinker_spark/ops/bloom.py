@@ -201,6 +201,9 @@ def bloom_contains(
             out[out_col] = ok
             yield out
 
+    # narrow-ok: memory-bound bit-test over precomputed positions (a
+    # few array lookups per row) — an exchange would cost more than
+    # the kernel; positions were computed JVM-side upstream
     return with_pos.mapInPandas(probe, schema=schema)
 
 

@@ -319,8 +319,19 @@ def _local_components(rows, ids: DataFrame) -> DataFrame:
     (the sub-``local_threshold`` fast path).  Union-by-min keeps each
     tree's root at the smallest member id, so ``find`` yields exactly
     the distributed algorithms' label; vertices with no edge keep
-    their own id via the outer join against ``ids``."""
+    their own id via the outer join against ``ids``.
+
+    Parity details (r10 ADVICE): null endpoints are skipped — the
+    distributed paths' joins never see them either; string ids compare
+    by their UTF-8 byte encoding, the order Spark's ``UTF8String``
+    (and hence ``F.min``) uses, rather than trusting Python's ``<`` —
+    for well-formed text the two agree (UTF-8 byte order IS code-point
+    order), but lone surrogates round-trip differently, and being
+    explicit makes both paths provably label identically."""
     parent: dict = {}
+
+    def _min_key(x):
+        return x.encode("utf-8", "surrogatepass") if isinstance(x, str) else x
 
     def find(x):
         while parent.setdefault(x, x) != x:
@@ -329,9 +340,11 @@ def _local_components(rows, ids: DataFrame) -> DataFrame:
         return x
 
     for r in rows:
+        if r[0] is None or r[1] is None:
+            continue
         a, b = find(r[0]), find(r[1])
         if a != b:
-            if b < a:
+            if _min_key(b) < _min_key(a):
                 a, b = b, a
             parent[b] = a
     spark = ids.sparkSession

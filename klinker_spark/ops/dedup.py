@@ -857,6 +857,9 @@ def semdedup(
             )
 
         def _matmul_rounded(src):
+            # narrow-ok: grouped kernel — cluster_id IS the unit of
+            # work (intra-cluster pairwise sims); skew is handled by
+            # the giant-cluster guard below, not by rebalancing
             pair = src.groupBy("cluster_id").applyInPandas(
                 pair_max,
                 schema=f"id {id_type}, cluster_id int, max_sim_lower double",

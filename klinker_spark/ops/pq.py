@@ -551,6 +551,8 @@ def ann_topk_ivfpq(
     cand = (
         probed.groupBy("centroid_id")
         .cogroup(lists.groupBy("centroid_id"))
+        # narrow-ok: cogroup keys ARE the partitioning — per-centroid
+        # ADC search; a round-robin rebalance would break the grouping
         .applyInPandas(
             search_list, schema=f"query_id {q_type}, neighbor_id {n_type}, dist double"
         )

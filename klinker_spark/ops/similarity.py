@@ -553,6 +553,7 @@ def _probe_centroids_exact(q: DataFrame, centroids: list, n_probe: int) -> DataF
                     out_c.extend(cid_arr[order].tolist())
             yield pd.DataFrame({"query_id": out_q, "qv": out_v, "centroid_id": out_c})
 
+    # narrow-ok: q is widened by the only caller, _probe_centroids
     return q.mapInPandas(
         probe, schema=f"query_id {q_type}, qv array<double>, centroid_id int"
     )
@@ -633,6 +634,7 @@ def _probe_centroids_matmul(q: DataFrame, centroids: list, n_probe: int) -> Data
                 out_c.extend(b_cids[o].tolist())
             yield pd.DataFrame({"query_id": out_q, "qv": out_v, "centroid_id": out_c})
 
+    # narrow-ok: q is widened by the only caller, _probe_centroids
     return q.mapInPandas(
         probe, schema=f"query_id {q_type}, qv array<double>, centroid_id int"
     )
@@ -733,6 +735,8 @@ def ann_topk_ivf_indexed(
     cand = (
         probed.groupBy("centroid_id")
         .cogroup(lists.groupBy("centroid_id"))
+        # narrow-ok: cogroup keys ARE the partitioning — per-centroid
+        # search; a round-robin rebalance would break the grouping
         .applyInPandas(search_list, schema=f"query_id {q_type}, neighbor_id {n_type}, sim double")
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -38,64 +38,64 @@ from . import audits  # noqa: E402,F401
 # pushed past the window on purpose.  The round-by-round ledger of who
 # has recorded what lives in COVERAGE.md.
 _GATE_PRIORITY = [
-    # ROUND-10 ROTATION.  Census over CORRECTNESS_r01..r09 (programmatic:
-    # latest driver-record round per query; see COVERAGE.md r10 ledger):
-    # every one of the 222 registered queries holds >=1 driver row and
-    # nothing is red, so the 50 slots are pure refresh — the 50
-    # exact-oracled queries whose LATEST record is oldest, sorted by
-    # last driver-row round then record order.
-    # (a) the r4-recorded cohort (16):
-    "nicdm_topk",
-    "ann_topk_ivf_indexed_md5",
-    "multimodal_resize_features",
-    "windowed_token_blocks",
-    "sif_pc_removal_md5",
-    "token_blocking_capped",
-    "dedup_components_star",
-    "stratified_sample",
-    "pii_scrub",
-    "dsir_importance",
-    "embedding_quantize",
-    "incremental_ingest",
-    "normalize_text",
-    "value_histogram",
-    "cm_token_freq",
-    "heavy_shingles",
-    # (b) the r6-recorded cohort head, record order (34):
-    "corpus_clean_pipeline",
-    "pack_sequences",
-    "vocab_coverage",
-    "corpus_rollup",
-    "duplicated_span_stats",
-    "token_budget_mix",
-    "ann_topk_ivfpq_indexed_md5",
-    "hdbscan_mst_stats",
-    "dedup_components_priority",
-    "quality_classifier_md5",
-    "deepblocker_knn_blocking_md5",
-    "attribute_clustering_blocking_md5",
-    "chunk_documents",
-    "attribution_interval_join",
-    "deepblocker_ctt_knn_md5",
-    "deepblocker_hybrid_knn_md5",
-    "ann_topk_pq_md5",
-    "ann_topk_ivfpq_md5",
-    "key_skew_profile",
-    "pagerank_importance",
-    "pmi_bigrams",
-    "join_size_estimate",
-    "salted_join_rollup",
-    "remove_duplicated_spans",
-    "temperature_mix",
-    "retrieval_metrics_two_stage",
-    "rbo_rankers",
-    "sorted_neighborhood_blocking",
-    "bpe_train_merges",
-    "bpe_token_count",
-    "token_cooccurrence_triangles",
-    "neighbor_jaccard_blocking",
-    "token_community_labels",
-    "customer_part_kcore",
+    # ROUND-11 ROTATION.  Census over CORRECTNESS_r01..r10 (programmatic:
+    # latest driver-record round per query; see COVERAGE.md r11 ledger):
+    # all 222 registered queries hold >=1 driver row, nothing is red, so
+    # the 50 slots are pure refresh — the 50 exact-oracled queries whose
+    # LATEST record is oldest, sorted by last driver-row round then
+    # record order.
+    # (a) the r6-recorded cohort tail, record order (15):
+    "phonetic_blocking",
+    "quality_classifier_calibration",
+    "scd2_user_state",
+    "cdc_chunk_dedup",
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_transitions",
+    "top_event_paths",
+    "gap_fill_hourly",
+    "revenue_rollup",
+    "event_value_outliers",
+    "bm25_search",
+    "rrf_search",
+    "weighted_sample",
+    "zorder_layout_stats",
+    # (b) the r7-recorded cohort head, record order (35):
+    "hll_distinct_sketch",
+    "matryoshka_truncate",
+    "two_stage_ann",
+    "hll_distinct_by_source",
+    "ngram_containment_dedup",
+    "tfidf_cosine_join",
+    "tfidf_cosine_join_capped",
+    "langid_confusion",
+    "distinct_ngram_ratio",
+    "zipf_fit",
+    "js_divergence_sources",
+    "sorted_neighborhood_multipass",
+    "readability_stats",
+    "doc_length_quantiles",
+    "ann_topk_pq",
+    "weighted_stratified_sample",
+    "referential_integrity_audit",
+    "table_column_profile",
+    "corpus_snapshot_diff",
+    "bfs_reach",
+    "order_pareto_frontier",
+    "user_event_reservoir",
+    "skipgram_pairs",
+    "event_value_winsorized",
+    "order_priority_target_encoding",
+    "multimodal_frame_sample",
+    "classifier_pr_curve",
+    "user_activity_islands",
+    "events_asof_join_forward",
+    "event_type_hourly_pivot",
+    "order_status_metrics_unpivot",
+    "orders_upsert_merge",
+    "cumulative_unique_users",
+    "user_value_rolling_7d",
+    "jl_projection_sketch",
 ]
 
 

@@ -928,6 +928,13 @@ def ivf_append_audit_q(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+#: build-vs-reuse record per bucketed catalog table, stamped into the
+#: bench artifact (r10 verdict #2: a first-touch 8 s bucketing build
+#: counted inside bucketed_join_revenue's timed window is
+#: indistinguishable from a host flap without this marker).
+BUCKETED_EVENTS: dict[str, str] = {}
+
+
 def _ensure_bucketed_table(spark, sf_dir: str, table: str, key: str, n_buckets: int = 16):
     """Idempotently materialize ``{table}`` from ``sf_dir`` as a
     BUCKETED parquet table (bucketBy + sortBy on ``key``) registered in
@@ -946,6 +953,7 @@ def _ensure_bucketed_table(spark, sf_dir: str, table: str, key: str, n_buckets: 
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
     name = f"{table}_bkt_{sf_tag}"
     if spark.catalog.tableExists(name):
+        BUCKETED_EVENTS.setdefault(name, "reused-catalog")
         return name
     src_path = os.path.join(sf_dir, f"{table}.parquet")
     warehouse = os.path.join(
@@ -960,6 +968,7 @@ def _ensure_bucketed_table(spark, sf_dir: str, table: str, key: str, n_buckets: 
             f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS"
             f" LOCATION '{path}'"
         )
+        BUCKETED_EVENTS[name] = "attached-existing-files"
         return name
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
@@ -970,6 +979,7 @@ def _ensure_bucketed_table(spark, sf_dir: str, table: str, key: str, n_buckets: 
         .saveAsTable(name)
     )
     _write_index_manifest(path, src_path, kind="bucketed", key=key, n_buckets=n_buckets)
+    BUCKETED_EVENTS[name] = "built-first-touch"
     return name
 
 

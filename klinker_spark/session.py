@@ -19,23 +19,89 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "local_df", "widen_for_kernel"]
 
 
+#: Logical-plan node heads that never introduce an exchange and keep a
+#: file scan's partitioning: pure scan lineage.  Anything else (Join,
+#: Aggregate, Window, Sort, Repartition, InMemoryRelation, LogicalRDD,
+#: …) either shuffles or hides the true partition count.
+_NARROW_PLAN_HEADS = frozenset(
+    {"Relation", "Project", "Filter", "Generate", "Union", "Sample", "LocalLimit"}
+)
+
+
+def _scan_only_lineage(plan_str: str) -> bool:
+    for line in plan_str.splitlines():
+        head = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if head and head not in _NARROW_PLAN_HEADS:
+            return False
+    return True
+
+
+def _size_conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark size conf ("134217728b", "128MB", "1g") to bytes."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    num, unit = raw, ""
+    for i, ch in enumerate(raw):
+        if not (ch.isdigit() or ch == "."):
+            num, unit = raw[:i], raw[i:]
+            break
+    try:
+        return int(float(num) * mult.get(unit.rstrip("b").strip() or "", 1))
+    except ValueError:
+        return default
+
+
 def widen_for_kernel(df):
-    """Round-robin repartition a frame narrower than the session's
-    ``defaultParallelism`` before a CPU-bound ``mapInPandas`` /
-    ``applyInPandas`` kernel.
+    """Round-robin repartition a frame so a CPU-bound ``mapInPandas`` /
+    ``applyInPandas`` kernel runs at session parallelism.
 
     Python kernels inherit the INPUT's partitioning, and Spark sizes
-    scan splits by BYTES — a small table written as 2 part files runs
-    the whole kernel in 2 tasks on a 32-core box (r10 scale lesson:
-    the sf1 embeddings table produced a NEGATIVE scaling exponent for
-    semdedup this way; SCALE.md round-10 section).  The round-robin
-    shuffle of the narrow input is trivial next to per-row kernel
-    arithmetic; wide inputs (a real lake scan) pass through untouched.
+    both scan splits and AQE shuffle readers by BYTES — a small table
+    written as 2 part files (or a small post-shuffle frame coalesced by
+    AQE) runs the whole kernel in 2 tasks on a 32-core box (r10 scale
+    lesson: the sf1 embeddings table produced a NEGATIVE scaling
+    exponent for semdedup this way; SCALE.md round-10 section).
+
+    Narrowness is decided WITHOUT touching ``df.rdd``: with AQE on,
+    accessing ``.rdd`` finalizes the adaptive plan and eagerly RUNS
+    every upstream shuffle stage at graph-construction time — and the
+    widened frame is a separate query execution, so that work ran twice
+    (r10 ADVICE).  Instead the optimized LOGICAL plan is classified:
+
+    - pure scan lineage (Project/Filter/… over file relations only):
+      estimate the scan's split count from the file list and byte size
+      (``maxPartitionBytes``); wide lake scans pass through UNTOUCHED —
+      the never-shuffle-a-100TB-index contract — while narrow small
+      scans get one round-robin exchange, trivial next to per-row
+      kernel arithmetic.
+    - anything else (a join/aggregate/window/cache/local frame in the
+      lineage): repartition unconditionally.  An explicit
+      ``repartition(n)`` is exempt from AQE coalescing, so the kernel
+      is GUARANTEED ``defaultParallelism`` tasks even when the frame's
+      bytes would coalesce to one reader; such frames already paid a
+      shuffle, so one more round-robin rebalance is proportional cost,
+      never a lake-sized one.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    jqe = df._jdf.queryExecution()
+    plan = jqe.optimizedPlan()
+    if not _scan_only_lineage(plan.toString()):
         return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    if not files:
+        # exotic exchange-free leaf — tiny by construction
+        return df.repartition(target)
+    max_split = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    if int(plan.stats().sizeInBytes()) // max_split >= target:
+        # few files but big: the scan splits them into >= target tasks
+        return df
+    return df.repartition(target)
 
 
 def local_df(spark: "SparkSession", rows, schema: str):

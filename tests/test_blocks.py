@@ -285,3 +285,30 @@ def test_combine_all_cache_registered_for_release(spark):
     ckpt.release_all(spark)
     assert ckpt._TRACKED == []
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_release_caches_per_manager(spark):
+    """ADVICE r10: a long-lived library consumer must be able to free
+    one dead manager's caches without the harness-wide release_all —
+    release_caches unpersists exactly that manager's tracked frames
+    and leaves other managers' caches alive."""
+    from klinker_spark import ckpt
+
+    ckpt.release_all(spark)
+    bm1 = _km(spark, [("k", "a1")], [("k", "b1")]).combine(
+        _km(spark, [("k", "a2")], [("k", "b2")])
+    )
+    bm2 = _km(spark, [("j", "a9")], [("j", "b9")]).persisted()
+    n_tracked = len(ckpt._TRACKED)
+    assert n_tracked >= 3  # bm1's stacked spine + bm2's two key frames
+    bm1.pairs().collect()
+    bm1.release_caches()
+    # bm1's cache gone, bm2's still registered and usable
+    assert len(ckpt._TRACKED) == n_tracked - 1
+    assert {tuple(r) for r in bm2.pairs().collect()} == {("a9", "b9")}
+    bm1.release_caches()  # idempotent
+    assert len(ckpt._TRACKED) == n_tracked - 1
+    bm2.release_caches()
+    assert len(ckpt._TRACKED) == n_tracked - 3
+    ckpt.release_all(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
