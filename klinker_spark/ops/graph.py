@@ -47,12 +47,23 @@ __all__ = [
 ]
 
 
+#: outdeg-shape probe (r11, closes the r10 documented escape hatch):
+#: the window form funnels a celebrity head's entire out-edge set
+#: through ONE task (AQE never splits window partitions); above this
+#: many estimated rows-per-task the groupBy+join form is used instead.
+#: ~5M count-window rows per task is a few seconds — far below it the
+#: single-shuffle window wins (measured 4.5 s → 1.6 s at sf0.1).
+OUTDEG_WINDOW_MAX_TASK_ROWS = 5_000_000
+_OUTDEG_PROBE_FRACTION = 0.01
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
     damping: float = 0.85,
     broadcast_ranks: bool | None = None,
     sources: list[str] | None = None,
+    outdeg_shape: str = "auto",
 ) -> DataFrame:
     """Fixed-iteration integer-micro-unit PageRank; pass ``sources``
     for the PERSONALIZED variant (random walk with restart): teleport
@@ -84,18 +95,39 @@ def pagerank(
     # outdeg via a head-partitioned count window: ONE shuffle of the
     # edge table (an aggregate-then-join-back would shuffle it twice
     # and re-derive the input once per side — measured 4.5 s → 1.6 s
-    # at sf0.1).  Skew boundary (r10 audit): a celebrity head funnels
-    # its out-edges through one window task, and AQE skew-split never
-    # applies to windows — but this runs ONCE outside the iteration
-    # loop, and the same hot head hits every per-iteration
-    # contribution join anyway (where AQE DOES split it); at a known
-    # power-law 10^8-out-degree graph, switch this one-time step to
-    # groupBy+join and eat the second shuffle.
-    edges_w = (
-        edges.select("head", "tail")
-        .withColumn("outdeg", F.count("*").over(Window.partitionBy("head")))
-        .localCheckpoint(eager=True)
-    )
+    # at sf0.1).  Skew boundary (r10 audit, made DATA-DRIVEN in r11):
+    # a celebrity head funnels its out-edges through one window task,
+    # and AQE skew-split never applies to windows.  ``outdeg_shape``:
+    # "window" / "join" force a form; "auto" runs a cheap sampled
+    # max-out-degree probe (narrow 1% scan; only the sample's
+    # partial-aggregated (head, count) rows shuffle) and switches to
+    # the groupBy+join form — every stage of which AQE can skew-split
+    # — when the estimated hottest head exceeds
+    # OUTDEG_WINDOW_MAX_TASK_ROWS.  Callers with an expensive edge
+    # lineage should pre-checkpoint it (the probe executes the lineage
+    # once) or pass an explicit shape.
+    if outdeg_shape not in ("auto", "window", "join"):
+        raise ValueError(f"outdeg_shape must be auto|window|join, got {outdeg_shape!r}")
+    e = edges.select("head", "tail")
+    shape = outdeg_shape
+    if shape == "auto":
+        probed = (
+            e.select("head")
+            .sample(fraction=_OUTDEG_PROBE_FRACTION, seed=7)
+            .groupBy("head")
+            .agg(F.count("*").alias("_c"))
+            .agg(F.max("_c").alias("_m"))
+            .first()
+        )
+        est_max = int((probed["_m"] or 0) / _OUTDEG_PROBE_FRACTION)
+        shape = "join" if est_max > OUTDEG_WINDOW_MAX_TASK_ROWS else "window"
+    if shape == "join":
+        deg = e.groupBy("head").agg(F.count("*").alias("outdeg"))
+        edges_w = e.join(deg, "head").localCheckpoint(eager=True)
+    else:
+        edges_w = e.withColumn(
+            "outdeg", F.count("*").over(Window.partitionBy("head"))
+        ).localCheckpoint(eager=True)
     nodes = (
         edges_w.select(F.col("head").alias("node"))
         .union(edges_w.select("tail"))

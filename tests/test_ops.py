@@ -2124,3 +2124,42 @@ def test_probe_centroids_widens_narrow_inputs(spark):
     assert len(got) == 200
     # id 0 has qv [0,1,.5,.25] -> closer to centroid 1
     assert got[0] == 1
+
+
+def test_pagerank_outdeg_shapes_identical(spark):
+    """r11: the outdeg skew boundary is data-driven — the groupBy+join
+    form (chosen when the sampled max-out-degree probe detects a
+    celebrity head) must produce bit-identical ranks to the window
+    form, and the auto probe must pick the window on a benign graph /
+    the join form when the threshold is crossed."""
+    from klinker_spark.ops import graph as G
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("e", "a")]
+    e_df = spark.createDataFrame(edges, "head string, tail string")
+    w = sorted(map(tuple, G.pagerank(e_df, iters=4, outdeg_shape="window").collect()))
+    j = sorted(map(tuple, G.pagerank(e_df, iters=4, outdeg_shape="join").collect()))
+    assert w == j
+    # auto on a benign graph == window form results
+    a = sorted(map(tuple, G.pagerank(e_df, iters=4).collect()))
+    assert a == w
+    # forced-low threshold: auto must take the join path (sampling a
+    # tiny graph is noisy, so make every head hot enough to survive it)
+    import pytest
+
+    hot = spark.createDataFrame(
+        [("h", f"t{i}") for i in range(3000)], "head string, tail string"
+    )
+    old = G.OUTDEG_WINDOW_MAX_TASK_ROWS
+    G.OUTDEG_WINDOW_MAX_TASK_ROWS = 10
+    try:
+        auto_hot = sorted(
+            map(tuple, G.pagerank(hot, iters=2).collect())
+        )
+        join_hot = sorted(
+            map(tuple, G.pagerank(hot, iters=2, outdeg_shape="join").collect())
+        )
+        assert auto_hot == join_hot
+    finally:
+        G.OUTDEG_WINDOW_MAX_TASK_ROWS = old
+    with pytest.raises(ValueError, match="outdeg_shape"):
+        G.pagerank(e_df, outdeg_shape="bogus")
