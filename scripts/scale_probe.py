@@ -43,6 +43,7 @@ def main() -> None:
     from klinker_spark.queries import QUERIES
 
     spark = ks.get_spark("scale_probe")
+    ks.session.warm_python_workers(spark)  # once-per-worker BLAS/tile boot, untimed
 
     def warm_time(name: str, sf_dir: str) -> float:
         best = float("inf")
