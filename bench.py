@@ -213,6 +213,16 @@ _PROBES: dict[str, float] = {}
 _PROBES_IO: dict[str, float] = {}
 
 
+#: Page-fault-path probes (r11): the knn postmortem found a THIRD
+#: independent host dimension — first-touch page faults of fresh
+#: anonymous memory flapped 16-100x (13.8 s to fault one worker's
+#: 128 MB sims tile) while the cpu AND io probes stayed clean.  Fault
+#: 64 MB page-by-page and time it: ~0.02-0.05 s healthy; whole-second
+#: readings mean every fresh numpy allocation in every Python kernel
+#: is paying it, and cold-lane outliers are host, not code.
+_PROBES_MEM: dict[str, float] = {}
+
+
 def _host_probe(*sections: str) -> float:
     """One CPU + one IO probe, recorded under every name in
     ``sections`` — a section boundary is probed ONCE and stamped as
@@ -238,11 +248,19 @@ def _host_probe(*sections: str) -> float:
         while fh.read(8 << 20):
             pass
     io = round(time.time() - t0, 3)
+    t0 = time.time()
+    blob = bytearray(64 << 20)  # calloc: pages fault lazily on write
+    for off in range(0, 64 << 20, 4096):
+        blob[off] = 1
+    mem = round(time.time() - t0, 3)
+    del blob
     for section in sections:
         _PROBES[section] = cpu
         _PROBES_IO[section] = io
+        _PROBES_MEM[section] = mem
     print(
-        f"# host probe [{'/'.join(sections)}]: cpu {cpu}s io64MB {io}s",
+        f"# host probe [{'/'.join(sections)}]: cpu {cpu}s io64MB {io}s"
+        f" fault64MB {mem}s",
         file=sys.stderr,
     )
     return cpu
@@ -623,6 +641,7 @@ def main() -> None:
         # >1.3x flapped MID-section and its outliers are host noise.
         "host_probe": dict(_PROBES),
         "host_probe_io": dict(_PROBES_IO),
+        "host_probe_mem": dict(_PROBES_MEM),
         # build-vs-reuse per bucketed catalog table: a
         # "built-first-touch" entry means that layout shuffle ran
         # INSIDE the first consuming query's timed window this session
@@ -662,6 +681,7 @@ def main() -> None:
         "sf1_total": full["sf1"]["total"],
         "host_probe": dict(_PROBES),
         "host_probe_io": dict(_PROBES_IO),
+        "host_probe_mem": dict(_PROBES_MEM),
     }
     line = json.dumps(compact)
     if len(line) > 1900:  # still too big for the tail: totals only
