@@ -78,15 +78,29 @@ class TokenBlocker(SchemaAgnosticBlocker):
                 .where(F.col("_n") > self.max_block_size)
                 .select("block_key")
             )
-            # no broadcast HINT: the oversized-key set is bounded by
-            # n_assignments / max_block_size, which an aggressive cap
-            # on a large corpus can push past the driver/broadcast
-            # limit (r10 ADVICE).  AQE sees the aggregated table's
-            # RUNTIME size and converts to broadcast exactly when it
-            # is actually tiny; otherwise the anti-join shuffles —
-            # correct at any cap, and the hot key is still absorbed
-            # map-side by the groupBy's partial aggregation.
-            toks = toks.join(oversized, "block_key", "left_anti")
+            # no broadcast HINT under AQE: the oversized-key set is
+            # bounded by n_assignments / max_block_size, which an
+            # aggressive cap on a large corpus can push past the
+            # driver/broadcast limit (r10 ADVICE).  AQE sees the
+            # aggregated table's RUNTIME size and converts to
+            # broadcast exactly when it is actually tiny; otherwise
+            # the anti-join shuffles — correct at any cap, and the hot
+            # key is still absorbed map-side by the groupBy's partial
+            # aggregation.  On a USER-supplied session with AQE OFF
+            # there is no runtime conversion: a plain anti-join plans
+            # as a sort-merge join that shuffles the entire assignment
+            # table on block_key — funneling the very hot keys this
+            # cap exists to absorb — so the static hint comes back
+            # there (r11 ADVICE); such a caller owns the broadcast
+            # limit via their cap choice.
+            aqe_on = (
+                str(
+                    toks.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+                ).lower()
+                == "true"
+            )
+            right = oversized if aqe_on else F.broadcast(oversized)
+            toks = toks.join(right, "block_key", "left_anti")
         return toks
 
     def _assign(

@@ -267,6 +267,14 @@ def topk_cosine_sharded(
 ) -> DataFrame:
     """Exact top-k cosine when the INDEX is too big to broadcast.
 
+    TOY-SCALE AUTO-ROUTE: when every sharding knob is left at its
+    default and the index's byte statistic fits a quarter of the
+    session broadcast threshold, the call falls through to
+    :func:`topk_cosine_matmul` (bit-identical results, no side-channel
+    jobs) — see the inline comment for the measured crossover.  Pass
+    any of ``n_shards`` / ``n_query_chunks`` / ``scratch_dir`` to pin
+    the sharded shape regardless of size.
+
     A lake-scale index is NEVER shuffled, replicated, or collected: it
     streams through ``mapInPandas`` in whatever partitioning it already
     has, so the search is a single in-place scan — the shape that
@@ -320,6 +328,44 @@ def topk_cosine_sharded(
     import numpy as np
 
     spark = queries.sparkSession
+
+    # Size-gated fall-through (r11 verdict #4): the sharded shape pays
+    # ~3 fixed jobs of side-channel overhead (query count + chunked
+    # parquet write + final merge window) that DOMINATE at toy scale —
+    # measured 2.8x the matmul row at sf0.1 while being the only
+    # 100 TB-safe shape.  When the caller left every sharding knob at
+    # its default AND the index's byte statistic fits comfortably
+    # inside the session broadcast threshold, route to the matmul
+    # kernel: bit-identical results (same float64 matmul, same
+    # tie-break total order), no side-channel.  The floor is a QUARTER
+    # of autoBroadcastJoinThreshold, not the full threshold: matmul's
+    # driver collect + per-task full-index scan grow with index size
+    # while the side-channel cost is fixed — measured crossover
+    # between a 0.8 MB index (matmul 1.8 s vs sharded 3.6 s) and a
+    # 5.9 MB one (matmul 4.7 s vs sharded 2.3 s), interleaved A/B.
+    # Unknown statistics (a localCheckpoint prints the Long.Max
+    # sentinel) never fall through — an index of unknown size is
+    # assumed lake-scale, preserving the never-collect contract.
+    if n_shards is None and scratch_dir is None and n_query_chunks is None:
+        from ..session import _size_conf_bytes
+
+        thresh = _size_conf_bytes(
+            spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20
+        )
+        try:
+            ix_bytes = int(index._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            ix_bytes = 1 << 62
+        if 0 < thresh and 0 < ix_bytes <= thresh // 4 and ix_bytes < (1 << 60):
+            return topk_cosine_matmul(
+                queries,
+                index,
+                k=k,
+                query_id=query_id,
+                index_id=index_id,
+                vec_col=vec_col,
+            )
+
     q_type = queries.schema[query_id].dataType.simpleString()
     id_type = index.schema[index_id].dataType.simpleString()
     out_schema = f"query_id {q_type}, neighbor_id {id_type}, sim double, rank int"

@@ -123,7 +123,15 @@ def pagerank(
         shape = "join" if est_max > OUTDEG_WINDOW_MAX_TASK_ROWS else "window"
     if shape == "join":
         deg = e.groupBy("head").agg(F.count("*").alias("outdeg"))
-        edges_w = e.join(deg, "head").localCheckpoint(eager=True)
+        # LEFT join, not inner: an inner equi-join silently drops
+        # null-head edges (null never equi-matches, even its own
+        # group), removing their TAILS from the node set — while the
+        # window form keeps them in a null partition.  The shapes must
+        # be result-invariant (r11 ADVICE): null-head rows survive
+        # here with a null outdeg, and contribute no mass in either
+        # form (the per-iteration rank join is an inner equi-join on
+        # head, which both shapes route null heads out of).
+        edges_w = e.join(deg, "head", "left").localCheckpoint(eager=True)
     else:
         edges_w = e.withColumn(
             "outdeg", F.count("*").over(Window.partitionBy("head"))

@@ -63,13 +63,38 @@ _NARROW_PLAN_HEADS = frozenset(
     {"Relation", "Project", "Filter", "Generate", "Union", "Sample", "LocalLimit"}
 )
 
+#: Leaves that are already MATERIALIZED (a cache or a localCheckpoint):
+#: reading ``.rdd`` off a plan made only of these + narrow ops executes
+#: nothing (no exchange above the leaf), so the TRUE partition count is
+#: safe to inspect — unlike join/aggregate lineage, where ``.rdd``
+#: finalizes AQE and eagerly runs every upstream shuffle (r10 ADVICE).
+_MATERIALIZED_LEAF_HEADS = frozenset({"InMemoryRelation", "LogicalRDD"})
+
+
+def _plan_heads(plan_str: str) -> list[str]:
+    """Node heads of an optimized-plan string, one per LOGICAL node.
+    An ``InMemoryRelation`` leaf prints its cached *physical* plan as
+    deeper-indented child lines (``*(1) ColumnarToRow`` / ``FileScan``)
+    — those belong to the leaf, not the lineage, and are skipped."""
+    out: list[str] = []
+    skip_deeper_than: int | None = None
+    for line in plan_str.splitlines():
+        stripped = line.lstrip(" +-:")
+        if not stripped:
+            continue
+        indent = len(line) - len(stripped)
+        if skip_deeper_than is not None and indent > skip_deeper_than:
+            continue
+        skip_deeper_than = None
+        head = stripped.split(" ", 1)[0].split("[", 1)[0]
+        if head == "InMemoryRelation":
+            skip_deeper_than = indent
+        out.append(head)
+    return out
+
 
 def _scan_only_lineage(plan_str: str) -> bool:
-    for line in plan_str.splitlines():
-        head = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
-        if head and head not in _NARROW_PLAN_HEADS:
-            return False
-    return True
+    return all(h in _NARROW_PLAN_HEADS for h in _plan_heads(plan_str))
 
 
 def _size_conf_bytes(spark, key: str, default: int) -> int:
@@ -90,6 +115,67 @@ def _size_conf_bytes(spark, key: str, default: int) -> int:
         return default
 
 
+def _estimated_scan_splits(spark, files, plan) -> int:
+    """Estimate how many scan tasks Spark will plan for ``files`` using
+    its own file-packing formula (``FilePartition.maxSplitBytes`` +
+    first-fit bin packing) instead of the raw file COUNT — Spark pads
+    every file with ``openCostInBytes`` and packs small files into
+    shared splits, so e.g. 32 tiny part files can coalesce to far fewer
+    than 32 tasks while ``len(files)`` reads as "wide" (r11 ADVICE).
+
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalPaddedBytes / minPartitionNum))``; estimated splits =
+    ``ceil(totalPaddedBytes / maxSplitBytes)`` — the bin count of a
+    perfect packing, a lower bound on Spark's first-fit result, so a
+    pass-through here can only UNDER-claim width, never over-claim.
+    Local ``file:`` URIs are stat'ed directly; for remote filesystems
+    the plan's byte statistic (the same total the scan planner uses,
+    modulo the compression factor) is spread evenly across files.
+    """
+    open_cost = _size_conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_part = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    try:
+        min_pn = int(str(spark.conf.get("spark.sql.files.minPartitionNum")))
+    except Exception:
+        min_pn = spark.sparkContext.defaultParallelism
+    sizes: list[int] | None = []
+    for uri in files:
+        if not uri.startswith("file:"):
+            sizes = None
+            break
+        path = "/" + uri[5:].lstrip("/")
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            sizes = None
+            break
+    if sizes is None:
+        total_data = max(int(plan.stats().sizeInBytes()), 0)
+        per_file = total_data // max(len(files), 1)
+        sizes = [per_file] * len(files)
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_part, max(open_cost, total // max(min_pn, 1) + 1))
+    return max(1, -(-total // max_split))
+
+
+def _repartition_head_width(plan_str: str) -> int | None:
+    """Partition count of an optimized plan whose TOP node is an
+    explicit repartition, else None.  ``df.repartition(n)`` prints as
+    ``Repartition n, true``; ``df.repartition(n, cols)`` as
+    ``RepartitionByExpression [cols…], n``.  A hint-style repartition
+    without an explicit count returns None (width unknown)."""
+    import re
+
+    first = plan_str.splitlines()[0].strip() if plan_str else ""
+    m = re.match(r"Repartition (\d+)\b", first)
+    if m:
+        return int(m.group(1))
+    m = re.match(r"RepartitionByExpression \[.*\], (\d+)\s*$", first)
+    if m:
+        return int(m.group(1))
+    return None
+
+
 def widen_for_kernel(df):
     """Round-robin repartition a frame so a CPU-bound ``mapInPandas`` /
     ``applyInPandas`` kernel runs at session parallelism.
@@ -108,35 +194,68 @@ def widen_for_kernel(df):
     (r10 ADVICE).  Instead the optimized LOGICAL plan is classified:
 
     - pure scan lineage (Project/Filter/… over file relations only):
-      estimate the scan's split count from the file list and byte size
-      (``maxPartitionBytes``); wide lake scans pass through UNTOUCHED —
-      the never-shuffle-a-100TB-index contract — while narrow small
-      scans get one round-robin exchange, trivial next to per-row
-      kernel arithmetic.
-    - anything else (a join/aggregate/window/cache/local frame in the
-      lineage): repartition unconditionally.  An explicit
-      ``repartition(n)`` is exempt from AQE coalescing, so the kernel
-      is GUARANTEED ``defaultParallelism`` tasks even when the frame's
-      bytes would coalesce to one reader; such frames already paid a
-      shuffle, so one more round-robin rebalance is proportional cost,
-      never a lake-sized one.
+      estimate the scan's SPLIT count with Spark's own packing formula
+      (``_estimated_scan_splits`` — openCost padding + maxSplitBytes
+      bins; raw file count over-claims width when many tiny files pack
+      into shared splits, r11 ADVICE); wide lake scans pass through
+      UNTOUCHED — the never-shuffle-a-100TB-index contract — while
+      narrow small scans get one round-robin exchange, trivial next to
+      per-row kernel arithmetic.
+    - narrow ops over MATERIALIZED leaves only (a cache /
+      localCheckpoint): the true partition count is read directly —
+      ``.rdd`` off such a plan executes nothing (no exchange above the
+      leaf) — and already-wide frames pass through, so a lake-scale
+      cached index is never re-shuffled (r11 ADVICE: the previous
+      unconditional repartition of non-scan lineage violated
+      ``topk_cosine_sharded``'s index contract for cached frames).
+    - an optimized plan already HEADED by an explicit ``repartition(n)``
+      with ``n >= target``: pass through — the caller (or a previous
+      ``widen_for_kernel``) has already widened it, and a second
+      round-robin exchange would be pure waste.
+    - remaining derived lineage (join/aggregate/window/sort …):
+      repartition, with one guard — aggregate/window lineage whose
+      byte statistic alone guarantees ``>= target`` scan-equivalent
+      splits passes through (their stats are bounded by the child's,
+      so a lake-scale derived frame is recognized and left in place).
+      JOIN lineage never takes the size guard: Catalyst's non-CBO join
+      stats are multiplicative fantasies, and trusting them would
+      silently re-narrow small kernels (the exact r10 bug class).
+      Such frames already paid a shuffle, so one more round-robin
+      rebalance is proportional cost, never a lake-sized one.  An
+      explicit ``repartition(n)`` is exempt from AQE coalescing, so
+      the kernel is GUARANTEED ``target`` tasks.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     jqe = df._jdf.queryExecution()
     plan = jqe.optimizedPlan()
-    if not _scan_only_lineage(plan.toString()):
-        return df.repartition(target)
-    files = df.inputFiles()
-    if len(files) >= target:
-        return df
-    if not files:
-        # exotic exchange-free leaf — tiny by construction
-        return df.repartition(target)
+    plan_str = plan.toString()
+    heads = _plan_heads(plan_str)
     max_split = _size_conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
-    if int(plan.stats().sizeInBytes()) // max_split >= target:
-        # few files but big: the scan splits them into >= target tasks
+    if all(h in _NARROW_PLAN_HEADS for h in heads):
+        files = df.inputFiles()
+        if not files:
+            # exotic exchange-free leaf — tiny by construction
+            return df.repartition(target)
+        if _estimated_scan_splits(spark, files, plan) >= target:
+            return df
+        return df.repartition(target)
+    if all(h in _NARROW_PLAN_HEADS | _MATERIALIZED_LEAF_HEADS for h in heads):
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    head_width = _repartition_head_width(plan_str)
+    if head_width is not None and head_width >= target:
         return df
+    if "Join" not in {h for h in heads}:
+        try:
+            size = int(plan.stats().sizeInBytes())
+        except Exception:
+            size = 0
+        # sentinel guard: unknown stats print as defaultSizeInBytes
+        # (Long.Max) — never a real measurement, never a pass-through
+        if 0 < size < (1 << 60) and size // max_split >= target:
+            return df
     return df.repartition(target)
 
 

@@ -187,10 +187,15 @@ def test_topk_matmul_matches_expr(embeddings):
 
 
 def test_topk_sharded_matches_expr(embeddings):
-    # force several input partitions so the per-partition running
-    # top-k + merge window actually exercises the multi-shard path
+    # force several index shards so the per-partition running top-k +
+    # merge window actually exercises the multi-shard path (n_shards
+    # also PINS the sharded shape — the r11 size gate would otherwise
+    # route this toy index to the matmul kernel)
+    from klinker_spark.functions.vectors import topk_cosine_sharded
+
     queries = embeddings.where(F.col("vec_id") % 50 == 0)
-    sh = brute_force_topk(queries, embeddings.repartition(7), k=4, impl="sharded")
+    sel = lambda df: df.selectExpr("vec_id as id", "embedding as vector")  # noqa: E731
+    sh = topk_cosine_sharded(sel(queries), sel(embeddings), k=4, n_shards=7)
     ex = brute_force_topk(queries, embeddings, k=4, impl="expr")
     a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in sh.collect()}
     b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ex.collect()}
@@ -222,7 +227,8 @@ def test_topk_sharded_partition_smaller_than_k(spark):
         [("x", [1.0, 0.0]), ("y", [1.0, 1.0]), ("z", [0.0, 1.0])], ["id", "vector"]
     ).repartition(5)
     q = spark.createDataFrame([("q1", [1.0, 0.0])], ["id", "vector"])
-    out = topk_cosine_sharded(q, ix, k=10).collect()
+    # n_query_chunks pins the sharded shape past the r11 size gate
+    out = topk_cosine_sharded(q, ix, k=10, n_query_chunks=1).collect()
     assert [(r["neighbor_id"], r["rank"]) for r in out] == [("x", 1), ("y", 2), ("z", 3)]
 
 
@@ -2163,3 +2169,16 @@ def test_pagerank_outdeg_shapes_identical(spark):
         G.OUTDEG_WINDOW_MAX_TASK_ROWS = old
     with pytest.raises(ValueError, match="outdeg_shape"):
         G.pagerank(e_df, outdeg_shape="bogus")
+    # r11 ADVICE: null-head edges — the join form's inner equi-join
+    # silently dropped them (nulls never equi-match), shrinking the
+    # node set vs the window form, so the auto probe could flip
+    # RESULTS across runs.  Both shapes must agree on graphs with null
+    # endpoints: the null-head edge contributes its tail as a node but
+    # no mass (same as the window form, where the rank join routes the
+    # null partition out).
+    null_edges = edges + [(None, "z"), ("b", None)]
+    ne_df = spark.createDataFrame(null_edges, "head string, tail string")
+    wn = {tuple(r) for r in G.pagerank(ne_df, iters=3, outdeg_shape="window").collect()}
+    jn = {tuple(r) for r in G.pagerank(ne_df, iters=3, outdeg_shape="join").collect()}
+    assert wn == jn
+    assert "z" in {r[0] for r in wn}

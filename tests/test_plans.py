@@ -872,3 +872,117 @@ def test_every_python_kernel_site_is_widened_or_waived():
         "Python kernel sites missing widen_for_kernel or a '# narrow-ok:' waiver:\n"
         + "\n".join(offenders)
     )
+
+
+def test_widen_for_kernel_lineage_rules(spark, sf_dir, tmp_path):
+    """r11 ADVICE pair: (a) scan width is decided by Spark's file-
+    PACKING formula, not raw file count — many tiny part files coalesce
+    into shared splits via openCostInBytes padding; (b) non-scan
+    lineage is no longer repartitioned unconditionally — an
+    already-wide cache/checkpoint (a stand-in for a lake-scale cached
+    index) passes through untouched, preserving topk_cosine_sharded's
+    never-shuffle-the-index contract, while narrow materialized frames
+    and small derived frames still widen."""
+    from klinker_spark.session import widen_for_kernel
+
+    target = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # (a) many tiny files != wide: with ``files.minPartitionNum`` low
+    # (a user session tuned for few-but-large scans), Spark's packing
+    # formula coalesces more-part-files-than-cores into ONE split via
+    # openCostInBytes bins — the old len(inputFiles) >= cores test
+    # passed such a scan through and the kernel ran narrow (r11
+    # ADVICE); the split-count estimate must widen it.
+    tiny = str(tmp_path / "tiny")
+    docs.limit(64).repartition(target + 4).write.parquet(tiny)
+    scan = spark.read.parquet(tiny)
+    assert len(scan.inputFiles()) >= target
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try:
+        assert scan.rdd.getNumPartitions() < target  # Spark really packs
+        widened = widen_for_kernel(scan)
+        assert widened is not scan
+        assert widened.rdd.getNumPartitions() >= target
+    finally:
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+
+    # (b) wide materialized lineage passes through with its own
+    # partitioning (no exchange), narrow materialized lineage widens
+    wide_cache = docs.repartition(target * 2).cache()
+    try:
+        wide_cache.count()
+        passed = widen_for_kernel(wide_cache.select("doc_id"))
+        assert passed.rdd.getNumPartitions() == target * 2
+    finally:
+        wide_cache.unpersist()
+    narrow_ckpt = docs.coalesce(1).localCheckpoint(eager=True)
+    assert narrow_ckpt.rdd.getNumPartitions() == 1
+    rewidened = widen_for_kernel(narrow_ckpt.select("doc_id"))
+    assert rewidened.rdd.getNumPartitions() >= target
+
+    # (c) an explicitly pre-widened derived frame is not re-shuffled
+    # (idempotence: widen(widen(x)) adds no second exchange) ...
+    once = widen_for_kernel(docs.groupBy("source").count())
+    again = widen_for_kernel(once)
+    assert again is once
+    # ... while small join-derived lineage still repartitions (join
+    # stats are never trusted for a pass-through)
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert widen_for_kernel(joined) is not joined
+
+
+def test_token_cap_antijoin_broadcasts_without_aqe(spark):
+    """r11 ADVICE: the max_block_size anti-join relies on AQE's runtime
+    broadcast conversion; on a user session with AQE disabled it must
+    fall back to the static hint, or the whole token-assignment table
+    shuffles on block_key — the very hot keys the cap absorbs."""
+    from klinker_spark.blockers.token import TokenBlocker
+
+    rows = [(i, f"tok{i % 3} shared common words here {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    blocker = TokenBlocker(max_block_size=5)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        toks = blocker._tok_keys(df)
+        plan = toks._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_sharded_knn_size_gated_fallthrough(spark, sf_dir):
+    """r11 verdict #4: with all sharding knobs at defaults, a
+    tiny-index topk_cosine_sharded call routes to the matmul kernel
+    (no side-channel write, no merge window); shrinking the broadcast
+    threshold re-pins the sharded shape, and explicit knobs always pin
+    it."""
+    from klinker_spark.functions import vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    qa = q.selectExpr("vec_id as id", "embedding as vector")
+    ia = emb.selectExpr("vec_id as id", "embedding as vector")
+
+    routed = vectors.topk_cosine_sharded(qa, ia, k=3)
+    plan = plan_of(routed)
+    assert "MapInPandas" in plan and "Window" not in plan  # matmul shape
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    try:
+        pinned = vectors.topk_cosine_sharded(qa, ia, k=3)
+        assert "Window" in plan_of(pinned)  # sharded merge window
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    explicit = vectors.topk_cosine_sharded(qa, ia, k=3, n_query_chunks=1)
+    assert "Window" in plan_of(explicit)
+
+    # ranking identical across the routed and pinned shapes; sims
+    # equal to 1e-9 (the documented matmul/sharded contract — BLAS
+    # shape can move the last ulp, and the registered query rounds
+    # to 6 decimals anyway)
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]): r["sim"] for r in routed.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"]): r["sim"] for r in explicit.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
