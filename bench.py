@@ -223,13 +223,9 @@ _PROBES_IO: dict[str, float] = {}
 _PROBES_MEM: dict[str, float] = {}
 
 
-def _host_probe(*sections: str) -> float:
-    """One CPU + one IO probe, recorded under every name in
-    ``sections`` — a section boundary is probed ONCE and stamped as
-    both ``prev:end`` and ``next`` (start), so each section carries a
-    BRACKET (r10 verdict #3: a start-only probe cannot adjudicate a
-    flap 10 minutes into a section — the r10 healthy-run outliers were
-    unadjudicable for exactly that reason)."""
+def _probe_once() -> tuple[float, float, float]:
+    """One (cpu, io, fault-path) host measurement — see the three
+    probe-dict docstrings above for what each dimension means."""
     t0 = time.time()
     x = 0
     for i in range(20_000_000):
@@ -254,6 +250,17 @@ def _host_probe(*sections: str) -> float:
         blob[off] = 1
     mem = round(time.time() - t0, 3)
     del blob
+    return cpu, io, mem
+
+
+def _host_probe(*sections: str) -> float:
+    """One CPU + one IO probe, recorded under every name in
+    ``sections`` — a section boundary is probed ONCE and stamped as
+    both ``prev:end`` and ``next`` (start), so each section carries a
+    BRACKET (r10 verdict #3: a start-only probe cannot adjudicate a
+    flap 10 minutes into a section — the r10 healthy-run outliers were
+    unadjudicable for exactly that reason)."""
+    cpu, io, mem = _probe_once()
     for section in sections:
         _PROBES[section] = cpu
         _PROBES_IO[section] = io
@@ -264,6 +271,129 @@ def _host_probe(*sections: str) -> float:
         file=sys.stderr,
     )
     return cpu
+
+
+#: Auto-retry lane (r11 verdict #1): any cold row that exceeds its
+#: COMMITTED-artifact reference time by >2x gets one isolated re-run at
+#: the end of its section, bracketed by its own cpu/io/fault probes and
+#: recorded under ``queries_retry`` — so every golden_records-38 s /
+#: hll_audit-9 s mystery carries an in-artifact verdict (flap vs real)
+#: without waiting for a healthy 25-minute host window, which this box
+#: has refused to give for two rounds.  Keys are ``lane:name``.
+_RETRY: dict[str, dict] = {}
+_RETRY_FLOOR_SEC = 1.0  # sub-second rows that "doubled" are noise
+_RETRY_CAP_PER_LANE = 6  # a globally-degraded session must not 2x the run
+
+
+def _committed_refs() -> dict[tuple[str, str], float]:
+    """Per-(lane, query) reference times from the COMMITTED
+    BENCH_LOCAL.json — ``git show HEAD:`` so a second run in the same
+    session does not compare against the first run's fresh artifact;
+    falls back to the on-disk file on a gitless checkout."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    raw = None
+    try:
+        raw = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_LOCAL.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout
+    except Exception:
+        pass
+    if not raw:
+        try:
+            with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+                raw = fh.read()
+        except OSError:
+            return {}
+    try:
+        rec = json.loads(raw)
+    except ValueError:
+        return {}
+    refs: dict[tuple[str, str], float] = {}
+    for lane, section in (
+        ("headline", rec.get("queries", {})),
+        ("curation", rec.get("queries_curation", {})),
+        ("extras", rec.get("queries_extra", {})),
+        ("sf1", (rec.get("sf1") or {}).get("queries", {})),
+        ("streaming", rec.get("queries_streaming_sf1", {})),
+    ):
+        for name, t in section.items():
+            if isinstance(t, (int, float)) and t > 0:
+                refs[(lane, name)] = float(t)
+    return refs
+
+
+def _retry_outliers(lane: str, timings: dict, refs: dict, run_one) -> None:
+    """Re-run this lane's >2x-vs-committed cold rows once, isolated,
+    with a probe bracket of their own.  ``run_one(name)`` executes the
+    query end-to-end and returns ITS OWN elapsed seconds, timed the
+    same way the lane timed the cold row (cache reset outside the
+    window)."""
+    outliers = [
+        n
+        for n, t in timings.items()
+        if refs.get((lane, n))
+        and t > 2 * refs[(lane, n)]
+        and t > _RETRY_FLOOR_SEC
+    ]
+    dropped = outliers[_RETRY_CAP_PER_LANE:]
+    if dropped:
+        print(
+            f"# retry lane [{lane}]: cap {_RETRY_CAP_PER_LANE} hit, "
+            f"not retried: {dropped}",
+            file=sys.stderr,
+        )
+    for name in outliers[:_RETRY_CAP_PER_LANE]:
+        before = _probe_once()
+        try:
+            rt = round(float(run_one(name)), 3)
+        except Exception as ex:  # pragma: no cover - bench resilience
+            print(f"# retry {lane}:{name} failed: {ex}", file=sys.stderr)
+            continue
+        after = _probe_once()
+        _RETRY[f"{lane}:{name}"] = {
+            "cold": timings[name],
+            "ref": refs[(lane, name)],
+            "retry": rt,
+            "probe_before": dict(zip(("cpu", "io", "mem"), before)),
+            "probe_after": dict(zip(("cpu", "io", "mem"), after)),
+        }
+        print(
+            f"# retry [{lane}] {name}: cold {timings[name]}s vs ref "
+            f"{refs[(lane, name)]}s -> isolated {rt}s "
+            f"(cpu {before[0]}/{after[0]} io {before[1]}/{after[1]} "
+            f"mem {before[2]}/{after[2]})",
+            file=sys.stderr,
+        )
+
+
+#: Row-level probe sampling (r11 verdict #8): the five historically
+#: flappiest queries get their OWN probe bracket around every cold
+#: run — row-level attribution that section brackets structurally
+#: can't give.  ~1.7 s/probe healthy; 5 queries ≈ +17 s per run.
+_FLAPPY = {
+    "pagerank_importance",
+    "golden_records",
+    "duplicated_span_stats",
+    "lsh_precision_recall_audit",
+    "semdedup",
+}
+_QUERY_PROBES: dict[str, dict] = {}
+
+
+def _flappy_probe(lane: str, name: str, edge: str) -> None:
+    if name not in _FLAPPY:
+        return
+    cpu, io, mem = _probe_once()
+    _QUERY_PROBES.setdefault(f"{lane}:{name}", {})[edge] = {
+        "cpu": cpu,
+        "io": io,
+        "mem": mem,
+    }
 
 
 def _bucketed_events() -> dict:
@@ -377,6 +507,16 @@ def main() -> None:
     # is the post-reset first-run cost.  Under this definition
     # warm <= cold up to noise by construction; a warm row slower than
     # its cold row on a clean-probe run is a real bug, not lane drift.
+    refs = _committed_refs()
+
+    def _timed_cold(name: str, sf_path: str = SF_DIR) -> float:
+        """One post-reset cold run, timed exactly like the lane loops
+        (reset outside the window) — the retry lane's runner."""
+        _reset()
+        t0 = time.time()
+        QUERIES[name](spark, sf_path).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
     _host_probe("headline")
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -388,6 +528,7 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.time() - t0, 3)
         print(f"# {name}: cold {timings[name]}s warm {warm[name]}s", file=sys.stderr)
+    _retry_outliers("headline", timings, refs, _timed_cold)
 
     # curation family: measured and reported separately — NOT part of
     # the headline value, which stays the fixed r01-comparable suite
@@ -395,19 +536,25 @@ def main() -> None:
     _host_probe("headline:end", "curation")
     for name in CURATION_QUERIES:
         _reset()
+        _flappy_probe("curation", name, "before")
         t0 = time.time()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         curation[name] = round(time.time() - t0, 3)
+        _flappy_probe("curation", name, "after")
         print(f"# {name}: {curation[name]}s (curation)", file=sys.stderr)
+    _retry_outliers("curation", curation, refs, _timed_cold)
 
     extras = {}
     _host_probe("curation:end", "extras")
     for name in EXTRA_QUERIES:
         _reset()
+        _flappy_probe("extras", name, "before")
         t0 = time.time()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         extras[name] = round(time.time() - t0, 3)
+        _flappy_probe("extras", name, "after")
         print(f"# {name}: {extras[name]}s (extra)", file=sys.stderr)
+    _retry_outliers("extras", extras, refs, _timed_cold)
     _host_probe("extras:end")
 
     # ---- sf1 scale-validation section (round-3 verdict #1) ----
@@ -464,10 +611,15 @@ def main() -> None:
         _host_probe("sf1")
         for name in sf1_queries:
             _reset()
+            _flappy_probe("sf1", name, "before")
             t0 = time.time()
             QUERIES[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
             sf1_timings[name] = round(time.time() - t0, 3)
+            _flappy_probe("sf1", name, "after")
             print(f"# {name}: {sf1_timings[name]}s (sf1)", file=sys.stderr)
+        _retry_outliers(
+            "sf1", sf1_timings, refs, lambda n: _timed_cold(n, sf1_dir)
+        )
         _host_probe("sf1:end")
 
     # isolated-warm lane (r8 verdict #1): any query whose full-suite sf1
@@ -581,7 +733,7 @@ def main() -> None:
                 st = st.withColumn("ts", SF.col("ts").cast("timestamp"))
             return st
 
-        def _run_stream(name, make_df):
+        def _stream_once(name, make_df) -> float:
             _reset()
             ckpt = tempfile.mkdtemp(prefix=f"bench_stream_{name}_")
             t0 = time.time()
@@ -594,16 +746,30 @@ def main() -> None:
                 .start()
             )
             q.awaitTermination()
-            streaming_timings[name] = round(time.time() - t0, 3)
+            elapsed = round(time.time() - t0, 3)
             shutil.rmtree(ckpt, ignore_errors=True)
-            print(
-                f"# {name}: {streaming_timings[name]}s (streaming sf1)",
-                file=sys.stderr,
-            )
+            return elapsed
 
+        stream_makers = {
+            "streaming_windowed_ohlc": lambda: windowed_ohlc(_stream_events()),
+            "streaming_dedup_gate": lambda: streaming_dedup(_stream_events()),
+        }
         try:
-            _run_stream("streaming_windowed_ohlc", lambda: windowed_ohlc(_stream_events()))
-            _run_stream("streaming_dedup_gate", lambda: streaming_dedup(_stream_events()))
+            for name, make_df in stream_makers.items():
+                streaming_timings[name] = _stream_once(name, make_df)
+                print(
+                    f"# {name}: {streaming_timings[name]}s (streaming sf1)",
+                    file=sys.stderr,
+                )
+            # r11 verdict #7: both streaming rows flapped 2x across the
+            # two r11 runs (end-of-run, worst io window) — the retry
+            # lane covers them like any other lane
+            _retry_outliers(
+                "streaming",
+                streaming_timings,
+                refs,
+                lambda n: _stream_once(n, stream_makers[n]),
+            )
         except Exception as ex:  # pragma: no cover - bench resilience
             print(f"# streaming bench failed: {ex}", file=sys.stderr)
         finally:
@@ -626,7 +792,20 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
+        # lane-definition version stamp (r11 ADVICE): the warm lap is
+        # the CACHE-WARM rerun (no reset between cold and warm) since
+        # r11 — earlier artifacts used a post-reset rerun, so
+        # cross-round warm deltas spanning r10/r11 are lane-definition
+        # changes, not code.  Bump this string if the semantics move.
+        "warm_lane": "cache-warm-r11",
         "warm_total": round(sum(warm.values()), 3),
+        # isolated re-runs of >2x-vs-committed cold rows, each with its
+        # own probe bracket (r11 verdict #1): `retry` ~ ref with clean
+        # probes = the cold sample was host flap; `retry` ~ cold = real
+        "queries_retry": dict(_RETRY),
+        # row-level probe brackets for the historically flappiest
+        # queries (r11 verdict #8)
+        "query_probes": dict(_QUERY_PROBES),
         "queries_curation": curation,
         "curation_total": round(sum(curation.values()), 3),
         "queries_extra": extras,
@@ -676,9 +855,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": full["sf"],
+        "warm_lane": full["warm_lane"],
         "warm_total": full["warm_total"],
         "curation_total": full["curation_total"],
         "sf1_total": full["sf1"]["total"],
+        # lane:name -> [cold, committed ref, isolated retry] (probe
+        # brackets in the sidecar's queries_retry)
+        "retries": {
+            k: [v["cold"], v["ref"], v["retry"]] for k, v in _RETRY.items()
+        },
         "host_probe": dict(_PROBES),
         "host_probe_io": dict(_PROBES_IO),
         "host_probe_mem": dict(_PROBES_MEM),
@@ -686,6 +871,7 @@ def main() -> None:
     line = json.dumps(compact)
     if len(line) > 1900:  # still too big for the tail: totals only
         compact["queries"] = {"total_only": total}
+        compact["retries"] = {"count_only": len(_RETRY)}
         line = json.dumps(compact)
     print(line)
 
