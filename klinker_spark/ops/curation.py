@@ -1008,8 +1008,20 @@ def duplicated_span_stats(
     count table is one row per distinct span, and the join-back is
     AQE-skew-splittable.  No driver state, no broadcast of
     corpus-scale data.
+
+    r12 (closes the r11 ``weak`` flag): the tokenize + ``span_k``-gram
+    shingle explode is the same CPU-per-row-not-per-byte shape as a
+    Python kernel — Spark sized the sf0.1 documents table (one 584 KB
+    part file) as ONE scan task and serialized the whole explode on a
+    single core, so the row's wall time was 1-core CPU plus whatever
+    the io dimension added.  ``widen_for_kernel`` on the doc
+    projection fixes it: measured 14.5-16.2 s → 8.6-9.5 s interleaved
+    A/B at sf0.1 (NOTES round-12); a wide lake scan passes through
+    untouched.
     """
-    sh = docs.select(
+    from ..session import widen_for_kernel
+
+    sh = widen_for_kernel(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
     ).select(
         "doc_id", F.array_distinct(word_shingles(F.col("tk"), span_k)).alias("sh")
@@ -1069,9 +1081,12 @@ def remove_duplicated_spans(
     duplicated span only) → anti-join → ordered reassembly via
     ``sort_array(collect_list(struct(pos, tok)))`` (shuffle-order-free).
     No driver state; the downstream explode is proportional to
-    duplicated positions only.
+    duplicated positions only.  The doc input is widened first — same
+    1-task-explode fix as :func:`duplicated_span_stats` (r12).
     """
-    base = docs.select(
+    from ..session import widen_for_kernel
+
+    base = widen_for_kernel(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tk")
     )
     tokens = base.select(

@@ -135,8 +135,14 @@ def minhash_lsh_dedup(
     signature cache released before return — long sessions accumulate
     nothing.
     """
+    from ..session import widen_for_kernel
+
     rows = num_perm // bands
-    toks = docs.select(
+    # the per-row tokenize + shingle + num_perm-hash signature pipeline
+    # is CPU-per-row work a byte-sized narrow scan serializes onto one
+    # core (r12 — same class as duplicated_span_stats; A/B: 2.2-3.4 s
+    # -> 1.9-2.0 s at sf0.1).  Wide lake scans pass through untouched.
+    toks = widen_for_kernel(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
     )
     sigs = minhash_signatures(
@@ -222,9 +228,15 @@ def simhash_dedup(
     verified by ``bit_count(xor)``.  ``hash_fn="md5"`` makes the
     fingerprint cross-engine-deterministic (exact-oracle mode).
     """
+    from ..session import widen_for_kernel
+
     width = bits // 4
+    # widen the narrow-scan input before the per-row fingerprint
+    # pipeline (r12 — see minhash_lsh_dedup)
     fp = simhash(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        widen_for_kernel(docs.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ),
         tokenize("text", 1, []),
         id_col="doc_id",
         bits=bits,
@@ -287,7 +299,11 @@ def ngram_jaccard_dedup(
     # persist: the shingle arrays feed candidate generation (freq →
     # rank → prefix) AND verification (array_intersect) — without it the
     # tokenize+shingle expression pipeline re-runs for every branch
-    shingles = docs.select(
+    from ..session import widen_for_kernel
+
+    # widen the narrow-scan input before the per-row tokenize+shingle
+    # pipeline (r12 — see minhash_lsh_dedup)
+    shingles = widen_for_kernel(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
     ).select(
         "doc_id", F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh")
@@ -393,7 +409,11 @@ def ngram_containment_dedup(
     frequency, which the prefix minimizes.  Verification is exact
     ``array_intersect`` on surviving candidates only.
     """
-    shingles = docs.select(
+    from ..session import widen_for_kernel
+
+    # widen the narrow-scan input before the per-row tokenize+shingle
+    # pipeline (r12 — see minhash_lsh_dedup)
+    shingles = widen_for_kernel(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
     ).select(
         "doc_id", F.array_distinct(word_shingles(F.col("tk"), shingle_k)).alias("sh")
@@ -969,7 +989,12 @@ def edit_distance_dedup(
     every internal cache is released — repeated calls in a long session
     leave nothing in the cache manager.
     """
-    base = docs.select(
+    from ..session import widen_for_kernel
+
+    # widen the narrow-scan input: the deletion-neighborhood /
+    # q-gram-prefix generation is per-row CPU (r12 — see
+    # minhash_lsh_dedup)
+    base = widen_for_kernel(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("s"), F.length(text_col).alias("ln")
     ).where(F.col("s").isNotNull()).persist()
     if impl == "auto":
