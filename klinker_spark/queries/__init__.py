@@ -38,64 +38,66 @@ from . import audits  # noqa: E402,F401
 # pushed past the window on purpose.  The round-by-round ledger of who
 # has recorded what lives in COVERAGE.md.
 _GATE_PRIORITY = [
-    # ROUND-11 ROTATION.  Census over CORRECTNESS_r01..r10 (programmatic:
-    # latest driver-record round per query; see COVERAGE.md r11 ledger):
+    # ROUND-12 ROTATION.  Census over CORRECTNESS_r01..r11 (programmatic:
+    # latest driver-record round per query; see COVERAGE.md r12 ledger):
     # all 222 registered queries hold >=1 driver row, nothing is red, so
     # the 50 slots are pure refresh — the 50 exact-oracled queries whose
     # LATEST record is oldest, sorted by last driver-row round then
     # record order.
-    # (a) the r6-recorded cohort tail, record order (15):
-    "phonetic_blocking",
-    "quality_classifier_calibration",
-    "scd2_user_state",
-    "cdc_chunk_dedup",
-    "funnel_conversion",
-    "retention_cohorts",
-    "event_transitions",
-    "top_event_paths",
-    "gap_fill_hourly",
-    "revenue_rollup",
-    "event_value_outliers",
-    "bm25_search",
-    "rrf_search",
-    "weighted_sample",
-    "zorder_layout_stats",
-    # (b) the r7-recorded cohort head, record order (35):
-    "hll_distinct_sketch",
-    "matryoshka_truncate",
-    "two_stage_ann",
-    "hll_distinct_by_source",
-    "ngram_containment_dedup",
-    "tfidf_cosine_join",
-    "tfidf_cosine_join_capped",
-    "langid_confusion",
-    "distinct_ngram_ratio",
-    "zipf_fit",
-    "js_divergence_sources",
-    "sorted_neighborhood_multipass",
-    "readability_stats",
-    "doc_length_quantiles",
-    "ann_topk_pq",
-    "weighted_stratified_sample",
-    "referential_integrity_audit",
-    "table_column_profile",
-    "corpus_snapshot_diff",
-    "bfs_reach",
-    "order_pareto_frontier",
-    "user_event_reservoir",
-    "skipgram_pairs",
-    "event_value_winsorized",
-    "order_priority_target_encoding",
-    "multimodal_frame_sample",
-    "classifier_pr_curve",
-    "user_activity_islands",
-    "events_asof_join_forward",
-    "event_type_hourly_pivot",
-    "order_status_metrics_unpivot",
-    "orders_upsert_merge",
-    "cumulative_unique_users",
-    "user_value_rolling_7d",
-    "jl_projection_sketch",
+    # (a) the r7-recorded cohort tail, record order (10):
+    "fellegi_sunter_linkage",
+    "hits_hubs_authorities",
+    "customer_rfm_segments",
+    "event_hour_chi2",
+    "bloom_semijoin_pushdown",
+    "funnel_conversion_windowed",
+    "personalized_pagerank",
+    "ann_recall_audit",
+    "global_pareto_frontier",
+    "time_decayed_user_value",
+    # (b) the r8-recorded cohort, record order (40; the four rows-only
+    # twins at r8 positions 11-14 keep their weaker records — exact
+    # slots are never burned on them):
+    "ngram_lm_perplexity",
+    "bitext_margin_mining",
+    "kcenter_coreset",
+    "event_value_twap",
+    "event_value_ohlc_hourly",
+    "perplexity_bucket_mix",
+    "cross_source_dup_matrix",
+    "leakage_safe_split",
+    "kmv_source_overlap",
+    "golden_records",
+    "sliding_window_counts",
+    "source_drift_psi",
+    "classifier_agreement_kappa",
+    "benford_audit",
+    "ivf_append_audit",
+    "curation_funnel",
+    "lsh_parameter_plan",
+    "embedding_health_audit",
+    "bucketed_join_revenue",
+    "standard_blocking_stats",
+    "qgram_blocking_stats",
+    "concat_values",
+    "rdf_clean",
+    "sample_dataset",
+    "filter_with_unique",
+    "count_entities",
+    "relation_importance",
+    "name_importance",
+    "neighbor_concat",
+    "blocks_combine",
+    "compare_blockings",
+    "find_blocks",
+    "exact_dedup",
+    "token_count",
+    "quality_score",
+    "token_frequencies",
+    "tfidf_top_tokens",
+    "doc_fingerprint",
+    "langid",
+    "running_user_stats",
 ]
 
 
