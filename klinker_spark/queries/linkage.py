@@ -545,22 +545,45 @@ def personalized_pagerank_q(spark, sf_dir):
     match set from a handful of known links.  Same integer micro-unit
     power iteration and unrolled oracle as global PageRank, with
     teleport mass restricted to the seeds; only positively-ranked
-    (reachable) nodes are returned."""
-    from ..ops.graph import pagerank
+    (reachable) nodes are returned.
 
+    Node ids ride the iterative shuffles as tagged BIGINTS and decode
+    to the oracle's "c:/o:/p:" strings only in the final projection —
+    the ``pagerank_importance`` scheme (r12: this was the last
+    string-keyed pagerank lane; the rank arithmetic is
+    representation-independent, so the string-node oracle is
+    unchanged)."""
+    from ..ops.graph import pagerank
+    from .events import _NODE_TAG_SHIFT, _tag_node
+
+    TAG = _NODE_TAG_SHIFT
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     edges = o.select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("head"),
-        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("tail"),
+        _tag_node(1, "o_custkey").alias("head"),
+        _tag_node(2, "o_orderkey").alias("tail"),
     ).unionAll(
         li.select(
-            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")),
-            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")),
+            _tag_node(2, "l_orderkey").alias("head"),
+            _tag_node(3, "l_partkey").alias("tail"),
         )
     )
-    out = pagerank(edges, sources=["c:1", "c:2", "c:3"])
-    return out.where(F.col("rank_micro") > 0).orderBy("node")
+    out = pagerank(edges, sources=[1 * TAG + 1, 1 * TAG + 2, 1 * TAG + 3])
+    tag = F.expr(f"node DIV {TAG}")
+    return (
+        out.where(F.col("rank_micro") > 0)
+        .select(
+            F.concat(
+                F.when(tag == 1, F.lit("c:"))
+                .when(tag == 2, F.lit("o:"))
+                .otherwise(F.lit("p:")),
+                (F.col("node") % TAG).cast("string"),
+            ).alias("node"),
+            "rank_micro",
+            "rank",
+        )
+        .orderBy("node")
+    )
 
 
 # ------------------------------------------------------------------ ANN recall audit
