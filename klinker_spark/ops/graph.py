@@ -121,6 +121,22 @@ def pagerank(
         )
         est_max = int((probed["_m"] or 0) / _OUTDEG_PROBE_FRACTION)
         shape = "join" if est_max > OUTDEG_WINDOW_MAX_TASK_ROWS else "window"
+    # The edge table is LOOP-INVARIANT and its lineage is shallow, so
+    # it is PERSISTED, not checkpointed (r12): localCheckpoint erases
+    # outputPartitioning (Spark 4 rebuilds the plan over a bare
+    # LogicalRDD — verified: an explicitly repartitioned, checkpointed
+    # side still gets a fresh Exchange under SortMergeJoin), which
+    # forced a full |E| re-shuffle on head EVERY iteration.  An
+    # explicit hash repartition FED INTO the outdeg computation (the
+    # window / groupBy reuse it — no extra exchange) survives inside
+    # the cached InMemoryRelation, so each iteration's rank join
+    # re-shuffles only the |V'|-row mass table, never the edges.
+    spark = edges.sparkSession
+    try:
+        part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        part = spark.sparkContext.defaultParallelism
+    e = e.repartition(part, "head")
     if shape == "join":
         deg = e.groupBy("head").agg(F.count("*").alias("outdeg"))
         # LEFT join, not inner: an inner equi-join silently drops
@@ -131,19 +147,38 @@ def pagerank(
         # here with a null outdeg, and contribute no mass in either
         # form (the per-iteration rank join is an inner equi-join on
         # head, which both shapes route null heads out of).
-        edges_w = e.join(deg, "head", "left").localCheckpoint(eager=True)
+        edges_w = e.join(deg, "head", "left").persist()
     else:
         edges_w = e.withColumn(
             "outdeg", F.count("*").over(Window.partitionBy("head"))
-        ).localCheckpoint(eager=True)
+        ).persist()
+    edges_w.count()  # materialize eagerly, like the checkpoint it replaces
     nodes = (
         edges_w.select(F.col("head").alias("node"))
         .union(edges_w.select("tail"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_df = nodes.agg(F.count("*").alias("_n"))
-    # rank-vector delivery: when the per-node rank table is small,
+    # |V| counted ONCE driver-side (one count job) and folded into the
+    # iteration expressions as a literal — the previous shape recounted
+    # nodes (an aggregate + single-partition exchange) and rebuilt a
+    # one-row broadcast EVERY iteration.
+    n = nodes.count()
+    if n == 0:
+        # empty graph: the |V| literal would constant-fold into an
+        # ANSI divide-by-zero at PLANNING time (unlike the old
+        # column-based division, which no row ever evaluated)
+        _free(nodes)
+        try:
+            edges_w.unpersist()
+        except Exception:
+            pass
+        return nodes.select(
+            "node",
+            F.lit(None).cast("bigint").alias("rank_micro"),
+            F.lit(None).cast("double").alias("rank"),
+        ).where(F.lit(False))
+    # rank-vector delivery: when the per-node mass table is small,
     # BROADCAST it into the edge join — the edge table never shuffles
     # and each iteration is a map-side join + one aggregate (the
     # GraphX-style small-graph fast path).  The crossover is LOW:
@@ -153,64 +188,104 @@ def pagerank(
     # 40.8 s vs 20.9 s at 1.85M nodes (broadcast loses 2x).  Auto
     # unless overridden.
     if broadcast_ranks is None:
-        broadcast_ranks = nodes.count() <= 500_000
-    if sources is not None:
-        # tiny literal membership set: teleport targets
-        src = F.array(*[F.lit(x) for x in sources])
-        is_src = F.array_contains(src, F.col("node"))
-        n_src = float(len(sources))
-        ranks = nodes.select(
-            "node",
-            F.when(is_src, F.round(F.lit(1e6 / n_src)).cast("bigint"))
-            .otherwise(F.lit(0))
-            .alias("rank_micro"),
-        )
-        tele_term = F.when(
-            is_src, F.round(F.lit(tele / n_src)).cast("bigint")
-        ).otherwise(F.lit(0))
-    else:
-        ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-            "node", F.round(F.lit(1e6) / F.col("_n")).cast("bigint").alias("rank_micro")
-        )
-        tele_term = None
-    for _ in range(iters):
-        prev = ranks
-        r = ranks.withColumnRenamed("node", "head")
-        summed = (
-            edges_w.join(F.broadcast(r) if broadcast_ranks else r, "head")
-            .select(
+        broadcast_ranks = n <= 500_000
+
+    # r12 iteration shape: the NODES table leaves the loop.  Since
+    # rank_t(u) = tele(u) + round(d · s_{t-1}(u)) with s_{t-1}(u) = 0
+    # when u received no mass, the per-edge contribution can be
+    # reconstructed from the previous round's in-mass table alone —
+    # edges LEFT JOIN summed, coalesce(s, 0).  The previous shape
+    # rebuilt a full |V|-row rank table each round (nodes ⟕ summed:
+    # one extra |V| shuffle + sort per iteration); now one join + one
+    # aggregate per round is ALL the traffic, and the full node set is
+    # joined back exactly once at the end.  Arithmetic is expression-
+    # identical, so ranks are bit-identical to the unrolled SQL oracle.
+    def _tele_init_for(col: str):
+        """(teleport-term, init-rank) expressions keyed on ``col``."""
+        if sources is not None:
+            src = F.array(*[F.lit(x) for x in sources])
+            is_src = F.array_contains(src, F.col(col))
+            n_src = float(len(sources))
+            tele_c = F.when(
+                is_src, F.round(F.lit(tele / n_src)).cast("bigint")
+            ).otherwise(F.lit(0))
+            init_c = (
+                F.when(is_src, F.round(F.lit(1e6 / n_src)).cast("bigint"))
+                .otherwise(F.lit(0))
+            )
+        else:
+            tele_c = F.round(F.lit(tele) / F.lit(n)).cast("bigint")
+            init_c = F.round(F.lit(1e6) / F.lit(n)).cast("bigint")
+        return tele_c, init_c
+
+    tele_h, init_h = _tele_init_for("head")
+    # null-head edges carry no mass in either outdeg shape (the old
+    # inner rank join routed them out); with the left-join iteration
+    # they must be filtered explicitly or they'd contribute teleport
+    # mass from a nonexistent source
+    contrib = edges_w.where(F.col("head").isNotNull())
+
+    def _spread(rank_of_head):
+        """One power-iteration round: per-edge integer mass split +
+        tail aggregate — the irreducible PageRank traffic."""
+        return (
+            rank_of_head.select(
                 F.col("tail").alias("node"),
                 F.expr("rank_micro DIV outdeg").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .crossJoin(F.broadcast(n_df))
-            .select(
-                "node",
-                (
-                    (
-                        tele_term
-                        if tele_term is not None
-                        else F.round(F.lit(tele) / F.col("_n")).cast("bigint")
-                    )
-                    + F.round(
-                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
-                    ).cast("bigint")
-                ).alias("rank_micro"),
+
+    summed = None
+    for it in range(iters):
+        prev = summed
+        if summed is None:
+            # round 0 needs no join at all: r₀ is a pure expression of
+            # head membership
+            spread_in = contrib.withColumn("rank_micro", init_h)
+        else:
+            s_head = summed.select(F.col("node").alias("head"), "s")
+            spread_in = contrib.join(
+                F.broadcast(s_head) if broadcast_ranks else s_head,
+                "head",
+                "left",
+            ).withColumn(
+                "rank_micro",
+                tele_h
+                + F.round(
+                    F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
+                ).cast("bigint"),
             )
-            # materialize per iteration: the unrolled 5-deep DAG would
-            # otherwise re-derive every prior iteration inside each
-            # broadcast build; the table is 2 slim columns per node
-            .localCheckpoint(eager=True)
-        )
+        # materialize per iteration: the unrolled 5-deep DAG would
+        # otherwise re-derive every prior iteration inside each
+        # broadcast build; the table is 2 slim columns per node
+        summed = _spread(spread_in).localCheckpoint(eager=True)
         # superseded round's blocks free NOW (ckpt contract): at most
-        # two rank versions ever hold storage, and nothing leaks into
+        # two mass versions ever hold storage, and nothing leaks into
         # the session once the final ranks materialize
-        _free(prev)
-    _free(edges_w)
+        if prev is not None:
+            _free(prev)
+    tele_n, init_n = _tele_init_for("node")
+    if summed is None:  # iters == 0: the init vector is the answer
+        ranks = nodes.select("node", init_n.alias("rank_micro"))
+    else:
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                tele_n
+                + F.round(
+                    F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
+                ).cast("bigint")
+            ).alias("rank_micro"),
+        )
+    ranks = ranks.localCheckpoint(eager=True)
+    if summed is not None:
+        _free(summed)
+    try:
+        edges_w.unpersist()  # cached, not checkpointed — plain unpersist
+    except Exception:
+        pass
     _free(nodes)
     return ranks.select(
         "node", "rank_micro", F.round(F.col("rank_micro") / 1e6, 6).alias("rank")

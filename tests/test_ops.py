@@ -1163,6 +1163,65 @@ def test_pagerank_replication(spark):
     assert got["c"] > got["e"]
 
 
+def test_pagerank_zero_iters_collectable(spark):
+    """iters=0 returns the uniform init vector and must stay
+    collectable AFTER the operator's internal caches are released —
+    the pre-r12 shape returned a plan that still referenced the freed
+    node checkpoint (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on collect)."""
+    from klinker_spark.ops.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), (None, "c")], "head string, tail string"
+    )
+    got = {r["node"]: r["rank_micro"] for r in pagerank(edges, iters=0).collect()}
+    # 4 nodes incl. the null head; uniform round(1e6/4)
+    assert got == {"a": 250000, "b": 250000, "c": 250000, None: 250000}
+    # empty graph: the |V| literal must not constant-fold into an ANSI
+    # divide-by-zero at planning time (r12)
+    empty = spark.createDataFrame([], "head string, tail string")
+    assert pagerank(empty, iters=3).count() == 0
+
+
+def test_pagerank_iteration_reuses_cached_edge_partitioning(spark):
+    """The per-iteration rank join must consume the persisted edge
+    table's hash partitioning directly — re-shuffling |E| rows every
+    round is the difference between O(|V|) and O(|E|+|V|) traffic per
+    iteration at lake scale.  Pin: during pagerank, the cached edge
+    relation exists and is hash-partitioned on head (the loop plans
+    are internal, so assert the mechanism: an equi-join on head atop
+    the persisted frame plans NO exchange above the InMemoryTableScan)."""
+    import pyspark.sql.functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        e = (
+            spark.createDataFrame(
+                [(i % 7, i) for i in range(100)], "head bigint, tail bigint"
+            )
+            .repartition(part, "head")
+            .persist()
+        )
+        e.count()
+        s = spark.createDataFrame(
+            [(i, i * 10) for i in range(7)], "head bigint, s bigint"
+        )
+        plan = (
+            e.join(s, "head", "left")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        left, _, _ = plan.partition("InMemoryTableScan")
+        assert "InMemoryTableScan" in plan, plan
+        # no exchange on the streamed/cached side above the cache scan
+        assert "Exchange" not in left.rsplit("SortMergeJoin", 1)[-1], plan
+    finally:
+        e.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_pmi_bigrams(spark):
     import math
 
