@@ -98,9 +98,17 @@ def propagate(
     # per hop in the lazy plan — persist so the union/distinct/degree
     # pipeline runs once, not ``depth`` times.  Standard iterative-graph
     # practice (GraphX does the same); memory is O(|edges|) rows of
-    # (head, tail, w).
+    # (head, tail, w).  r12: the cached copy is pre-partitioned on the
+    # per-hop join key, so every hop's edge join consumes the cached
+    # hash layout exchange-free (a bare persist kept whatever upstream
+    # layout existed and re-shuffled |E| per hop).
     if depth > 1:
-        edges = edges.persist()
+        spark = edges.sparkSession
+        try:
+            part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            part = spark.sparkContext.defaultParallelism
+        edges = edges.repartition(part, "tail").persist()
     # dim comes from the caller (encoders know it) — probing it with a
     # .first() action would re-execute the whole upstream encoder
     # pipeline once per encode (measured +20 s cold on the sf0.1 gcn
@@ -350,9 +358,17 @@ class LightEAEncoder(GCNFrameEncoder):
         rel_ent = trip.select("r", F.col("head").alias("id")).distinct()
         ent_rel = trip.select(F.col("tail").alias("id"), "r").distinct()
         if self.depth > 1:
-            ee = ee.persist()
-            rel_ent = rel_ent.persist()
-            ent_rel = ent_rel.persist()
+            # r12: each loop-invariant table caches pre-partitioned on
+            # ITS per-hop join key — exchange-free hop joins (see
+            # propagate())
+            spark = rels.sparkSession
+            try:
+                part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except Exception:
+                part = spark.sparkContext.defaultParallelism
+            ee = ee.repartition(part, "dst").persist()
+            rel_ent = rel_ent.repartition(part, "id").persist()
+            ent_rel = ent_rel.repartition(part, "r").persist()
 
         def l2(df: DataFrame, key: str) -> DataFrame:
             n = df.groupBy(key).agg(

@@ -47,6 +47,11 @@ __all__ = [
 ]
 
 
+#: hits() keeps two per-key-partitioned cached edge layouts only above
+#: this many distinct edges — below it the score tables broadcast and
+#: the edge side already streams exchange-free (see hits()).
+HITS_PARTITIONED_EDGE_MIN = 2_000_000
+
 #: outdeg-shape probe (r11, closes the r10 documented escape hatch):
 #: the window form funnels a celebrity head's entire out-edge set
 #: through ONE task (AQE never splits window partitions); above this
@@ -503,11 +508,22 @@ def label_propagation(
         .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
         .distinct()
     )
+    # loop-invariant adjacency: PERSISTED pre-partitioned on the join
+    # key (r12, the pagerank lesson — localCheckpoint erases
+    # outputPartitioning in Spark 4, which re-shuffled |adj| on nbr
+    # every round; the cached hash layout joins exchange-free)
+    spark = edges.sparkSession
+    try:
+        part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        part = spark.sparkContext.defaultParallelism
     adj = (
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v"), F.col("u")))
-        .localCheckpoint(eager=True)
+        .repartition(part, "nbr")
+        .persist()
     )
+    adj.count()
     labels = adj.select("node").distinct().withColumn("lab", F.col("node"))
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lab")
     for _ in range(iters):
@@ -523,7 +539,10 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
         _free(prev)
-    _free(adj)
+    try:
+        adj.unpersist()  # cached, not checkpointed — plain unpersist
+    except Exception:
+        pass
     return labels.select("node", F.col("lab").alias("community"))
 
 
@@ -610,7 +629,16 @@ def bfs_distances(
         .distinct()
     )
     e = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    e = e.localCheckpoint(eager=True)
+    # loop-invariant edges: persisted pre-partitioned on the per-level
+    # join key (r12, the pagerank lesson) — each frontier expansion
+    # joins the cached layout exchange-free instead of re-shuffling
+    # |E| per level
+    try:
+        part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        part = spark.sparkContext.defaultParallelism
+    e = e.repartition(part, "u").persist()
+    e.count()
     node_type = e.schema["u"].dataType.simpleString()
     dist = spark.createDataFrame(
         [(s, 0) for s in sources], f"node {node_type}, dist INT"
@@ -635,7 +663,10 @@ def bfs_distances(
             _free(frontier)
         _free(dist)
         dist, frontier = new_dist, nxt
-    _free(e)
+    try:
+        e.unpersist()  # cached, not checkpointed — plain unpersist
+    except Exception:
+        pass
     return dist
 
 
@@ -667,19 +698,44 @@ def hits(
     """
     if iters < 1:
         raise ValueError(f"hits() needs iters >= 1, got {iters}")
-    e = (
+    # loop-invariant edges, joined on BOTH endpoints each iteration
+    # (hub update on p, authority update on c).  Above the size gate:
+    # TWO persisted copies, each pre-partitioned on its join key (r12,
+    # the pagerank lesson — a checkpointed edge table re-shuffled |E|
+    # twice per iteration under SortMergeJoin; two slim cached layouts
+    # join exchange-free, the GraphX both-directions trade).  Below
+    # it the score tables broadcast anyway (the edge side streams
+    # map-side, exchange-free already), so ONE plain cached copy wins
+    # — measured at sf0.1: single-copy 4.8-6.0 s vs two-layout
+    # 5.3-6.8 s, while at SMJ scale the layouts save 2·iters |E|
+    # shuffles for 2 builds.
+    spark = edges.sparkSession
+    try:
+        part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        part = spark.sparkContext.defaultParallelism
+    e0 = (
         edges.select(F.col(a_col).alias("c"), F.col(b_col).alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    n_edges = e0.count()
+    if n_edges > HITS_PARTITIONED_EDGE_MIN:
+        e_by_p = e0.repartition(part, "p").persist()
+        e_by_p.count()
+        e_by_c = e0.repartition(part, "c").persist()
+        e_by_c.count()
+        e0.unpersist()
+    else:
+        e_by_p = e_by_c = e0
     a = (
-        e.select("p")
+        e_by_p.select("p")
         .distinct()
         .withColumn("score", F.lit(1_000_000).cast("bigint"))
     )
     hn = None
     for _ in range(iters):
-        h = e.join(a, "p").groupBy("c").agg(F.sum("score").alias("s"))
+        h = e_by_p.join(a, "p").groupBy("c").agg(F.sum("score").alias("s"))
         tot_h = h.agg(F.sum("s").alias("tot"))
         prev_h = hn
         hn = (
@@ -688,7 +744,7 @@ def hits(
             .localCheckpoint(eager=True)
         )
         _free(prev_h)
-        a2 = e.join(hn, "c").groupBy("p").agg(F.sum("score").alias("s"))
+        a2 = e_by_c.join(hn, "c").groupBy("p").agg(F.sum("score").alias("s"))
         tot_a = a2.agg(F.sum("s").alias("tot"))
         prev_a = a
         a = (
@@ -697,7 +753,11 @@ def hits(
             .localCheckpoint(eager=True)
         )
         _free(prev_a)
-    _free(e)
+    for cached in (e_by_p, e_by_c):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
     return hn.select(
         F.col("c").alias("node"), F.lit("hub").alias("kind"), F.col("score").alias("score_ppm")
     ).unionAll(
