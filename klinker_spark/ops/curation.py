@@ -276,10 +276,21 @@ def connected_components(
         return _star_components(pairs, ids, max_iter)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+    # loop-invariant adjacency: cached pre-partitioned on the per-round
+    # join key (r12, the pagerank lesson — a bare persist keeps
+    # whatever upstream layout existed and the label join re-shuffles
+    # |E| every round under SortMergeJoin; the cached hash layout
+    # joins exchange-free)
+    spark = edges.sparkSession
+    try:
+        part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        part = spark.sparkContext.defaultParallelism
     und = (
         pairs.unionByName(pairs.select(F.col("nid").alias("id"), F.col("id").alias("nid")))
         .where(F.col("id") != F.col("nid"))
         .distinct()
+        .repartition(part, "nid")
         .persist()
     )
     labels = ids.withColumn("label", F.col("id"))
