@@ -250,7 +250,16 @@ def composite_unique_name_blocking(spark, sf_dir):
         ),
         "customer",
     )
-    unique = UniqueNameBlocker().assign(left_u, right_u).persisted(effective=True)
+    # materialize=False: every consumer (two covered-id anti-joins +
+    # combine_all) drains inside the single terminal action, which fills
+    # the cache on first touch — the eager union-count is a pure serial
+    # job barrier here (interleaved A/B at sf0.1: eager 4.4-6.3 s vs
+    # lazy 4.0-4.8 s, identical results)
+    unique = (
+        UniqueNameBlocker()
+        .assign(left_u, right_u)
+        .persisted(effective=True, materialize=False)
+    )
 
     from ..blockers.composite import filter_with_unique as fwu
     from ..blockers.token import TokenBlocker

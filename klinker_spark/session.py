@@ -317,7 +317,9 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (headless harness); flip on for stage-level
+        # profiling via the REST status API (guide §7.1)
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI_ENABLED", "false"))
         # Driver heap MUST stay under ~32 GiB: above that the JVM
         # disables compressed ordinary object pointers (CompressedOops)
         # and every reference doubles to 8 bytes — measured here as
