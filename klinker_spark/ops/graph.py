@@ -47,10 +47,19 @@ __all__ = [
 ]
 
 
-#: hits() keeps two per-key-partitioned cached edge layouts only above
-#: this many distinct edges — below it the score tables broadcast and
-#: the edge side already streams exchange-free (see hits()).
-HITS_PARTITIONED_EDGE_MIN = 2_000_000
+#: Bounded-iteration operators (hits, label_propagation, bfs_distances)
+#: keep their loop-invariant edge table as a per-key-partitioned CACHED
+#: copy only above this many rows.  At SMJ scale that layout saves one
+#: |E| shuffle per round (localCheckpoint erases outputPartitioning in
+#: Spark 4).  Below it the per-round score/label/frontier side
+#: broadcasts anyway — the edge side already streams exchange-free —
+#: so the extra exchange + cache build and the cached relation's
+#: untruncated per-round analysis plan are pure cost.  Interleaved
+#: same-session A/B at sf0.1, warm reps (r12): checkpointed vs cached
+#: hits 3.2-3.9 s vs 4.5-5.5 s, token_community 2.5-2.7 vs 2.9-3.4,
+#: bfs_reach 3.7-4.7 vs 4.0-5.9 — the r11 checkpoint shape wins below
+#: the gate everywhere.
+ITER_PARTITIONED_EDGE_MIN = 2_000_000
 
 #: outdeg-shape probe (r11, closes the r10 documented escape hatch):
 #: the window form funnels a celebrity head's entire out-edge set
@@ -508,22 +517,26 @@ def label_propagation(
         .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
         .distinct()
     )
-    # loop-invariant adjacency: PERSISTED pre-partitioned on the join
-    # key (r12, the pagerank lesson — localCheckpoint erases
-    # outputPartitioning in Spark 4, which re-shuffled |adj| on nbr
-    # every round; the cached hash layout joins exchange-free)
-    spark = edges.sparkSession
-    try:
-        part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        part = spark.sparkContext.defaultParallelism
-    adj = (
+    # loop-invariant adjacency: checkpointed at toy scale; above the
+    # size gate a cached copy PRE-PARTITIONED on the join key (r12, the
+    # pagerank lesson — localCheckpoint erases outputPartitioning in
+    # Spark 4, which re-shuffled |adj| on nbr every round at SMJ scale;
+    # below the gate the label table broadcasts and the checkpoint's
+    # truncated lineage wins — see ITER_PARTITIONED_EDGE_MIN's A/B)
+    adj0 = (
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v"), F.col("u")))
-        .repartition(part, "nbr")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    adj.count()
+    adj = adj0
+    if adj0.count() > ITER_PARTITIONED_EDGE_MIN:
+        spark = edges.sparkSession
+        try:
+            part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            part = spark.sparkContext.defaultParallelism
+        adj = adj0.repartition(part, "nbr").persist()
+        adj.count()
     labels = adj.select("node").distinct().withColumn("lab", F.col("node"))
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lab")
     for _ in range(iters):
@@ -539,10 +552,12 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
         _free(prev)
-    try:
-        adj.unpersist()  # cached, not checkpointed — plain unpersist
-    except Exception:
-        pass
+    if adj is not adj0:
+        try:
+            adj.unpersist()  # cached, not checkpointed — plain unpersist
+        except Exception:
+            pass
+    _free(adj0)
     return labels.select("node", F.col("lab").alias("community"))
 
 
@@ -629,16 +644,21 @@ def bfs_distances(
         .distinct()
     )
     e = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    # loop-invariant edges: persisted pre-partitioned on the per-level
-    # join key (r12, the pagerank lesson) — each frontier expansion
-    # joins the cached layout exchange-free instead of re-shuffling
-    # |E| per level
-    try:
-        part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        part = spark.sparkContext.defaultParallelism
-    e = e.repartition(part, "u").persist()
-    e.count()
+    # loop-invariant edges: checkpointed at toy scale; above the size
+    # gate a cached copy pre-partitioned on the per-level join key
+    # (r12, the pagerank lesson) — each frontier expansion then joins
+    # the cached layout exchange-free instead of re-shuffling |E| per
+    # level, while below the gate the frontier broadcasts and the
+    # checkpoint's truncated lineage wins (ITER_PARTITIONED_EDGE_MIN)
+    e0 = e.localCheckpoint(eager=True)
+    e = e0
+    if e0.count() > ITER_PARTITIONED_EDGE_MIN:
+        try:
+            part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            part = spark.sparkContext.defaultParallelism
+        e = e0.repartition(part, "u").persist()
+        e.count()
     node_type = e.schema["u"].dataType.simpleString()
     dist = spark.createDataFrame(
         [(s, 0) for s in sources], f"node {node_type}, dist INT"
@@ -663,10 +683,12 @@ def bfs_distances(
             _free(frontier)
         _free(dist)
         dist, frontier = new_dist, nxt
-    try:
-        e.unpersist()  # cached, not checkpointed — plain unpersist
-    except Exception:
-        pass
+    if e is not e0:
+        try:
+            e.unpersist()  # cached, not checkpointed — plain unpersist
+        except Exception:
+            pass
+    _free(e0)
     return dist
 
 
@@ -703,29 +725,30 @@ def hits(
     # TWO persisted copies, each pre-partitioned on its join key (r12,
     # the pagerank lesson — a checkpointed edge table re-shuffled |E|
     # twice per iteration under SortMergeJoin; two slim cached layouts
-    # join exchange-free, the GraphX both-directions trade).  Below
-    # it the score tables broadcast anyway (the edge side streams
-    # map-side, exchange-free already), so ONE plain cached copy wins
-    # — measured at sf0.1: single-copy 4.8-6.0 s vs two-layout
-    # 5.3-6.8 s, while at SMJ scale the layouts save 2·iters |E|
-    # shuffles for 2 builds.
-    spark = edges.sparkSession
-    try:
-        part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        part = spark.sparkContext.defaultParallelism
+    # join exchange-free, the GraphX both-directions trade), which
+    # saves 2·iters |E| shuffles for 2 builds.  Below the gate the
+    # score tables broadcast anyway (the edge side streams map-side,
+    # exchange-free already), so the r11 localCheckpoint shape is kept:
+    # lineage truncated, per-round plans stay tiny (see the gate
+    # constant's A/B — a plain cached copy was measured strictly worse
+    # than the checkpoint at toy scale).
     e0 = (
         edges.select(F.col(a_col).alias("c"), F.col(b_col).alias("p"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_edges = e0.count()
-    if n_edges > HITS_PARTITIONED_EDGE_MIN:
+    if n_edges > ITER_PARTITIONED_EDGE_MIN:
+        spark = edges.sparkSession
+        try:
+            part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            part = spark.sparkContext.defaultParallelism
         e_by_p = e0.repartition(part, "p").persist()
         e_by_p.count()
         e_by_c = e0.repartition(part, "c").persist()
         e_by_c.count()
-        e0.unpersist()
+        _free(e0)
     else:
         e_by_p = e_by_c = e0
     a = (
@@ -753,11 +776,14 @@ def hits(
             .localCheckpoint(eager=True)
         )
         _free(prev_a)
-    for cached in (e_by_p, e_by_c):
-        try:
-            cached.unpersist()
-        except Exception:
-            pass
+    if e_by_p is e0:
+        _free(e0)
+    else:
+        for cached in (e_by_p, e_by_c):
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
     return hn.select(
         F.col("c").alias("node"), F.lit("hub").alias("kind"), F.col("score").alias("score_ppm")
     ).unionAll(

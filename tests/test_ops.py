@@ -1182,6 +1182,34 @@ def test_pagerank_zero_iters_collectable(spark):
     assert pagerank(empty, iters=3).count() == 0
 
 
+def test_iter_partition_gate_result_invariant(spark, monkeypatch):
+    """hits / label_propagation / bfs_distances take a pre-partitioned
+    cached edge copy only above ITER_PARTITIONED_EDGE_MIN (below it the
+    r11 localCheckpoint shape wins — measured, see the constant).  The
+    gate is a physical-layout switch and must be RESULT-invariant:
+    force both branches on the same graph and pin bit-equality."""
+    import klinker_spark.ops.graph as g
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("e", "a"), ("b", "e"),
+    ]
+    e_df = spark.createDataFrame(edges, "x string, y string")
+
+    def run_all():
+        return (
+            sorted(map(tuple, g.hits(e_df, iters=2, a_col="x", b_col="y").collect())),
+            sorted(map(tuple, g.label_propagation(e_df, iters=3, a_col="x", b_col="y").collect())),
+            sorted(map(tuple, g.bfs_distances(e_df, ["a"], max_depth=3, a_col="x", b_col="y").collect())),
+        )
+
+    below = run_all()  # default gate: checkpoint branch
+    monkeypatch.setattr(g, "ITER_PARTITIONED_EDGE_MIN", 0)
+    above = run_all()  # forced: pre-partitioned cached branch
+    assert below == above
+    assert below[0]  # non-degenerate
+
+
 def test_pagerank_iteration_reuses_cached_edge_partitioning(spark):
     """The per-iteration rank join must consume the persisted edge
     table's hash partitioning directly — re-shuffling |E| rows every
