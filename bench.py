@@ -286,44 +286,63 @@ _RETRY_CAP_PER_LANE = 6  # a globally-degraded session must not 2x the run
 
 
 def _committed_refs() -> dict[tuple[str, str], float]:
-    """Per-(lane, query) reference times from the COMMITTED
-    BENCH_LOCAL.json — ``git show HEAD:`` so a second run in the same
-    session does not compare against the first run's fresh artifact;
-    falls back to the on-disk file on a gitless checkout."""
+    """Per-(lane, query) reference times: the per-row MINIMUM across the
+    last few COMMITTED versions of BENCH_LOCAL.json (``git log`` +
+    ``git show`` so a second run in the same session does not compare
+    against the first run's fresh artifact).  A single artifact is not a
+    trustworthy reference on this host — the io dimension flaps
+    minute-to-minute, so any one committed row can itself be
+    flap-inflated (r12 found golden_records committed at 27.6 s masking
+    a real 11.5 s sample whose healthy history is ~5 s).  The min across
+    recent same-shape artifacts is the healthiest recorded cost; rows
+    that beat it merely skip the (cheap, capped) retry.  Falls back to
+    the on-disk file on a gitless checkout."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    raw = None
+    raws: list[str] = []
     try:
-        raw = subprocess.run(
-            ["git", "-C", here, "show", "HEAD:BENCH_LOCAL.json"],
+        shas = subprocess.run(
+            ["git", "-C", here, "log", "-n", "4", "--format=%H",
+             "HEAD", "--", "BENCH_LOCAL.json"],
             capture_output=True,
             text=True,
             timeout=30,
-        ).stdout
+        ).stdout.split()
+        for sha in shas:
+            out = subprocess.run(
+                ["git", "-C", here, "show", f"{sha}:BENCH_LOCAL.json"],
+                capture_output=True,
+                text=True,
+                timeout=30,
+            ).stdout
+            if out:
+                raws.append(out)
     except Exception:
         pass
-    if not raw:
+    if not raws:
         try:
             with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
-                raw = fh.read()
+                raws = [fh.read()]
         except OSError:
             return {}
-    try:
-        rec = json.loads(raw)
-    except ValueError:
-        return {}
     refs: dict[tuple[str, str], float] = {}
-    for lane, section in (
-        ("headline", rec.get("queries", {})),
-        ("curation", rec.get("queries_curation", {})),
-        ("extras", rec.get("queries_extra", {})),
-        ("sf1", (rec.get("sf1") or {}).get("queries", {})),
-        ("streaming", rec.get("queries_streaming_sf1", {})),
-    ):
-        for name, t in section.items():
-            if isinstance(t, (int, float)) and t > 0:
-                refs[(lane, name)] = float(t)
+    for raw in raws:
+        try:
+            rec = json.loads(raw)
+        except ValueError:
+            continue
+        for lane, section in (
+            ("headline", rec.get("queries", {})),
+            ("curation", rec.get("queries_curation", {})),
+            ("extras", rec.get("queries_extra", {})),
+            ("sf1", (rec.get("sf1") or {}).get("queries", {})),
+            ("streaming", rec.get("queries_streaming_sf1", {})),
+        ):
+            for name, t in section.items():
+                if isinstance(t, (int, float)) and t > 0:
+                    key = (lane, name)
+                    refs[key] = min(refs.get(key, float(t)), float(t))
     return refs
 
 
