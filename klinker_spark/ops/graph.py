@@ -580,11 +580,24 @@ def k_core(
     surviving-node set; edge table shrinks monotonically; per-round
     ``localCheckpoint`` bounds lineage (the :func:`pagerank`
     contract).
+
+    Ids ride in their NATIVE type (guide §2.3 narrower types): every
+    per-round shuffle (degree aggregate + the semi-join build sides)
+    hashes/compares the node id, and a tagged-bigint caller pays ~3×
+    the bytes if the ids are re-widened to strings here.  The
+    ``least``/``greatest`` canonicalization differs between orderings,
+    but the UNDIRECTED pair set after ``distinct`` — and hence every
+    degree count and peel — is representation-invariant.  Mixed-type
+    endpoint columns fall back to the old string form.
     """
-    e = (
-        edges.select(
-            F.col(a_col).cast("string").alias("x"), F.col(b_col).cast("string").alias("y")
+    if edges.schema[a_col].dataType != edges.schema[b_col].dataType:
+        edges = edges.select(
+            F.col(a_col).cast("string").alias(a_col),
+            F.col(b_col).cast("string").alias(b_col),
+            *[c for c in edges.columns if c not in (a_col, b_col)],
         )
+    e = (
+        edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .where(F.col("x") != F.col("y"))
         .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
         .distinct()
