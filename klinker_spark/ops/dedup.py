@@ -110,6 +110,8 @@ def minhash_lsh_dedup(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     max_bucket: int | None = None,
+    shingles: DataFrame | None = None,
+    shingles_col: str = "sh",
 ) -> DataFrame:
     """MinHash banded near-dup candidates.
 
@@ -134,25 +136,48 @@ def minhash_lsh_dedup(
     The result is materialized (``localCheckpoint``) and the internal
     signature cache released before return — long sessions accumulate
     nothing.
+
+    ``shingles``: optional pre-tokenized ``(doc_id, shingles_col)``
+    frame — when the caller already materialized the per-doc shingle
+    sets for its own use (e.g. the precision/recall audit's exact-
+    Jaccard lanes), passing them here skips this op's duplicate
+    tokenize+shingle pass over the corpus (guide §1.2: don't compute
+    the same thing twice).  Value-equivalent by construction: the
+    internal pipeline is exactly ``word_shingles(tokenize(text), k)``
+    and :func:`minhash_signatures` deduplicates items within the row,
+    so a within-row-distinct shingle set yields the identical
+    signature, and zero-shingle docs emit no signature row on either
+    path.  The caller owns the frame's lifecycle (persist/widen).
     """
     from ..session import widen_for_kernel
 
     rows = num_perm // bands
-    # the per-row tokenize + shingle + num_perm-hash signature pipeline
-    # is CPU-per-row work a byte-sized narrow scan serializes onto one
-    # core (r12 — same class as duplicated_span_stats; A/B: 2.2-3.4 s
-    # -> 1.9-2.0 s at sf0.1).  Wide lake scans pass through untouched.
-    toks = widen_for_kernel(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
-    )
-    sigs = minhash_signatures(
-        toks,
-        word_shingles(F.col("tk"), shingle_k),
-        id_col="doc_id",
-        num_perm=num_perm,
-        seed=seed,
-        hash_fn=hash_fn,
-    )
+    if shingles is not None:
+        sigs = minhash_signatures(
+            shingles.select(F.col(id_col).alias("doc_id"), F.col(shingles_col)),
+            F.col(shingles_col),
+            id_col="doc_id",
+            num_perm=num_perm,
+            seed=seed,
+            hash_fn=hash_fn,
+        )
+    else:
+        # the per-row tokenize + shingle + num_perm-hash signature
+        # pipeline is CPU-per-row work a byte-sized narrow scan
+        # serializes onto one core (r12 — same class as
+        # duplicated_span_stats; A/B: 2.2-3.4 s -> 1.9-2.0 s at
+        # sf0.1).  Wide lake scans pass through untouched.
+        toks = widen_for_kernel(docs.select(id_col, text_col)).select(
+            F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
+        )
+        sigs = minhash_signatures(
+            toks,
+            word_shingles(F.col("tk"), shingle_k),
+            id_col="doc_id",
+            num_perm=num_perm,
+            seed=seed,
+            hash_fn=hash_fn,
+        )
     band_hash = F.md5 if hash_fn == "md5" else F.xxhash64
     band_keys = F.array(
         *[

@@ -352,21 +352,38 @@ def lsh_precision_recall_audit_q(spark, sf_dir):
     zero denominators report 1 000 000 (nothing to catch ⇒ nothing
     missed)."""
     from ..functions.text import word_shingles
+    from ..session import widen_for_kernel
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup(docs, num_perm=32, bands=8, hash_fn="md5")
-    sh = (
-        docs.select("doc_id", tokenize("text", 1, []).alias("tk"))
+    # ONE widened tokenize+shingle pass feeds both the LSH signature
+    # pipeline (via the shingles= pass-through) and the exact-Jaccard
+    # lanes below — previously the corpus was tokenized+shingled twice,
+    # and this copy ran on the narrow byte-sized scan (the
+    # duplicated_span_stats serialization class, r12).  Signatures from
+    # a within-row-distinct shingle set are value-identical (MinHash is
+    # set-semantics; minhash_signatures array_distincts internally).
+    sh_all = (
+        widen_for_kernel(docs.select("doc_id", "text"))
+        .select("doc_id", tokenize("text", 1, []).alias("tk"))
         .select(
             "doc_id",
             F.array_distinct(word_shingles(F.col("tk"), 3)).alias("sh"),
         )
-        # Zero-shingle (empty/short) docs carry no Jaccard evidence; the
-        # oracle drops them via its inner join on the exploded-shingle
-        # size CTE, so drop them here too — otherwise a sampled pair of
-        # two empty docs would satisfy 2·0 ≥ 0 and count as a true dup.
-        .where(F.size("sh") > 0)
         .persist()
+    )
+    # Zero-shingle (empty/short) docs carry no Jaccard evidence; the
+    # oracle drops them via its inner join on the exploded-shingle
+    # size CTE, so drop them here too — otherwise a sampled pair of
+    # two empty docs would satisfy 2·0 ≥ 0 and count as a true dup.
+    # (They emit no LSH signature row on either path.)  The filter
+    # sits ABOVE the persist: pushed below it, FilterExec re-evaluates
+    # the whole tokenize+shingle chain per row for its size() operand
+    # (no cross-operator subexpression reuse — measured 8x: 0.45 s ->
+    # 3.9 s at sf0.1); on the cache it is a size() probe of stored
+    # arrays.
+    sh = sh_all.where(F.size("sh") > 0)
+    pairs = minhash_lsh_dedup(
+        docs, num_perm=32, bands=8, hash_fn="md5", shingles=sh
     )
 
     def _jaccard_flags(pair_df):
@@ -428,7 +445,7 @@ def lsh_precision_recall_audit_q(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
-    sh.unpersist()
+    sh_all.unpersist()
     return out
 
 

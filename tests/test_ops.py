@@ -81,6 +81,36 @@ def test_minhash_dedup_md5_mode(dup_docs):
     assert pairs == again
 
 
+def test_minhash_dedup_precomputed_shingles_identical(dup_docs):
+    """The shingles= pass-through (skips the internal tokenize+shingle
+    pass when the caller already built the per-doc shingle sets) must
+    yield the exact pair set of the internal pipeline, for both hash
+    modes — including when the caller's frame is within-row distinct
+    and filtered to non-empty sets (the audit's shape)."""
+    from pyspark.sql import functions as F
+
+    from klinker_spark.functions.text import tokenize, word_shingles
+
+    sh = dup_docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokenize("text", 1, []), 3)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    for fn in ("xxhash64", "md5"):
+        internal = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_dedup(
+                dup_docs, num_perm=32, bands=16, hash_fn=fn
+            ).collect()
+        }
+        passed = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_dedup(
+                dup_docs, num_perm=32, bands=16, hash_fn=fn, shingles=sh
+            ).collect()
+        }
+        assert internal == passed
+
+
 def test_cosine_signlsh_dedup(spark):
     from klinker_spark.ops.dedup import cosine_signlsh_dedup
 
