@@ -89,9 +89,14 @@ def _initial_syms(word_col: str = "w") -> F.Column:
 def _pair_counts(rep: DataFrame) -> DataFrame:
     """Weighted adjacent-pair counts over the current segmentation."""
     sy = F.split(F.trim(F.col("syms")), SEP)
+    # the single-symbol guard tests the RAW string (substring probe):
+    # size(split(trim(s))) > 1 ⇔ trim(s) contains SEP, and a size()
+    # predicate over the split would be pushed below the projection
+    # and re-evaluate the split per row (r12); SEP is two literal
+    # spaces, regex-free, so instr is exact
     return (
-        rep.select(F.col("cnt"), sy.alias("sy"))
-        .where(F.size("sy") > 1)
+        rep.where(F.instr(F.trim(F.col("syms")), SEP) > 0)
+        .select(F.col("cnt"), sy.alias("sy"))
         .select(
             "cnt",
             F.explode(

@@ -1039,11 +1039,21 @@ def duplicated_span_stats(
     )
     # the empty-string whole-doc shingle of token-free docs would make
     # all such docs "duplicates" of each other — not content overlap
-    spans = sh.select("doc_id", F.explode("sh").alias("span")).where(
-        F.col("span") != ""
+    #
+    # persist: the span table fans out into TWO consumers (the span-df
+    # aggregate and the join-back), and the exchanges they need differ
+    # (partial-agg below one, none below the other) so ReusedExchange
+    # never fires — without the cache the widen → tokenize → shingle →
+    # explode chain executes twice (r12 A/B at sf0.1: 6.0-6.6 s →
+    # 4.3-4.7 s warm).  Released after the result materializes (the
+    # dedup cache contract).
+    spans = (
+        sh.select("doc_id", F.explode("sh").alias("span"))
+        .where(F.col("span") != "")
+        .persist()
     )
     span_df = spans.groupBy("span").agg(F.count("*").alias("df"))
-    return (
+    out = (
         spans.join(span_df, "span")
         .groupBy("doc_id")
         .agg(
@@ -1056,7 +1066,10 @@ def duplicated_span_stats(
             "n_dup_spans",
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_span_frac"),
         )
+        .localCheckpoint(eager=True)
     )
+    spans.unpersist()
+    return out
 
 
 def remove_duplicated_spans(
@@ -1104,11 +1117,14 @@ def remove_duplicated_spans(
         "doc_id",
         F.posexplode("tk").alias("i0", "tok"),
     ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
-    spans = base.where(F.size("tk") >= span_k).select(
+    # docs shorter than span_k emit no spans via the clamped slice
+    # alone — the row filter this replaces would be pushed below the
+    # projection and re-evaluate the split per row (r12)
+    spans = base.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(slice(tk, 1, size(tk) - {span_k - 1}),"
+                f"transform(slice(tk, 1, greatest(size(tk) - {span_k - 1}, 0)),"
                 f" (x, i) -> array_join(slice(tk, i + 1, {span_k}), ' '))"
             )
         ).alias("i0", "span"),

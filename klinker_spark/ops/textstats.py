@@ -267,7 +267,12 @@ def pmi_bigrams(
     any IEEE engine.
     """
     tk = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    seq = docs.select(tk.alias("tk")).where(F.size("tk") > 0)
+    # no row filter: an empty token array explodes to zero unigrams and
+    # zero bigrams by itself (the slice length is clamped non-negative),
+    # and a deterministic size() predicate would be pushed below the
+    # projection and re-evaluate the split chain per row (r12 — the
+    # filter-over-computed-projection class, measured on the LSH audit)
+    seq = docs.select(tk.alias("tk"))
     uni = (
         seq.select(F.explode("tk").alias("tok"))
         .groupBy("tok")
@@ -277,7 +282,7 @@ def pmi_bigrams(
         seq.select(
             F.explode(
                 F.expr(
-                    "transform(slice(tk, 1, size(tk) - 1),"
+                    "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
                     " (x, i) -> struct(x AS a, tk[i + 1] AS b))"
                 )
             ).alias("p")
@@ -511,13 +516,16 @@ def distinct_ngram_ratio(
     partials, one per-group rollup.
     """
     tk = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # the clamped slice emits no n-grams for docs shorter than n tokens
+    # — the row filter it replaces would re-evaluate the split chain
+    # per row once pushed below the projection (r12)
     grams = docs.select(
         F.col(group_col).alias("grp"), tk.alias("tk")
-    ).where(F.size("tk") >= n).select(
+    ).select(
         "grp",
         F.explode(
             F.expr(
-                f"transform(slice(tk, 1, size(tk) - {n - 1}),"
+                f"transform(slice(tk, 1, greatest(size(tk) - {n - 1}, 0)),"
                 f" (x, i) -> array_join(slice(tk, i + 1, {n}), ' '))"
             )
         ).alias("ngram"),
@@ -565,9 +573,12 @@ def skipgram_pairs(
         f"least(size(tk) - 1, i + {window})), j -> j != i), "
         f"j -> struct(x AS center, element_at(tk, j + 1) AS context))))"
     )
+    # no row filter: an empty token array yields an empty pair array
+    # and the explode drops the row by itself; a size() predicate
+    # would re-evaluate the split chain per row once pushed below the
+    # projection (r12)
     return (
         docs.select(tk.alias("tk"))
-        .where(F.size("tk") > 0)
         .select(F.explode(pairs).alias("p"))
         .select("p.center", "p.context")
         .groupBy("center", "context")
@@ -666,9 +677,11 @@ def ngram_lm_score(
     )
 
     def bigrams(frame: DataFrame, *extra):
+        # docs with < 2 tokens emit no bigrams via the clamped slice
+        # alone — the row filter this replaces would re-evaluate the
+        # split chain per row once pushed below the projection (r12)
         return (
             frame.select(*extra, tk.alias("tk"))
-            .where(F.size("tk") >= 2)
             .select(*extra, F.explode(big).alias("b"))
             .select(*extra, "b.w1", "b.w2")
         )

@@ -211,12 +211,23 @@ def neardup_band_keys(
 
     from ..functions.text import minhash_signature_expr, tokenize, word_shingles
 
+    # zero-shingle guard on the RAW text column: tokenize splits
+    # lowercased text on [^a-z0-9]+ with min length 1, so the token
+    # (hence shingle) array is non-empty iff the lowercased text
+    # contains an alphanumeric — one regex probe per row that pushes
+    # to the source.  A size() predicate over the shingle array would
+    # be pushed below the projections and re-evaluate the whole
+    # tokenize+shingle chain per row (r12 — the filter-over-computed-
+    # projection class); NULL text drops on either form.
+    #
     # each stage materialized in its own select: project-collapsing
     # would otherwise re-inline the tokenizer into every lambda
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk")
-    ).select("doc_id", word_shingles(F.col("tk"), shingle_k).alias("sh"))
-    sig = sh.where(F.size("sh") > 0).select(
+    sh = (
+        docs.where(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
+        .select(F.col(id_col).alias("doc_id"), tokenize(text_col, 1, []).alias("tk"))
+        .select("doc_id", word_shingles(F.col("tk"), shingle_k).alias("sh"))
+    )
+    sig = sh.select(
         "doc_id",
         minhash_signature_expr(F.col("sh"), num_perm, seed, hash_fn).alias("sig"),
     )

@@ -275,6 +275,28 @@ def test_neardup_gate_flags_exact_and_near_dups(spark):
     assert not out[103]["maybe_neardup"] and out[103]["n_shingles"] == 0
 
 
+def test_band_keys_zero_shingle_raw_predicate(spark):
+    """neardup_band_keys guards zero-shingle docs with a raw-text
+    alphanumeric probe instead of size(shingles) (r12 — avoids
+    re-evaluating the tokenize chain in a pushed-down filter).  Pin
+    the equivalence edge cases: punctuation-only and NULL text emit
+    no keys; UPPERCASE-only text must still emit (tokenize lowercases
+    first)."""
+    from klinker_spark.streaming.dedup import neardup_band_keys
+
+    docs = spark.createDataFrame(
+        [
+            (1, "normal words in here"),
+            (2, "...!!! --- ???"),  # non-empty, zero tokens
+            (3, None),  # NULL text
+            (4, "UPPER CASE ONLY WORDS"),  # lowercases to tokens
+        ],
+        "doc_id long, text string",
+    )
+    keyed = {r["doc_id"] for r in neardup_band_keys(docs).collect()}
+    assert keyed == {1, 4}
+
+
 def test_neardup_gate_streaming_parity(spark, tmp_path):
     """The gate plan is stateless (expression signature + broadcast
     bitmap join): identical results on a file stream, no watermark."""
