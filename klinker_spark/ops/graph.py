@@ -260,8 +260,16 @@ def pagerank(
             spread_in = contrib.withColumn("rank_micro", init_h)
         else:
             s_head = summed.select(F.col("node").alias("head"), "s")
+            # non-broadcast delivery: both sides are already hash-
+            # partitioned on the key (edges from the cached repartition,
+            # the mass table from its groupBy — persist KEEPS that
+            # layout, see below), so the join needs no exchange; the
+            # shuffle_hash hint builds on the slim |V'|-row side and
+            # skips SMJ's per-round sort of the |E| stream entirely.
             spread_in = contrib.join(
-                F.broadcast(s_head) if broadcast_ranks else s_head,
+                F.broadcast(s_head)
+                if broadcast_ranks
+                else s_head.hint("shuffle_hash"),
                 "head",
                 "left",
             ).withColumn(
@@ -273,13 +281,29 @@ def pagerank(
             )
         # materialize per iteration: the unrolled 5-deep DAG would
         # otherwise re-derive every prior iteration inside each
-        # broadcast build; the table is 2 slim columns per node
-        summed = _spread(spread_in).localCheckpoint(eager=True)
-        # superseded round's blocks free NOW (ckpt contract): at most
-        # two mass versions ever hold storage, and nothing leaks into
-        # the session once the final ranks materialize
+        # broadcast build; the table is 2 slim columns per node.
+        # Shuffle-join path: PERSISTED, not checkpointed (same Spark-4
+        # finding as the edge table above) — localCheckpoint erased the
+        # groupBy's hashpartitioning(node), so every next-round join
+        # re-shuffled the mass table; the cached InMemoryRelation keeps
+        # the layout and the SHJ consumes it exchange- and sort-free.
+        # Broadcast path: the mass table is collected to the driver
+        # each round anyway, so partitioning buys nothing — keep the
+        # r11 checkpoint shape (measured equal; no churn at toy scale).
+        if broadcast_ranks:
+            summed = _spread(spread_in).localCheckpoint(eager=True)
+        else:
+            summed = _spread(spread_in).persist()
+            summed.count()  # eager, like the checkpoint it replaces
+        # superseded round's blocks free NOW: at most two mass versions
+        # ever hold storage, and nothing leaks into the session once
+        # the final ranks materialize
         if prev is not None:
             _free(prev)
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
     tele_n, init_n = _tele_init_for("node")
     if summed is None:  # iters == 0: the init vector is the answer
         ranks = nodes.select("node", init_n.alias("rank_micro"))
@@ -295,7 +319,11 @@ def pagerank(
         )
     ranks = ranks.localCheckpoint(eager=True)
     if summed is not None:
-        _free(summed)
+        _free(summed)  # broadcast path: checkpoint blocks
+        try:
+            summed.unpersist()  # shuffle path: cached blocks
+        except Exception:
+            pass
     try:
         edges_w.unpersist()  # cached, not checkpointed — plain unpersist
     except Exception:

@@ -74,11 +74,30 @@ def build_postings(
         .where(F.col("term") != "")
         .distinct()
     )
+    # NOT widened (measured, r12): a round-robin repartition of the text
+    # projection costs a full-text shuffle round-trip that exceeds what
+    # the extra tokenise parallelism saves here — unlike the dedup-family
+    # kernels, this chain is one cheap codegen'd split+explode whose
+    # output immediately collapses behind the broadcast semi-join.
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).where(F.col("term") != "")
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Doc length map-side: size(non-empty tokens) per row, summed per
+    # doc_id — value-identical to counting the exploded stream (null
+    # text sizes to -1 and a zero-token row contributes no group, so
+    # docs absent from the exploded form are absent here too), but the
+    # corpus is tokenised ONCE for lengths instead of re-exploded:
+    # the dl lane's shuffle input drops from |tokens| to |docs| rows.
+    row_len = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    )
+    dl = (
+        docs.select(F.col(id_col).alias("doc_id"), row_len.alias("rl"))
+        .where(F.col("rl") > 0)
+        .groupBy("doc_id")
+        .agg(F.sum("rl").alias("dl"))
+    )
     tf = (
         tok.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term")

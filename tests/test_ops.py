@@ -1280,6 +1280,65 @@ def test_pagerank_iteration_reuses_cached_edge_partitioning(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_pagerank_mass_join_is_exchange_and_sort_free(spark):
+    """r12.2 refinement of the mechanism above: on the shuffle-join
+    path the per-round MASS table is persisted (not checkpointed), so
+    it keeps its groupBy hashpartitioning(node) and the rank join —
+    shuffle_hash-hinted — consumes BOTH cached sides with no Exchange
+    and no Sort: per round only the irreducible tail aggregate
+    shuffles."""
+    import pyspark.sql.functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        spark.createDataFrame(
+            [(i % 7, i) for i in range(100)], "head bigint, tail bigint"
+        )
+        .repartition(part, "head")
+        .persist()
+    )
+    summed = (
+        e.select(F.col("tail").alias("node"), F.lit(1).alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+        .persist()
+    )
+    try:
+        e.count()
+        summed.count()
+        s_head = summed.select(F.col("node").alias("head"), "s")
+        plan = (
+            e.join(s_head.hint("shuffle_hash"), "head", "left")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the join's DIRECT children must be the two cache scans — any
+        # Exchange/Sort would sit between them at the children's indent
+        # level (nested InMemoryRelation build plans legitimately
+        # contain their own one-off Exchange; skip them by indent)
+        assert "ShuffledHashJoin" in plan, plan
+        lines = plan.splitlines()
+        ji = next(i for i, l in enumerate(lines) if "ShuffledHashJoin" in l)
+        stream_line = lines[ji + 1]
+        assert "InMemoryTableScan" in stream_line, plan
+        child_indent = len(stream_line) - len(stream_line.lstrip(" :+-"))
+        # first subsequent line at the same indent = the build side
+        build = next(
+            l
+            for l in lines[ji + 2 :]
+            if l.startswith(" " * (child_indent - 3) + "+- ")
+        )
+        assert "Filter" in build or "InMemoryTableScan" in build, plan
+        assert "Exchange" not in build and "Sort" not in build, plan
+    finally:
+        e.unpersist()
+        summed.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_pmi_bigrams(spark):
     import math
 
