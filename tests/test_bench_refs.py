@@ -31,6 +31,63 @@ def _head_artifact():
         return None
 
 
+def test_compact_line_never_drops_the_per_query_map():
+    """r12 verdict #1: the compact stdout line overflowed its budget and
+    fell back to ``{"queries": {"total_only": ...}}`` — the driver got
+    ZERO per-query timings.  The line must carry every headline lane
+    even in the worst case (26 long-named lanes, max retries)."""
+    timings = {name: 123.456 for name in bench.BENCH_QUERIES}
+    assert len(timings) == 26
+    full = {
+        "metric": "headline_suite_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "warm_lane": "cache-warm-r11",
+        "warm_total": 999.999,
+        "curation_total": 999.999,
+        "sf1_total": 9999.999,
+        "sf1": {"total": 9999.999},
+    }
+    line = bench._compact_line(full, n_retries=30)
+    assert len(line) <= bench._COMPACT_MAX_CHARS
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(bench.BENCH_QUERIES)
+    assert all(v == 123.456 for v in parsed["queries"].values())
+    assert parsed["value"] == full["value"]
+    # worst case must not even need the shed ladder — section totals
+    # survive alongside the full map
+    for key in ("warm_total", "curation_total", "sf1_total"):
+        assert key in parsed
+
+
+def test_compact_line_sheds_optional_fields_before_query_precision():
+    """If the line ever exceeds the budget, optional fields go first in
+    the documented order; the per-query map is trimmed to 2 decimals as
+    a last resort and never replaced by a total."""
+    # pathological: 60 synthetic long lanes force the shed ladder
+    timings = {f"synthetic_lane_with_a_very_long_name_{i:03d}": 1234.567
+               for i in range(60)}
+    full = {
+        "metric": "headline_suite_wall_time",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "warm_lane": "cache-warm-r11",
+        "warm_total": 1.0,
+        "curation_total": 1.0,
+        "sf1_total": 1.0,
+        "sf1": {"total": 1.0},
+    }
+    line = bench._compact_line(full, n_retries=30)
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(timings)
+    assert "retries" not in parsed  # first shed
+    assert all(v == 1234.57 for v in parsed["queries"].values())
+
+
 def test_retry_refs_are_min_across_committed_history():
     head = _head_artifact()
     if not head:
