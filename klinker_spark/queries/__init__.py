@@ -38,66 +38,63 @@ from . import audits  # noqa: E402,F401
 # pushed past the window on purpose.  The round-by-round ledger of who
 # has recorded what lives in COVERAGE.md.
 _GATE_PRIORITY = [
-    # ROUND-12 ROTATION.  Census over CORRECTNESS_r01..r11 (programmatic:
-    # latest driver-record round per query; see COVERAGE.md r12 ledger):
-    # all 222 registered queries hold >=1 driver row, nothing is red, so
-    # the 50 slots are pure refresh — the 50 exact-oracled queries whose
-    # LATEST record is oldest, sorted by last driver-row round then
-    # record order.
-    # (a) the r7-recorded cohort tail, record order (10):
-    "fellegi_sunter_linkage",
-    "hits_hubs_authorities",
-    "customer_rfm_segments",
-    "event_hour_chi2",
-    "bloom_semijoin_pushdown",
-    "funnel_conversion_windowed",
-    "personalized_pagerank",
-    "ann_recall_audit",
-    "global_pareto_frontier",
-    "time_decayed_user_value",
-    # (b) the r8-recorded cohort, record order (40; the four rows-only
-    # twins at r8 positions 11-14 keep their weaker records — exact
-    # slots are never burned on them):
-    "ngram_lm_perplexity",
-    "bitext_margin_mining",
-    "kcenter_coreset",
-    "event_value_twap",
-    "event_value_ohlc_hourly",
-    "perplexity_bucket_mix",
-    "cross_source_dup_matrix",
-    "leakage_safe_split",
-    "kmv_source_overlap",
-    "golden_records",
-    "sliding_window_counts",
-    "source_drift_psi",
-    "classifier_agreement_kappa",
-    "benford_audit",
-    "ivf_append_audit",
-    "curation_funnel",
-    "lsh_parameter_plan",
-    "embedding_health_audit",
-    "bucketed_join_revenue",
-    "standard_blocking_stats",
-    "qgram_blocking_stats",
-    "concat_values",
-    "rdf_clean",
-    "sample_dataset",
-    "filter_with_unique",
-    "count_entities",
-    "relation_importance",
-    "name_importance",
-    "neighbor_concat",
-    "blocks_combine",
-    "compare_blockings",
-    "find_blocks",
-    "exact_dedup",
-    "token_count",
-    "quality_score",
-    "token_frequencies",
-    "tfidf_top_tokens",
-    "doc_fingerprint",
-    "langid",
-    "running_user_stats",
+    # ROUND-13 ROTATION.  Census over CORRECTNESS_r01..r12 (programmatic:
+    # latest driver-record round per query): all 222 registered queries
+    # hold >=1 driver row, nothing is red, so the 50 slots are pure
+    # refresh — the 50 exact-oracled queries whose LATEST record is
+    # oldest, sorted by last driver-row round then record order.
+    # (a) the r8-recorded cohort, record order (6):
+    "standard_blocking",
+    "token_blocking",
+    "unique_name_blocking",
+    "top_n_filter",
+    "all_pairs_multiplicity",
+    "events_json_extract",
+    # (b) the r9-recorded cohort, record order (44):
+    "purge_blocks",
+    "eval_metrics",
+    "minhash_lsh_blocking_md5",
+    "tfidf_token_blocking",
+    "relational_token_blocking",
+    "minhash_dedup_md5",
+    "embedding_signlsh_dedup",
+    "simhash_dedup_md5",
+    "ngram_jaccard_dedup",
+    "embedding_cosine_dedup",
+    "knn_topk",
+    "knn_topk_sharded",
+    "embedding_knn_blocking_md5",
+    "ann_topk_signlsh",
+    "dbscan_labels",
+    "csls_topk",
+    "mutual_rank_topk",
+    "ann_topk_ivf_md5",
+    "windowed_event_counts",
+    "events_dedup_earliest",
+    "events_asof_join",
+    "events_range_join",
+    "events_hypertable_rollup",
+    "kmv_distinct_sketch",
+    "multimodal_features",
+    "graph_statistics",
+    "sessionize_events",
+    "composite_unique_name_blocking",
+    "composite_relational_blocking",
+    "sif_embedding_md5",
+    "gcn_propagation_md5",
+    "lightea_propagation_md5",
+    "sinkhorn_rerank",
+    "repetition_stats",
+    "dedup_components",
+    "contamination_check",
+    "unigram_logprob",
+    "edit_distance_dedup",
+    "bigram_logprob",
+    "neardup_ingest_gate",
+    "bloom_ingest_gate",
+    "gopher_rules",
+    "line_dedup",
+    "semdedup",
 ]
 
 
