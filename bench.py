@@ -359,6 +359,11 @@ def _retry_outliers(lane: str, timings: dict, refs: dict, run_one) -> None:
         and t > 2 * refs[(lane, n)]
         and t > _RETRY_FLOOR_SEC
     ]
+    # most-suspect first: under the cap, the retries must go to the
+    # biggest cold/ref ratios — r13 run 1 spent all 6 extras slots on
+    # 2-3x rows in dict order while the 8x golden_records outlier (the
+    # row that most needed an in-artifact verdict) fell off the cap
+    outliers.sort(key=lambda n: timings[n] / refs[(lane, n)], reverse=True)
     dropped = outliers[_RETRY_CAP_PER_LANE:]
     if dropped:
         print(

@@ -88,6 +88,20 @@ def test_compact_line_sheds_optional_fields_before_query_precision():
     assert all(v == 1234.57 for v in parsed["queries"].values())
 
 
+def test_retry_lane_prioritizes_biggest_outliers(monkeypatch):
+    """Under the per-lane cap the retries must go to the rows whose
+    cold/ref ratio is largest — r13 run 1 burned all slots on 2-3x rows
+    in dict order while an 8x outlier fell off the cap unretried."""
+    monkeypatch.setattr(bench, "_RETRY_CAP_PER_LANE", 2)
+    bench._RETRY.clear()
+    timings = {"mild_a": 3.0, "huge": 40.0, "mild_b": 2.5, "big": 9.0}
+    refs = {("x", n): 1.0 for n in timings}
+    ran = []
+    bench._retry_outliers("x", timings, refs, lambda n: ran.append(n) or 1.0)
+    assert ran == ["huge", "big"]
+    bench._RETRY.clear()
+
+
 def test_retry_refs_are_min_across_committed_history():
     head = _head_artifact()
     if not head:
