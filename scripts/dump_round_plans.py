@@ -5,6 +5,15 @@ Companion to the optimization-round deliverable
 commit (in a worktree) with suffix ``before`` and at HEAD with suffix
 ``after``.
 
+Checkpoint transparency (r12 verdict #4): a query whose return frame is
+a ``localCheckpoint`` leaf explains as a one-line ``Scan ExistingRDD``,
+which proves nothing about the computation.  While dumping we wrap
+``DataFrame.localCheckpoint`` to record the formatted plan of every
+frame *entering* a checkpoint; when the final plan contains an
+``ExistingRDD`` leaf, the last recorded pre-checkpoint plan (the
+terminal checkpoint's input — the real computation) is appended under a
+labeled separator.
+
 Usage: python scripts/dump_round_plans.py OUTDIR SUFFIX [SF_DIR] [query ...]
 """
 
@@ -18,25 +27,23 @@ import sys
 sys.path.insert(0, ".")
 
 DEFAULT_QUERIES = [
-    # r12 touched set
+    # r13 touched set (kept from r12 where still relevant)
     "pagerank_importance",
     "personalized_pagerank",
-    "token_community_labels",
-    "bfs_reach",
-    "hits_hubs_authorities",
-    "gcn_propagation_md5",
-    "lightea_propagation_md5",
-    "dedup_components",
     "duplicated_span_stats",
-    "remove_duplicated_spans",
     "minhash_dedup",
-    "simhash_dedup",
-    "ngram_jaccard_dedup",
     "ngram_containment_dedup",
     "edit_distance_dedup",
-    "knn_topk_sharded",
-    "knn_topk",
+    "bpe_train_merges",
+    "lsh_precision_recall_audit",
 ]
+
+
+def _fmt_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def main() -> None:
@@ -46,17 +53,38 @@ def main() -> None:
     names = sys.argv[4:] or DEFAULT_QUERIES
     os.makedirs(outdir, exist_ok=True)
 
+    from pyspark.sql import DataFrame
+
     from klinker_spark.queries import QUERIES
     from klinker_spark.session import get_spark
 
+    # record every pre-checkpoint plan while a query builds
+    preckpt: list[str] = []
+    orig_lc = DataFrame.localCheckpoint
+
+    def recording_lc(self, eager: bool = True):
+        try:
+            preckpt.append(_fmt_plan(self))
+        except Exception:  # noqa: BLE001 - recording must never break a query
+            pass
+        return orig_lc(self, eager)
+
+    DataFrame.localCheckpoint = recording_lc
+
     spark = get_spark("plansdump")
     for name in names:
+        preckpt.clear()
         try:
             df = QUERIES[name](spark, sf)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            text = buf.getvalue()
+            text = _fmt_plan(df)
+            if "ExistingRDD" in text and preckpt:
+                text += (
+                    f"\n# --- checkpoint-transparent addendum: the final frame is a"
+                    f"\n# --- localCheckpoint leaf; below is the plan of the frame that"
+                    f"\n# --- ENTERED the terminal checkpoint (checkpoint {len(preckpt)}"
+                    f"\n# --- of {len(preckpt)} recorded while building this query) ---\n"
+                    + preckpt[-1]
+                )
         except Exception as exc:  # noqa: BLE001 - record, keep dumping
             text = f"ERROR dumping plan: {exc!r}\n"
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
@@ -64,6 +92,8 @@ def main() -> None:
             f.write(f"# {name} — explain('formatted') @ {sf} [{suffix}]\n")
             f.write(text)
         print(f"wrote {path}")
+
+    DataFrame.localCheckpoint = orig_lc
 
 
 if __name__ == "__main__":
