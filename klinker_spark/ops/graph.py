@@ -167,11 +167,18 @@ def pagerank(
             "outdeg", F.count("*").over(Window.partitionBy("head"))
         ).persist()
     edges_w.count()  # materialize eagerly, like the checkpoint it replaces
+    # PERSISTED, not checkpointed (r13): the distinct's
+    # hashpartitioning(node) survives inside the cached relation (the
+    # same Spark-4 localCheckpoint-erases-partitioning finding as the
+    # edge and mass tables), so the FINAL nodes ⟕ summed join below is
+    # exchange-free on this side — checkpointed nodes paid one full |V|
+    # re-shuffle + sort there (plan-verified: SMJ over two
+    # UnknownPartitioning leaves, 2 Exchanges + 2 Sorts).
     nodes = (
         edges_w.select(F.col("head").alias("node"))
         .union(edges_w.select("tail"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # |V| counted ONCE driver-side (one count job) and folded into the
     # iteration expressions as a literal — the previous shape recounted
@@ -182,7 +189,10 @@ def pagerank(
         # empty graph: the |V| literal would constant-fold into an
         # ANSI divide-by-zero at PLANNING time (unlike the old
         # column-based division, which no row ever evaluated)
-        _free(nodes)
+        try:
+            nodes.unpersist()
+        except Exception:
+            pass
         try:
             edges_w.unpersist()
         except Exception:
@@ -308,7 +318,18 @@ def pagerank(
     if summed is None:  # iters == 0: the init vector is the answer
         ranks = nodes.select("node", init_n.alias("rank_micro"))
     else:
-        ranks = nodes.join(summed, "node", "left").select(
+        # final mass delivery (r13): nodes is cache-partitioned on node,
+        # so this join needs no exchange on the |V| side.  Broadcast
+        # path: the last mass table is a checkpoint (UnknownPartitioning)
+        # and ≤ 500k slim rows by the route condition — broadcast it and
+        # the join is exchange-free on BOTH sides.  Shuffle path: the
+        # mass cache kept its groupBy hashpartitioning(node), so
+        # shuffle_hash consumes both caches exchange- and sort-free
+        # (SMJ would re-sort both |V|-row sides).
+        s_final = (
+            F.broadcast(summed) if broadcast_ranks else summed.hint("shuffle_hash")
+        )
+        ranks = nodes.join(s_final, "node", "left").select(
             "node",
             (
                 tele_n
@@ -328,7 +349,10 @@ def pagerank(
         edges_w.unpersist()  # cached, not checkpointed — plain unpersist
     except Exception:
         pass
-    _free(nodes)
+    try:
+        nodes.unpersist()  # cached, not checkpointed (r13)
+    except Exception:
+        pass
     return ranks.select(
         "node", "rank_micro", F.round(F.col("rank_micro") / 1e6, 6).alias("rank")
     )

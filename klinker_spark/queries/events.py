@@ -830,7 +830,14 @@ def pagerank_importance_q(spark, sf_dir):
         _tag_node(2, "l_orderkey").alias("head"),
         _tag_node(3, "l_partkey").alias("tail"),
     )
-    pr = pagerank(o.union(li), iters=5, damping=0.85)
+    # outdeg_shape pinned: the auto probe costs a full extra pass over
+    # the edge lineage per call (sampled 1% scan of orders+lineitem —
+    # 1.8-4.8 s at sf1), and this graph's max out-degree is bounded by
+    # the TPC-H schema itself (<=7 lineitems per order, <=41 orders per
+    # customer at any sf) — orders of magnitude under the window-form
+    # skew gate, so the probe's answer is known at the call site (r13,
+    # guide §1.2: don't compute things you throw away).
+    pr = pagerank(o.union(li), iters=5, damping=0.85, outdeg_shape="window")
     tag = F.expr(f"node DIV {TAG}")
     decoded = pr.select(
         F.concat(

@@ -568,7 +568,14 @@ def personalized_pagerank_q(spark, sf_dir):
             _tag_node(3, "l_partkey").alias("tail"),
         )
     )
-    out = pagerank(edges, sources=[1 * TAG + 1, 1 * TAG + 2, 1 * TAG + 3])
+    # outdeg_shape pinned for the same reason as pagerank_importance:
+    # TPC-H FK fan-out bounds max out-degree far under the window-form
+    # skew gate, so the auto probe's extra edge-lineage pass is waste
+    out = pagerank(
+        edges,
+        sources=[1 * TAG + 1, 1 * TAG + 2, 1 * TAG + 3],
+        outdeg_shape="window",
+    )
     tag = F.expr(f"node DIV {TAG}")
     return (
         out.where(F.col("rank_micro") > 0)

@@ -53,14 +53,17 @@ def main() -> None:
     names = sys.argv[4:] or DEFAULT_QUERIES
     os.makedirs(outdir, exist_ok=True)
 
-    from pyspark.sql import DataFrame
-
     from klinker_spark.queries import QUERIES
     from klinker_spark.session import get_spark
 
-    # record every pre-checkpoint plan while a query builds
+    spark = get_spark("plansdump")
+
+    # record every pre-checkpoint plan while a query builds — patch the
+    # CONCRETE DataFrame class (Spark 4's classic subclass overrides
+    # localCheckpoint, so patching pyspark.sql.DataFrame records nothing)
+    df_cls = type(spark.range(1))
     preckpt: list[str] = []
-    orig_lc = DataFrame.localCheckpoint
+    orig_lc = df_cls.localCheckpoint
 
     def recording_lc(self, eager: bool = True):
         try:
@@ -69,9 +72,7 @@ def main() -> None:
             pass
         return orig_lc(self, eager)
 
-    DataFrame.localCheckpoint = recording_lc
-
-    spark = get_spark("plansdump")
+    df_cls.localCheckpoint = recording_lc
     for name in names:
         preckpt.clear()
         try:
@@ -93,7 +94,7 @@ def main() -> None:
             f.write(text)
         print(f"wrote {path}")
 
-    DataFrame.localCheckpoint = orig_lc
+    df_cls.localCheckpoint = orig_lc
 
 
 if __name__ == "__main__":

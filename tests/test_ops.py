@@ -1339,6 +1339,66 @@ def test_pagerank_mass_join_is_exchange_and_sort_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_pagerank_final_join_is_exchange_and_sort_free(spark):
+    """r13: the NODES table is persisted (not checkpointed), so the
+    distinct's hashpartitioning(node) survives in the cache and the
+    FINAL nodes ⟕ mass join — shuffle_hash-hinted on the shuffle path —
+    consumes both cached sides with no Exchange and no Sort (the r12
+    shape checkpointed nodes, whose erased partitioning forced one full
+    |V| re-shuffle + two SMJ sorts there)."""
+    import pyspark.sql.functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        spark.createDataFrame(
+            [(i % 7, i) for i in range(100)], "head bigint, tail bigint"
+        )
+        .repartition(part, "head")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("head").alias("node"))
+        .union(e.select("tail"))
+        .distinct()
+        .persist()
+    )
+    summed = (
+        e.select(F.col("tail").alias("node"), F.lit(1).alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+        .persist()
+    )
+    try:
+        e.count()
+        nodes.count()
+        summed.count()
+        plan = (
+            nodes.join(summed.hint("shuffle_hash"), "node", "left")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in plan, plan
+        lines = plan.splitlines()
+        ji = next(i for i, l in enumerate(lines) if "ShuffledHashJoin" in l)
+        stream_line = lines[ji + 1]
+        assert "InMemoryTableScan" in stream_line, plan
+        child_indent = len(stream_line) - len(stream_line.lstrip(" :+-"))
+        build = next(
+            l
+            for l in lines[ji + 2 :]
+            if l.startswith(" " * (child_indent - 3) + "+- ")
+        )
+        assert "Exchange" not in build and "Sort" not in build, plan
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        summed.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_pmi_bigrams(spark):
     import math
 

@@ -281,20 +281,20 @@ def test_gate_prefix_oracle_policy():
     unknown = [n for n in _GATE_PRIORITY if n not in QUERIES]
     assert not unknown, f"_GATE_PRIORITY names not registered: {unknown}"
     assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)) == 50
-    # the r12 rotation is pure refresh (every registered query holds a
-    # driver row since r9): it leads with the r7-recorded cohort tail
-    # (from fellegi_sunter_linkage) — the oldest surviving records in
-    # the ledger — then the r8 cohort; every slot is exact-oracled
+    # the r13 rotation is pure refresh (every registered query holds a
+    # driver row; nothing red): it leads with the r8-recorded cohort
+    # tail (from standard_blocking) — the oldest surviving records in
+    # the ledger — then the r9 cohort; every slot is exact-oracled
     # (no rows-only twins burn a refresh slot)
     for name in (
-        "fellegi_sunter_linkage",
-        "hits_hubs_authorities",
-        "bloom_semijoin_pushdown",
-        "time_decayed_user_value",
+        "standard_blocking",
+        "token_blocking",
+        "unique_name_blocking",
+        "events_json_extract",
     ):
-        assert name in _GATE_PRIORITY[:10], name
-    for name in ("ngram_lm_perplexity", "golden_records", "running_user_stats"):
-        assert name in _GATE_PRIORITY[10:50], name
+        assert name in _GATE_PRIORITY[:6], name
+    for name in ("purge_blocks", "graph_statistics", "semdedup"):
+        assert name in _GATE_PRIORITY[6:50], name
     assert all(n in ORACLES for n in _GATE_PRIORITY)
 
 
