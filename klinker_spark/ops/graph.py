@@ -377,6 +377,18 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     wedge set explodes on hubs).  Three shuffles total: degree agg,
     wedge self-join on the low vertex, closure join on ``(v, w)``.
     """
+    # The canonical edge set fans out into FOUR consumers (degree agg,
+    # orientation join, closure join — and degree itself into the
+    # orientation twice and the final projection), and the wedge
+    # self-join squares the replication: unpersisted, the r12 plan
+    # carried the ENTIRE upstream edge derivation 140 times (280
+    # parquet scans / 281 Exchanges / 140 Generates for the token-graph
+    # query, zero reuse in the initial plan — runtime stage-reuse kept
+    # it from exploding, but planning itself was O(copies), guide §3.3
+    # "very wide plans: materialise intermediates").  Persisting e and
+    # deg collapses the plan to one edge build + the three triangle
+    # shuffles; both caches release before return (result checkpointed
+    # per the dedup cache contract).
     e = (
         edges.select(F.col(a_col).cast("string").alias("x"), F.col(b_col).cast("string").alias("y"))
         .where(F.col("x") != F.col("y"))
@@ -384,12 +396,14 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
             F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
         )
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select("v"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
     )
     # orient by (degree, node) rank
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
@@ -415,7 +429,7 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
+    out = (
         deg.join(per_node, "node", "left")
         .select(
             "node",
@@ -431,7 +445,11 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
             )
             .alias("clustering_ppm"),
         )
+        .localCheckpoint(eager=True)
     )
+    e.unpersist()
+    deg.unpersist()
+    return out
 
 
 def neighbor_jaccard_join(

@@ -317,6 +317,18 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+        # Changelog checkpointing: commit the per-batch state DELTA to
+        # the checkpoint instead of a full RocksDB snapshot (snapshots
+        # continue in the background at the maintenance interval).
+        # Result-invariant; halves the measured state-commit cost on the
+        # OHLC lane (batch-0 commitTimeMs 23-25 s -> 11-18 s summed
+        # across 32 partitions at sf1, r13 interleaved A/B) and is the
+        # at-scale choice anyway: full-snapshot uploads grow with TOTAL
+        # state while a changelog grows with the batch's UPDATES.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         # UI off by default (headless harness); flip on for stage-level
         # profiling via the REST status API (guide §7.1)
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI_ENABLED", "false"))
